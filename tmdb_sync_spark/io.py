@@ -1,0 +1,44 @@
+"""Test-data catalog: read the driver-generated parquet star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under an ``sf_dir``.
+
+Reads are plain ``spark.read.parquet`` so Catalyst keeps full pushdown /
+pruning freedom; nothing is cached here (operators decide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Query semantics (date_format/year rendering, timestamp arithmetic)
+    # assume UTC naive-timestamp parity with the reference and the DuckDB
+    # oracle (SURVEY §7 hard-part 7). The driver's session may not pin a
+    # zone — enforce it at every table access (runtime-settable conf).
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the Spark parquet
+        # reader rejects; read nanos as long and truncate to Spark's
+        # microsecond TimestampType. DuckDB's reader truncates ns→µs the
+        # same way, so oracle comparisons line up exactly.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views (for spark.sql-style operators)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,244 @@
+"""Aggregation operators (SURVEY.md §2.4 A1–A8).
+
+Reference semantics being re-expressed:
+- A1/A2/A3: the meta-sync coverage report — $match → $group(year) with
+  conditional sums → guarded-divide coverage projection → sort
+  (reference ``app/endpoints/meta_sync.py:22-55``).
+- A4/A5: frame-report stats — multi-key group, count, pushed list of
+  reasons, per-reason frequency map (``app/endpoints/reports.py:20-46``).
+- A6/A7: filtered / total counts (``app/main.py:121-127``).
+- A8: running batch counters folded per category
+  (``app/sync_top.py:136-143,267-273``).
+
+Scale notes: each query is a single hash-aggregate plan — partial (map-side)
+aggregation then one Exchange on the group key. No collect-driven loops; the
+A5 frequency map is a two-level aggregation, not a per-group Python Counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.io import table
+from tmdb_sync_spark.registry import register
+
+
+@register(
+    "a1_sync_coverage",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS total,
+           MAX(o_orderdate) AS last_order_at,
+           CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS with_high_value,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS with_urgent,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)
+                ELSE 0.0 END AS high_value_coverage,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)
+                ELSE 0.0 END AS urgent_coverage
+    FROM orders
+    WHERE o_orderstatus IN ('O','F','P')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def a1_sync_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+A3 flagship: group-by-year coverage report.
+
+    Transplant of the reference sync-status aggregation
+    (``app/endpoints/meta_sync.py:22-55``): the year-keyed group with two
+    conditional sums ("how many rows carry this sync watermark") and
+    divide-by-zero-guarded coverage ratios, sorted by year.
+
+    Plan shape: scan(orders: 4 cols) → partial hashagg → Exchange(year) →
+    final hashagg → project → sort. Exactly one shuffle.
+    """
+    orders = table(spark, sf_dir, "orders")
+    hi = F.col("o_totalprice") > 200000.0
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders
+        .where(F.col("o_orderstatus").isin("O", "F", "P"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.max("o_orderdate").alias("last_order_at"),
+            F.sum(F.when(hi, 1).otherwise(0)).alias("with_high_value"),
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("with_urgent"),
+        )
+        .select(
+            "order_year", "total", "last_order_at", "with_high_value", "with_urgent",
+            F.when(F.col("total") > 0, F.col("with_high_value") / F.col("total"))
+             .otherwise(F.lit(0.0)).alias("high_value_coverage"),
+            F.when(F.col("total") > 0, F.col("with_urgent") / F.col("total"))
+             .otherwise(F.lit(0.0)).alias("urgent_coverage"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "a4_a5_report_stats",
+    oracle="""
+    WITH per_status AS (
+        SELECT l_orderkey, l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_orderkey % 5 = 0
+        GROUP BY 1, 2, 3
+    )
+    SELECT l_orderkey AS order_key,
+           l_returnflag AS return_flag,
+           CAST(SUM(n) AS BIGINT) AS report_count,
+           array_to_string(list_sort(list(l_linestatus || ':' || CAST(n AS VARCHAR))), ',') AS status_counts
+    FROM per_status
+    GROUP BY 1, 2
+    """,
+)
+def a4_a5_report_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5: multi-key group + per-value frequency map.
+
+    Reference: frame-report stats group on (movie_id, frame_path,
+    content_type) with ``$push(reason)`` then a host-side Counter
+    (``app/endpoints/reports.py:20-46``). Re-expressed as a *two-level*
+    aggregation — no per-group Python, no Counter: first count per
+    (keys, value), then fold to a canonical sorted "value:count" string
+    (maps hash unreliably across engines, SURVEY §5 hard-part 5).
+    """
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
+    per_status = (
+        li.groupBy("l_orderkey", "l_returnflag", "l_linestatus")
+          .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_status
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_returnflag").alias("return_flag"),
+        )
+        .agg(
+            F.sum("n").alias("report_count"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("l_linestatus"), F.col("n"))
+                    )
+                ),
+                ",",
+            ).alias("status_counts"),
+        )
+    )
+
+
+@register(
+    "a8_batch_counters",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS processed,
+           CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS inserted,
+           CAST(SUM(CASE WHEN value <= 50.0 OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+           MAX(ts) AS cursor_ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def a8_batch_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-batch running counters folded per category.
+
+    Reference: inserted/updated/processed counters accumulated across the
+    ingest loop and merged into the cursor row
+    (``app/sync_top.py:136-143,267-273``). Set-oriented: one groupBy over
+    the batch. The ``value`` sum goes through DECIMAL so it is exact and
+    shuffle-order-independent (doubles summed in different orders diverge).
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("processed"),
+            F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("inserted"),
+            F.sum(F.when((F.col("value") <= 50.0) | F.col("value").isNull(), 1).otherwise(0)).alias("updated"),
+            F.max("ts").alias("cursor_ts"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "a6_a7_p11_recent_counts",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS now_ts FROM events)
+    SELECT COUNT(*) AS total,
+           CAST(SUM(CASE WHEN ts >= now_ts - INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS BIGINT) AS last_hour,
+           CAST(SUM(CASE WHEN ts >= now_ts - INTERVAL 24 HOUR THEN 1 ELSE 0 END) AS BIGINT) AS last_day,
+           CAST(SUM(CASE WHEN event_type = 'error' AND ts >= now_ts - INTERVAL 24 HOUR THEN 1 ELSE 0 END) AS BIGINT) AS errors_last_day
+    FROM events, anchor
+    """,
+)
+def a6_a7_p11_recent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7+P11+F6: timestamp-window counts anchored to max(ts).
+
+    Reference: error-dashboard counts over the last hour / 24 h
+    (``app/main.py:73-75,121-127``). "now" is anchored in-data
+    (max(ts)) for determinism — no wall clock (FIXTURES.md invariant 3).
+    Interval arithmetic = F6. The anchor is a scalar broadcast (tiny
+    cross join), not a driver round-trip embedded in the plan as a literal
+    — the whole thing stays one job.
+    """
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now_ts"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("ts") >= F.col("now_ts") - F.expr("INTERVAL 1 HOUR"), 1).otherwise(0)).alias("last_hour"),
+            F.sum(F.when(F.col("ts") >= F.col("now_ts") - F.expr("INTERVAL 24 HOUR"), 1).otherwise(0)).alias("last_day"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("ts") >= F.col("now_ts") - F.expr("INTERVAL 24 HOUR")),
+                    1,
+                ).otherwise(0)
+            ).alias("errors_last_day"),
+        )
+    )
+
+
+@register(
+    "st_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (streaming-shaped, batch run).
+
+    The reference has no event-time windows (SURVEY §2.10); this is the
+    stretch operator demonstrated on the ``events`` table. The identical
+    logic runs under Structured Streaming in
+    ``tmdb_sync_spark.streaming`` (readStream + watermark); here it is the
+    batch-equivalent plan so the DuckDB oracle can check it.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value", "n_users",
+        )
+    )

@@ -1,0 +1,144 @@
+"""MERGE / upsert operators (SURVEY.md §2.1 S8, §2.3 J1+J4, §2.4 A8).
+
+The reference upsert pipeline (``app/catalog/upsert.py:46-103``): match on
+the composite key, ``$set`` updated fields, ``$setOnInsert`` creation
+fields, preserve manually-curated columns on update. Rebuilt as one
+set-oriented MERGE (``tmdb_sync_spark.plans.merge``), oracled in DuckDB as
+the equivalent FULL OUTER JOIN + COALESCE select (SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.io import table
+from tmdb_sync_spark.plans.merge import merge_into
+from tmdb_sync_spark.registry import register
+
+_SOURCE_SQL = """
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice,
+               '1-URGENT' AS o_orderpriority,
+               o_orderdate
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    inserts AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus,
+               o_totalprice * 0.5 AS o_totalprice,
+               '5-LOW' AS o_orderpriority,
+               o_orderdate
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    source AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+"""
+
+
+def _merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic delta derived from ``orders`` itself (FIXTURES.md §A):
+    every 10th key gets an update, every 100th key spawns a synthetic new
+    key far above the existing key range."""
+    o = table(spark, sf_dir, "orders")
+    updates = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+        "o_orderdate",
+    )
+    inserts = o.where(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        F.lit("5-LOW").alias("o_orderpriority"),
+        "o_orderdate",
+    )
+    return updates.unionAll(inserts)
+
+
+@register(
+    "j1_merge_upsert",
+    oracle=_SOURCE_SQL
+    + """
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS order_key,
+           COALESCE(t.o_custkey, s.o_custkey) AS cust_key,
+           COALESCE(t.o_orderstatus, s.o_orderstatus) AS order_status,
+           CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                WHEN t.o_orderkey IS NOT NULL THEN t.o_totalprice
+                ELSE s.o_totalprice END AS total_price,
+           CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+                WHEN t.o_orderkey IS NOT NULL THEN t.o_orderpriority
+                ELSE s.o_orderpriority END AS order_priority,
+           COALESCE(t.o_orderdate, s.o_orderdate) AS order_date,
+           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN s.o_orderkey IS NULL THEN 'noop'
+                ELSE 'update' END AS merge_action
+    FROM orders t
+    FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def j1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J4+S8: post-state of MERGE INTO orders USING delta ON orderkey.
+
+    - WHEN MATCHED: ``$set`` totalprice/priority, *preserve* order_date
+      (J4's keep-existing rule, ``app/catalog/upsert.py:79-85``).
+    - WHEN NOT MATCHED: insert the source row.
+    - ``merge_action`` column = insert/update classification → the
+      reference's inserted/updated counters (A8) fall out of a groupBy.
+    """
+    target = table(spark, sf_dir, "orders")
+    source = _merge_source(spark, sf_dir)
+    merged = merge_into(
+        target,
+        source,
+        keys=["o_orderkey"],
+        matched_update={
+            "o_totalprice": F.col("s.o_totalprice"),
+            "o_orderpriority": F.col("s.o_orderpriority"),
+            "o_orderstatus": F.col("t.o_orderstatus"),  # preserve
+            "o_custkey": F.col("t.o_custkey"),
+            "o_orderdate": F.col("t.o_orderdate"),  # preserve (J4)
+        },
+        with_action=True,
+    )
+    return merged.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("merge_action"),
+    )
+
+
+@register(
+    "j1_merge_counters",
+    oracle=_SOURCE_SQL
+    + """
+    SELECT CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN s.o_orderkey IS NULL THEN 'noop'
+                ELSE 'update' END AS merge_action,
+           COUNT(*) AS n
+    FROM orders t
+    FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def j1_merge_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 over J1: inserted/updated/untouched counters of the MERGE —
+    the reference's per-job stats (``app/sync_top.py:275-286``) as one
+    aggregate over the merge classification instead of loop counters."""
+    target = table(spark, sf_dir, "orders")
+    source = _merge_source(spark, sf_dir)
+    merged = merge_into(target, source, keys=["o_orderkey"], with_action=True)
+    return (
+        merged.groupBy("merge_action")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("merge_action")
+    )
