@@ -1,0 +1,13 @@
+"""Large-scale training-data-pipeline operators (SURVEY.md §7 Phase 5).
+
+Beyond reference parity: deduplication, similarity search, text analysis,
+and multimodal-column plumbing over the ``documents`` / ``embeddings``
+tables. Importing this package populates the query registry.
+"""
+
+from tmdb_sync_spark.functions import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

@@ -1,0 +1,296 @@
+"""Deduplication operators over the ``documents`` corpus (SURVEY.md Phase 5).
+
+Four dedup families, each the standard large-corpus construction:
+- exact: hash-groupBy on ``md5(text)`` — one shuffle on the hash.
+- MinHash + LSH: shingle → K minhashes → band → bucket-equi-join. The
+  band join is the scale path: candidate pairs come from per-band
+  equi-joins (shuffle on band key), never an O(n²) cross join.
+- SimHash: per-token md5 nibbles → bitwise majority → 16-bit signature;
+  near-dups collide on the signature (or low hamming distance).
+- n-gram Jaccard: exact set overlap on shingles for candidate pairs.
+
+W2's "dedup keep-best" (``app/catalog/upsert.py:26-34``) is the
+reference's in-document precedent; these generalize it corpus-wide.
+
+Cross-engine determinism: md5 everywhere (identical bytes-in/hex-out on
+Spark and DuckDB); set sizes are exact ints; ratios are single double
+divisions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.io import table
+from tmdb_sync_spark.registry import register
+
+N_HASHES = 8  # minhash signature length
+N_BANDS = 4   # bands of 2 hashes -> candidate recall at jaccard ~0.5+
+
+_SHINGLE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE [array_to_string(t, ' ')] END AS shingles
+        FROM toks
+    )
+"""
+
+
+def _shingles(col: Column) -> Column:
+    t = F.split(F.trim(col), r"\s+")
+    return F.when(
+        F.size(t) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.array_join(t, " ")))
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + h0..h7 minhash signature columns. Pure array HOFs — the
+    signature computation is embarrassingly parallel, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    def seeded_min(i: int) -> Column:
+        prefix = f"{i}|"
+        return F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")),
+            )
+        ).alias(f"h{i}")
+
+    cols = [seeded_min(i) for i in range(N_HASHES)]
+    return sh.select("doc_id", *cols)
+
+
+_SIG_SQL = _SHINGLE_SQL + """
+    , sigs AS (
+        SELECT doc_id,
+""" + ",\n".join(
+    f"               list_aggregate(list_transform(shingles, s -> md5('{i}|' || s)), 'min') AS h{i}"
+    for i in range(N_HASHES)
+) + """
+        FROM sh
+    )
+"""
+
+
+@register(
+    "dd_exact",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_hash,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+    FROM documents
+    """,
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-group on md5(text), keep the min-id canonical doc.
+
+    At 100 TB this is the cheapest dedup pass: one shuffle on a 128-bit
+    hash (uniform, no skew), map-side partial grouping; duplicates are
+    flagged, not dropped, so downstream policy stays a filter.
+    """
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    w = Window.partitionBy(h)
+    return docs.select(
+        "doc_id",
+        h.alias("text_hash"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+
+
+@register(
+    "dd_minhash_lsh",
+    oracle=_SIG_SQL
+    + """
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           CAST(((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT + (a.h2 = b.h2)::INT + (a.h3 = b.h3)::INT
+               + (a.h4 = b.h4)::INT + (a.h5 = b.h5)::INT + (a.h6 = b.h6)::INT + (a.h7 = b.h7)::INT) AS INT) AS n_equal_hashes,
+           ((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT + (a.h2 = b.h2)::INT + (a.h3 = b.h3)::INT
+           + (a.h4 = b.h4)::INT + (a.h5 = b.h5)::INT + (a.h6 = b.h6)::INT + (a.h7 = b.h7)::INT) / 8.0 AS est_jaccard
+    FROM sigs a
+    JOIN sigs b
+      ON a.doc_id < b.doc_id
+     AND ((a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3)
+       OR (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))
+    """,
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + banded LSH.
+
+    Pipeline: 3-word shingles → 8 seeded md5 minhashes (array HOFs, no
+    shuffle) → 4 bands of 2 → per-band *equi*-join on the band key →
+    distinct pairs → signature-overlap estimate. The oracle's OR-join is
+    the semantic spec; the Spark plan is the scalable union-of-equi-joins
+    (each band join shuffles on its 256-bit key; no cross join anywhere).
+    """
+    sig = _minhash_sig(spark, sf_dir).cache()
+    bands = [
+        sig.select(
+            "doc_id",
+            F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}")).alias("band_key"),
+        )
+        for j in range(N_BANDS)
+    ]
+    pair_dfs = []
+    for b in bands:
+        a, c = b.alias("a"), b.alias("c")
+        pair_dfs.append(
+            a.join(c, "band_key")
+            .where(F.col("a.doc_id") < F.col("c.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        )
+    pairs = reduce(lambda x, y: x.unionAll(y), pair_dfs).distinct()
+
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    n_equal = reduce(
+        lambda x, y: x + y,
+        [
+            (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int")
+            for i in range(N_HASHES)
+        ],
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            n_equal.alias("n_equal_hashes"),
+            (n_equal / F.lit(8.0)).alias("est_jaccard"),
+        )
+    )
+
+
+_NIBBLE = "89abcdef"  # high bit of a hex nibble
+
+
+@register(
+    "dd_simhash",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+                              x -> md5(x)) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+    """
+    + " || ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> regexp_matches(substr(h, {i + 1}, 1), '[89a-f]'))) >= len(hs) THEN '1' ELSE '0' END)"
+        for i in range(16)
+    )
+    + """ AS simhash,
+           CAST(len(hs) AS INT) AS n_tokens
+    FROM toks
+    """,
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) per document: per-bit majority vote over the md5
+    nibbles of the distinct-token set. Near-identical documents agree on
+    most bits; grouping on the signature (or banding substrings of it)
+    gives the candidate buckets. Bit i uses hex digit i of each token
+    hash — a deterministic, engine-portable stand-in for 64-bit simhash
+    with per-bit weights.
+    """
+    docs = table(spark, sf_dir, "documents")
+    hs = F.transform(
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")),
+        lambda x: F.md5(x.cast("binary")),
+    )
+    tokens = docs.select("doc_id", hs.alias("hs"))
+    def majority_bit(i: int) -> Column:
+        pos = i + 1
+        return (
+            F.when(
+                2
+                * F.size(
+                    F.filter(
+                        F.col("hs"),
+                        lambda h: F.substring(h, pos, 1).rlike("[89a-f]"),
+                    )
+                )
+                >= F.size("hs"),
+                "1",
+            ).otherwise("0")
+        )
+
+    bits = [majority_bit(i) for i in range(16)]
+    return tokens.select(
+        "doc_id",
+        F.concat(*bits).alias("simhash"),
+        F.size("hs").alias("n_tokens"),
+    )
+
+
+@register(
+    "dd_ngram_jaccard",
+    oracle=_SHINGLE_SQL
+    + """
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS INT) AS n_common,
+           CAST(len(a.shingles) + len(b.shingles)
+                - len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS INT) AS n_union,
+           len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) AS jaccard
+    FROM sh a
+    JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for candidate pairs.
+
+    Pairing here is consecutive doc_ids (a deterministic linear probe);
+    in production the pair list comes from ``dd_minhash_lsh`` candidates —
+    this operator is the *verify* stage of the two-phase near-dup
+    pipeline, so its cost is |candidates|, never O(n²).
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(
+        F.filter(
+            F.col("a.shingles"),
+            lambda x: F.array_contains(F.col("b.shingles"), x),
+        )
+    )
+    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("n_common"),
+            union.alias("n_union"),
+            (inter / union).alias("jaccard"),
+        )
+    )

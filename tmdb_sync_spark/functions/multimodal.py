@@ -1,0 +1,85 @@
+"""Multimodal-column plumbing (SURVEY.md Phase 5).
+
+Pattern: media (image/audio/video) ride as opaque ``binary`` columns with
+typed metadata; decode / feature-extraction runs as Arrow-batched pandas
+over ``mapInPandas`` — the one place Python is allowed in this engine
+(registry rule: Python only at source/decode boundaries, reference
+precedent: the frames image-metadata pipeline ``app/tmdb_client.py:169-282``).
+
+The real decode (PIL/ffmpeg) is STUBBED — those libraries are not in this
+container — behind ``_decode_stub``, which derives deterministic fake
+dimensions from the payload bytes. Everything around the stub is real and
+tested: binary encoding, Arrow batch transfer, output schema, and the
+DuckDB oracle computing the same features from ``octet_length``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.io import table
+from tmdb_sync_spark.registry import register
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, byte_len bigint, width int, height int, "
+    "n_frames int, media_format string"
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic fake decoder: width/height/frame-count from byte
+    length. Replace with PIL/av decode in a full environment — the
+    signature (bytes in, typed metadata out) is the contract."""
+    n = len(payload)
+    return n % 64, (n // 64) % 64, n % 5, "fakeimg"
+
+
+def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch in, one feature frame out.
+    Vectorized per batch; no per-row Python beyond the decode call itself
+    (which in production is the C-backed image library)."""
+    for pdf in batches:
+        feats = [_decode_stub(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "byte_len": [len(p) for p in pdf["payload"]],
+                "width": [f[0] for f in feats],
+                "height": [f[1] for f in feats],
+                "n_frames": [f[2] for f in feats],
+                "media_format": [f[3] for f in feats],
+            }
+        )
+
+
+@register(
+    "mm_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 64 AS INT) AS width,
+           CAST((octet_length(encode(text)) // 64) % 64 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 5 AS INT) AS n_frames,
+           'fakeimg' AS media_format
+    FROM documents
+    """,
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the Arrow/pandas path.
+
+    ``documents.text`` stands in for the media bytes (utf-8 encoded to a
+    real ``binary`` column); the decode stub emits typed metadata. The
+    plan shape is the production one: scan → narrow binary projection →
+    ``mapInPandas`` (Arrow batches, partition-parallel) → typed columns.
+    No shuffle; Python cost is amortized per ~10k-row Arrow batch.
+    """
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(decode_features, FEATURE_SCHEMA)
