@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion with the noop sink (full compute,
+no driver-side result transfer) after a short JVM warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tmdb_sync_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "a1_sync_coverage",
+    "q5_revenue_by_nation",
+    "q3_top_orders_by_revenue",
+    "w1_argmax_exclusion",
+    "w2_dedup_keep_best",
+    "o1_pagination",
+    "j1_merge_upsert",
+    "a4_a5_report_stats",
+    "st_tumbling_window",
+    "dd_exact",
+    "dd_minhash_lsh",
+    "knn_cosine_topk",
+    "tx_token_stats",
+    "mm_binary_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("tmdb-sync-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import tmdb_sync_spark.all_queries  # noqa: F401
+    from tmdb_sync_spark.registry import QUERIES
+
+    # JVM / codegen warmup (not measured)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    QUERIES["a1_sync_coverage"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tmdb_sync_spark.io import table
+from tmdb_sync_spark.io import parallel_table, table
 from tmdb_sync_spark.registry import register
 
 N_HASHES = 8  # minhash signature length
@@ -65,21 +65,31 @@ def _shingles(col: Column) -> Column:
 
 
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + h0..h7 minhash signature columns. Pure array HOFs — the
-    signature computation is embarrassingly parallel, no shuffle."""
-    docs = table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-    def seeded_min(i: int) -> Column:
-        prefix = f"{i}|"
-        return F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary")),
-            )
-        ).alias(f"h{i}")
+    """doc_id + h0..h7 minhash signature columns.
 
-    cols = [seeded_min(i) for i in range(N_HASHES)]
-    return sh.select("doc_id", *cols)
+    Shape: explode shingles → one md5 per (shingle, seed) → partial+final
+    ``min`` aggregation back to one row per doc. The tempting pure-HOF
+    form (``array_min(transform(shingles, md5))`` × 8 columns) recomputes
+    the shingle array per signature column after projection collapse and
+    evaluates the nested lambdas interpreted — measured ~8× slower. The
+    explode form hashes each shingle exactly once per seed inside
+    whole-stage codegen, and the min-agg combines map-side, so the
+    shuffle carries only 8×32-char minima per doc.
+    """
+    docs = parallel_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
+    )
+    hashed = exploded.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("s")).cast("binary")).alias(f"x{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"x{i}").alias(f"h{i}") for i in range(N_HASHES)]
+    )
 
 
 _SIG_SQL = _SHINGLE_SQL + """
@@ -150,23 +160,28 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semantic spec; the Spark plan is the scalable union-of-equi-joins
     (each band join shuffles on its 256-bit key; no cross join anywhere).
     """
-    sig = _minhash_sig(spark, sf_dir).cache()
-    bands = [
-        sig.select(
-            "doc_id",
-            F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}")).alias("band_key"),
-        )
-        for j in range(N_BANDS)
-    ]
-    pair_dfs = []
-    for b in bands:
-        a, c = b.alias("a"), b.alias("c")
-        pair_dfs.append(
-            a.join(c, "band_key")
-            .where(F.col("a.doc_id") < F.col("c.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        )
-    pairs = reduce(lambda x, y: x.unionAll(y), pair_dfs).distinct()
+    # Materialize the signature once: it fans out to 4 uses below, and a
+    # lazily-filled cache would recompute the (md5-heavy) shingling in
+    # every branch of the single fanned-out action.
+    sig = _minhash_sig(spark, sf_dir).persist()
+    sig.count()
+
+    # One exploded band table + ONE equi-join — instead of a join per
+    # band — so candidate generation is a single shuffle on the band key.
+    band_cols = F.array(
+        *[
+            F.concat(F.lit(f"{j}:"), F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_cols).alias("band_key"))
+    a, c = bands.alias("a"), bands.alias("c")
+    pairs = (
+        a.join(c, "band_key")
+        .where(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
     sa = sig.alias("sa")
     sb = sig.alias("sb")
@@ -220,7 +235,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — a deterministic, engine-portable stand-in for 64-bit simhash
     with per-bit weights.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     hs = F.transform(
         F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")),
         lambda x: F.md5(x.cast("binary")),
@@ -274,7 +289,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     this operator is the *verify* stage of the two-phase near-dup
     pipeline, so its cost is |candidates|, never O(n²).
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(

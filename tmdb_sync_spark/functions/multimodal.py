@@ -76,7 +76,10 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     real ``binary`` column); the decode stub emits typed metadata. The
     plan shape is the production one: scan → narrow binary projection →
     ``mapInPandas`` (Arrow batches, partition-parallel) → typed columns.
-    No shuffle; Python cost is amortized per ~10k-row Arrow batch.
+    No shuffle; Python cost is amortized per ~10k-row Arrow batch. (On
+    the single-file test tables the scan is one partition; production
+    media lakes arrive pre-split, and the decode stub is too cheap here
+    to amortize spinning up 32 Python workers.)
     """
     docs = table(spark, sf_dir, "documents")
     payloads = docs.select(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tmdb_sync_spark.io import table
+from tmdb_sync_spark.io import parallel_table, table
 from tmdb_sync_spark.registry import register
 
 DIM = 64
@@ -44,7 +44,7 @@ _QUANT_SQL = """
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vec_id, v (quantized BIGINT vector), nrm (exact squared norm)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallel_table(spark, sf_dir, "embeddings")
     v = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),

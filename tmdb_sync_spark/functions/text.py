@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tmdb_sync_spark.io import table
+from tmdb_sync_spark.io import parallel_table
 from tmdb_sync_spark.registry import register
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -64,7 +64,7 @@ def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       heuristic (the classic pretraining quality-filter shape) — a sum of
       exact double literals, so it hash-matches across engines.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     t = _tokens(F.col("text"))
     n_tokens = F.size(t)
     token_chars = F.aggregate(
@@ -141,7 +141,7 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lang_label`` column rides along so accuracy is inspectable; the
     operator's contract is the deterministic guess, not label recovery.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     t = _tokens(F.col("text"))
     def marker_count(words: tuple[str, ...]) -> Column:
         # NB: HOF lambdas must be single-parameter — PySpark binds a
@@ -194,7 +194,7 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash over 3-word shingles (a 1-permutation
     MinHash — the rolling-hash fingerprint generalized). md5 is the hash on
     both engines (engine-native ``hash()`` differs, registry rule)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     t = _tokens(F.col("text"))
     shingles = F.when(
         F.size(t) >= 3,

@@ -38,6 +38,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like :func:`table`, but round-robin repartitioned to the session's
+    default parallelism.
+
+    The sf* test tables arrive as one small parquet file → one scan
+    partition, which serializes CPU-heavy per-row work (md5 shingling,
+    regex token stats, Arrow decode) onto a single core. On a production
+    lake the scan is already split across many files/row-groups and this
+    shuffle is unnecessary — operators use this helper only in front of
+    compute whose cost per row dwarfs the one-time small-table exchange.
+    """
+    return table(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views (for spark.sql-style operators)."""
     for name in TABLES:
