@@ -9,3 +9,13 @@ try:  # large-scale pipeline operators (documents/embeddings tables)
     import tmdb_sync_spark.functions  # noqa: F401
 except ImportError:  # pragma: no cover - keep parity queries alive regardless
     pass
+
+try:  # source layer (Python Data Source + mapInPandas enrichment)
+    import tmdb_sync_spark.sources  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # incremental ingestion pipeline + structured streaming
+    import tmdb_sync_spark.streaming  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,194 @@
+"""Source-layer queries (SURVEY.md §2.1 S1–S7) with DuckDB oracles.
+
+Each query runs the real Spark plumbing — the ``tmdb_discover`` Python Data
+Source, ``mapInPandas`` enrichment — while the oracle reproduces the fixture
+formulas in pure SQL (``fixture.sql_*``), so the *entire source path* is
+value-checked, not just transforms over parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.registry import register
+from tmdb_sync_spark.sources import fixture
+from tmdb_sync_spark.sources.enrich import enrich_details, fetch_frames
+from tmdb_sync_spark.sources.tmdb_source import register_tmdb_source
+
+
+def discover(spark: SparkSession, *, mode: str = "top", start_page: int = 1,
+             max_pages: int = 10**9, year: int = 0,
+             content_type: str = "movie") -> DataFrame:
+    register_tmdb_source(spark)
+    return (
+        spark.read.format("tmdb_discover")
+        .option("mode", mode)
+        .option("start_page", start_page)
+        .option("max_pages", max_pages)
+        .option("year", year)
+        .option("content_type", content_type)
+        .load()
+    )
+
+
+@register(
+    "s1_discover_source",
+    oracle=f"""
+    WITH feed AS ({fixture.sql_top_feed(50 * fixture.PAGE_SIZE)})
+    SELECT substr(release_date, 1, 4) AS ry,
+           COUNT(*) AS n,
+           CAST(SUM(vote_count) AS BIGINT) AS sum_votes,
+           MAX(popularity) AS max_pop,
+           CAST(SUM(CASE WHEN list_contains(genre_ids, 16)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_animated
+    FROM feed
+    GROUP BY ry
+    ORDER BY ry
+    """,
+)
+def s1_discover_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: the paginated discover feed as a partitioned Spark scan.
+
+    Reads 50 pages (1,000 items) of the vote_count.desc feed through the
+    ``tmdb_discover`` Python Data Source — page ranges are input partitions,
+    so the scan parallelizes where the reference loops sequentially
+    (``app/sync_top.py:147-273``) — then aggregates per release-year with
+    the ``is_animated`` membership derivation (``app/sync.py:104``).
+
+    Plan: pythonScan → partial hashagg → Exchange(ry) → final hashagg → sort.
+    """
+    feed = discover(spark, mode="top", start_page=1, max_pages=50)
+    return (
+        feed.groupBy(F.substring("release_date", 1, 4).alias("ry"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vote_count").alias("sum_votes"),
+            F.max("popularity").alias("max_pop"),
+            F.sum(
+                F.when(F.array_contains("genre_ids", F.lit(16)), 1).otherwise(0)
+            ).alias("n_animated"),
+        )
+        .orderBy("ry")
+    )
+
+
+@register(
+    "s5_s6_details_enrichment",
+    oracle=f"""
+    WITH feed AS ({fixture.sql_top_feed(10 * fixture.PAGE_SIZE)}),
+    cc AS (
+        SELECT f.id, g.range AS k,
+               {fixture.sql_country_code('f.id', 'g.range')} AS code
+        FROM feed f, range(0, 3) g
+        WHERE g.range < 1 + f.id % 3
+    ),
+    cc_agg AS (
+        SELECT id,
+               COALESCE(string_agg(code, ',' ORDER BY k)
+                        FILTER (WHERE code <> ''), '') AS cc_canon,
+               COUNT(*) FILTER (WHERE code <> '') AS n_cc
+        FROM cc GROUP BY id
+    )
+    SELECT f.id,
+           COALESCE({fixture.sql_title_ru('f.id')}, f.title, f.name)
+               AS display_title,
+           COALESCE(a.cc_canon, '') AS cc_canon,
+           CAST(COALESCE(a.n_cc, 0) AS BIGINT) AS n_cc
+    FROM feed f LEFT JOIN cc_agg a USING (id)
+    ORDER BY f.id
+    """,
+)
+def s5_s6_details_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S6+AR2: batched details / ru-title enrichment as mapInPandas.
+
+    The reference does 2 sequential HTTP calls per item
+    (``app/sync_top.py:190-204``); here one Arrow-batched pass appends
+    ``title_ru`` and ``production_countries``-derived codes per partition.
+    Downstream, the null-safe code filter (``app/catalog/upsert.py:65-66``)
+    and display-title coalesce (``app/sync.py:36``) are Catalyst
+    expressions, not Python.
+    """
+    feed = discover(spark, mode="top", start_page=1, max_pages=10)
+    enriched = enrich_details(feed)
+    codes = F.filter(F.col("country_codes"), lambda c: c != F.lit(""))
+    return enriched.select(
+        "id",
+        F.coalesce("title_ru", "title", "name").alias("display_title"),
+        F.array_join(codes, ",").alias("cc_canon"),
+        F.size(codes).cast("long").alias("n_cc"),
+    ).orderBy("id")
+
+
+@register(
+    "s7_backdrop_pipeline",
+    oracle=f"""
+    WITH feed AS ({fixture.sql_top_feed(10 * fixture.PAGE_SIZE)}),
+    frames AS ({fixture.SQL_FRAMES_FROM_FEED}),
+    valid AS (
+        SELECT * FROM frames
+        WHERE aspect_ratio BETWEEN 1.5 AND 2.2 AND vote_average >= 0
+    ),
+    dedup AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY id, path ORDER BY j) AS rn
+            FROM valid) WHERE rn = 1
+    ),
+    best AS (
+        SELECT id, path FROM (
+            SELECT id, path, row_number() OVER (
+                PARTITION BY id
+                ORDER BY vote_average DESC, width DESC, path) AS rn
+            FROM dedup) WHERE rn = 1
+    ),
+    cnt AS (SELECT id, COUNT(*) AS n FROM dedup GROUP BY id)
+    SELECT f.id, b.path AS backdrop_path,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_valid
+    FROM feed f
+    LEFT JOIN best b USING (id)
+    LEFT JOIN cnt c USING (id)
+    ORDER BY f.id
+    """,
+)
+def s7_backdrop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+P13+W3+W1: the full backdrop selection pipeline.
+
+    Fetch backdrops per item (mapInPandas), then entirely in Catalyst:
+    validity filter 1.5 ≤ ar ≤ 2.2 ∧ va ≥ 0 (``app/tmdb_client.py:194-196``),
+    keep-first dedup by path in API order (``:199-212``), argmax by
+    (vote_average desc, width desc) (``:214-220``) — with an explicit
+    ``path`` tiebreak so Spark and the oracle agree where Python's stable
+    sort relied on input order (SURVEY §5 determinism rules).
+
+    Items with zero valid frames surface with NULL backdrop_path — the
+    reference's ``pick_backdrop`` None branch (``app/utils/frames.py:4-19``).
+    """
+    feed = discover(spark, mode="top", start_page=1, max_pages=10)
+    frames = fetch_frames(feed)
+    valid = frames.where(
+        F.col("aspect_ratio").between(1.5, 2.2) & (F.col("vote_average") >= 0)
+    )
+    dedup = (
+        valid.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("id", "path").orderBy("j"))
+        ).where(F.col("rn") == 1).drop("rn")
+    )
+    best = (
+        dedup.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.desc("vote_average"), F.desc("width"), F.asc("path")))
+        ).where(F.col("rn") == 1).select("id", F.col("path").alias("backdrop_path"))
+    )
+    cnt = dedup.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        feed.select("id")
+        .join(best, "id", "left")
+        .join(cnt, "id", "left")
+        .select(
+            "id", "backdrop_path",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_valid"),
+        )
+        .orderBy("id")
+    )
