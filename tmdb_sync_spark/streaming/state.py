@@ -1,0 +1,74 @@
+"""Checkpoint state for the incremental ingestion (SURVEY §2.10 ST1/ST2).
+
+The reference keeps one cursor document per job in ``sync_cursors``
+(``app/sync_top.py:22-29,267-273``, ``app/sync_years.py:23-31,259-267``):
+``{key, page, inserted, updated, ts}``, committed after every page.
+
+Spark-first shape: a tiny keyed state table. Parquet has no in-place
+upsert, so commits write a new **version directory** (``cursors/v000017``)
+and readers take the highest version — a poor man's table format giving
+atomic replace + monotonic history on any filesystem. On a real deployment
+this table is Delta/Iceberg and the commit is ``MERGE``; the call sites
+would not change.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+CURSOR_SCHEMA = (
+    "key STRING, page INT, inserted BIGINT, updated BIGINT, ts TIMESTAMP"
+)
+_V_RE = re.compile(r"^v(\d{6})$")
+
+
+def latest_version(path: str) -> str | None:
+    if not os.path.isdir(path):
+        return None
+    vs = sorted(d for d in os.listdir(path) if _V_RE.match(d))
+    return os.path.join(path, vs[-1]) if vs else None
+
+
+def next_version(path: str) -> str:
+    cur = latest_version(path)
+    n = int(_V_RE.match(os.path.basename(cur)).group(1)) + 1 if cur else 0
+    return os.path.join(path, f"v{n:06d}")
+
+
+def commit(df: DataFrame, path: str) -> str:
+    """Write ``df`` as the next version of the state table at ``path``."""
+    target = next_version(path)
+    df.write.mode("overwrite").parquet(target)
+    return target
+
+
+def read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    cur = latest_version(path)
+    return spark.read.parquet(cur) if cur else None
+
+
+def read_cursor(spark: SparkSession, path: str, key: str) -> dict:
+    """ST1: cursor fetch with the reference's page-0 default
+    (``app/sync_top.py:22-25``)."""
+    df = read_state(spark, path)
+    if df is not None:
+        rows = df.where(df.key == key).collect()
+        if rows:
+            return rows[0].asDict()
+    return {"key": key, "page": 0, "inserted": 0, "updated": 0, "ts": None}
+
+
+def write_cursor(spark: SparkSession, path: str, cursor: dict) -> None:
+    """ST1: commit the cursor row (merge-by-key into the state table)."""
+    prior = read_state(spark, path)
+    row = spark.createDataFrame(
+        [(cursor["key"], cursor["page"], cursor["inserted"],
+          cursor["updated"], cursor["ts"])],
+        CURSOR_SCHEMA,
+    )
+    if prior is not None:
+        row = prior.where(prior.key != cursor["key"]).unionByName(row)
+    commit(row, path)

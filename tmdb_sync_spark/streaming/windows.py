@@ -1,0 +1,171 @@
+"""Event-time windowed aggregations over ``events`` (SURVEY §2.10 stretch).
+
+The reference has no event-time processing; these are the streaming
+operators a Spark-native engine provides for free and the driver's
+``events`` table exists to exercise (TESTDATA.md). Three shapes:
+
+- ``st6_stream_live_tumbling`` — a REAL Structured Streaming run:
+  ``readStream`` file source over the parquet, 1-hour watermark, tumbling
+  window aggregate, ``availableNow`` trigger into a memory sink. The
+  oracle is the batch-equivalent SQL — proving stream/batch unification.
+- ``st_sliding_window`` — overlapping windows (10 min, slide 5 min); the
+  oracle reproduces Spark's window semantics by unioning the two covering
+  slide buckets per event.
+- ``st_session_window`` — gap-based sessionization (30 min); the oracle is
+  the classic gaps-and-islands rewrite (lag → new-session flag →
+  cumulative-sum session id).
+
+Scale notes: tumbling/sliding aggs are partial-agg + one Exchange on
+(window, key); sessions shuffle on user_id then sort within partitions —
+both the shapes Spark's streaming state store handles incrementally with
+watermark-bounded state.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from tmdb_sync_spark.io import table
+from tmdb_sync_spark.registry import register
+
+_SUM = 'CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)'
+
+
+@register(
+    "st6_stream_live_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_SUM} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st6_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A genuine Structured Streaming execution, oracle-checked.
+
+    readStream(parquet file source) → withWatermark(1h) → tumbling window
+    agg → memory sink, Trigger.AvailableNow, complete mode (every window
+    emitted at the final trigger, so the batch oracle matches exactly).
+    The watermark bounds state retention exactly as it would on an
+    unbounded stream; complete-mode emission makes the finite run
+    comparable.
+    """
+    # file stream source needs an explicit schema; reuse the batch reader's
+    # (post ns→µs conversion) schema for everything except ts, which the
+    # raw file stores as TIMESTAMP(NANOS) → read as long, convert below.
+    batch = table(spark, sf_dir, "events")
+    raw_schema = StructType(
+        [StructField("ts", LongType(), True) if f.name == "ts" else f
+         for f in batch.schema.fields]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+    name = "st6_live_" + tempfile.mkdtemp(prefix="x").rsplit("x", 1)[-1]
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "st_sliding_window",
+    oracle=f"""
+    WITH slides AS (
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, *
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE, *
+        FROM events
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           {_SUM} AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM slides
+    GROUP BY 1, 2
+    """,
+)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min / slide 5 min): each event lands in exactly
+    two windows; Spark materializes that expansion inside the window
+    operator, the oracle does it with an explicit two-bucket union."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                   "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"),
+                "event_type", "n_events", "sum_value", "n_users")
+    )
+
+
+@register(
+    "st_session_window",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {_SUM} AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) per user."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("sum_value"),
+        )
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "sum_value")
+    )
