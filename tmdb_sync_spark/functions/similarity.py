@@ -201,3 +201,213 @@ def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("query_id", "bucket", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+N_DUP_BITS = 4
+DUP_THRESHOLD = 0.30
+
+_DUP_BITS_SQL = " || ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+    for i in range(N_DUP_BITS)
+)
+
+
+@register(
+    "dd_embedding_cosine",
+    oracle=_QUANT_SQL
+    + f"""
+    , b AS (
+        SELECT e.vec_id, {_DUP_BITS_SQL} AS bucket, n.v, n.nrm
+        FROM embeddings e JOIN n ON e.vec_id = n.vec_id
+        WHERE n.nrm > 0
+    )
+    SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+           CAST(list_aggregate(list_transform(generate_series(1, {DIM}),
+                                i -> a.v[i] * c.v[i]), 'sum') AS BIGINT)
+             / (sqrt(a.nrm) * sqrt(c.nrm)) AS cosine_sim
+    FROM b a
+    JOIN b c ON a.vec_id < c.vec_id AND a.bucket = c.bucket
+    WHERE CAST(list_aggregate(list_transform(generate_series(1, {DIM}),
+                               i -> a.v[i] * c.v[i]), 'sum') AS BIGINT)
+            / (sqrt(a.nrm) * sqrt(c.nrm)) >= {DUP_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH-bucketed).
+
+    The near-dup generalization of the reference's keep-best frame dedup
+    (``app/catalog/upsert.py:26-34``) to dense vectors: candidate pairs
+    come from a sign-LSH *equi*-join (first ``N_DUP_BITS`` component
+    signs), then the exact quantized cosine keeps pairs ≥ threshold.
+
+    Scale shape: the pair space shrinks from O(n²) to Σ bucket², and the
+    candidate join is a hash join on ``bucket`` — one shuffle each side,
+    AQE skew-split if a bucket is hot. Raising N_DUP_BITS trades recall
+    for balance; production near-dup at 100 TB uses the same plan with
+    more planes and banded re-ranking.
+    """
+    qd = _quantized(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(F.element_at(F.col("embedding"), i + 1) >= 0, "1").otherwise("0")
+        for i in range(N_DUP_BITS)
+    ]
+    b = (
+        emb.join(qd, "vec_id")
+        .where(F.col("nrm") > 0)
+        .select("vec_id", F.concat(*bits).alias("bucket"), "v", "nrm")
+    )
+    left = b.select(
+        F.col("vec_id").alias("a_id"), F.col("bucket"),
+        F.col("v").alias("av"), F.col("nrm").alias("anrm"),
+    )
+    right = b.select(
+        F.col("vec_id").alias("b_id"), F.col("bucket").alias("b_bucket"),
+        F.col("v").alias("bv"), F.col("nrm").alias("bnrm"),
+    )
+    sim = _dot(F.col("av"), F.col("bv")) / (
+        F.sqrt(F.col("anrm")) * F.sqrt(F.col("bnrm"))
+    )
+    return (
+        left.join(
+            right,
+            (F.col("bucket") == F.col("b_bucket"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= DUP_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
+N_CENTROIDS = 8
+N_PROBE = 2
+IVF_TOP_K = 3
+
+# centroids = the first N_CENTROIDS corpus vectors (deterministic in both
+# engines; a production build would k-means these, any fixed seed set works
+# for plan-shape purposes).
+_IVF_SQL = _QUANT_SQL + f"""
+    , cent AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+        WHERE vec_id < {N_CENTROIDS} AND nrm > 0
+    ),
+    assign AS (
+        SELECT * FROM (
+            SELECT n.vec_id, n.v, n.nrm, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY n.nrm + cent.cnrm
+                                - 2 * CAST(list_aggregate(list_transform(
+                                      generate_series(1, {DIM}),
+                                      i -> n.v[i] * cent.cv[i]), 'sum') AS BIGINT),
+                                cent.cid) AS rnk
+            FROM n, cent WHERE n.nrm > 0
+        ) WHERE rnk = 1
+    ),
+    probes AS (
+        SELECT * FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY q.nrm + cent.cnrm
+                                - 2 * CAST(list_aggregate(list_transform(
+                                      generate_series(1, {DIM}),
+                                      i -> q.v[i] * cent.cv[i]), 'sum') AS BIGINT),
+                                cent.cid) AS rnk
+            FROM n q, cent WHERE q.vec_id % 50 = 0 AND q.nrm > 0
+        ) WHERE rnk <= {N_PROBE}
+    )
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_SQL
+    + f"""
+    SELECT query_id, neighbor_id, rank, cosine_sim FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY CAST(list_aggregate(list_transform(
+                                generate_series(1, {DIM}),
+                                i -> p.qv[i] * a.v[i]), 'sum') AS BIGINT)
+                            / (sqrt(p.qnrm) * sqrt(a.nrm)) DESC,
+                            a.vec_id ASC) AS INT) AS rank,
+               CAST(list_aggregate(list_transform(generate_series(1, {DIM}),
+                                    i -> p.qv[i] * a.v[i]), 'sum') AS BIGINT)
+                 / (sqrt(p.qnrm) * sqrt(a.nrm)) AS cosine_sim
+        FROM probes p
+        JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    ) WHERE rank <= {IVF_TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    Coarse quantizer: every vector is assigned to its nearest of
+    ``N_CENTROIDS`` centroids by exact quantized L2 (``argmin`` via
+    ``min_by`` — one broadcast of the tiny centroid set, no shuffle).
+    Queries probe their ``N_PROBE`` closest inverted lists and re-rank
+    exactly within them.
+
+    Scale shape: the corpus scan computes assignments map-side
+    (broadcast centroids), the probe join is an equi-join on ``cid``
+    (shuffles only the probed lists), and re-ranking is the brute-force
+    kernel restricted to ~N_PROBE/N_CENTROIDS of the data. This is the
+    standard IVF-flat layout used at billion-vector scale; only the
+    centroid training (k-means) is out of scope here.
+    """
+    qd = _quantized(spark, sf_dir).where(F.col("nrm") > 0)
+    cent = qd.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    # L2² on quantized ints: |v|² + |c|² - 2·v·c — exact BIGINT arithmetic.
+    l2 = F.col("nrm") + F.col("cnrm") - 2 * _dot(F.col("v"), F.col("cv"))
+    assign = (
+        qd.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(l2.alias("d"), F.col("cid"))).alias("cid"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+    probes = (
+        qd.where(F.col("vec_id") % 50 == 0)
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(l2.asc(), F.col("cid").asc())
+            ),
+        )
+        .where(F.col("rnk") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            "cid",
+        )
+    )
+    sim = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(F.col("qnrm")) * F.sqrt(F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probes.join(assign, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
