@@ -29,11 +29,18 @@ HEADLINE = [
     "j1_merge_upsert",
     "a4_a5_report_stats",
     "st_tumbling_window",
+    "st_sliding_window",
+    "st_session_window",
     "dd_exact",
     "dd_minhash_lsh",
+    "dd_embedding_cosine",
     "knn_cosine_topk",
+    "ann_ivf_topk",
     "tx_token_stats",
     "mm_binary_features",
+    "mm_frame_sample",
+    "s1_discover_source",
+    "s7_backdrop_pipeline",
 ]
 
 

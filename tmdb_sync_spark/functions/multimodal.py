@@ -86,3 +86,72 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return payloads.mapInPandas(decode_features, FEATURE_SCHEMA)
+
+
+SAMPLE_EVERY = 2   # keep every 2nd frame (production: fps-based stride)
+
+SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_ts double, thumb_w int, thumb_h int"
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel with *row-expanding* output: one input media row
+    fans out to its sampled frames. In production this is the
+    ffmpeg-frame-seek + thumbnail-resize loop; the stub derives the frame
+    list from the decoded ``n_frames`` metadata and fake 2:1-downscaled
+    thumbnail dims — the Spark-side contract (schema, fan-out shape,
+    Arrow batching) is identical."""
+    for pdf in batches:
+        rows = []
+        for doc_id, n_frames, w, h in zip(
+            pdf["doc_id"], pdf["n_frames"], pdf["width"], pdf["height"]
+        ):
+            for k in range(0, int(n_frames), SAMPLE_EVERY):
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_idx": k,
+                        "frame_ts": k / 24.0,      # fake 24 fps timeline
+                        "thumb_w": int(w) // 2,
+                        "thumb_h": int(h) // 2,
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_ts", "thumb_w", "thumb_h"]
+        )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 64 AS INT) AS width,
+               CAST((octet_length(encode(text)) // 64) % 64 AS INT) AS height,
+               CAST(octet_length(encode(text)) % 5 AS INT) AS n_frames
+        FROM documents
+    )
+    SELECT f.doc_id,
+           CAST(g.range AS INT) AS frame_idx,
+           g.range / 24.0 AS frame_ts,
+           CAST(f.width // 2 AS INT) AS thumb_w,
+           CAST(f.height // 2 AS INT) AS thumb_h
+    FROM feats f, range(0, 5) g
+    WHERE g.range < f.n_frames AND g.range % {SAMPLE_EVERY} = 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + thumbnail resize through the decode pipeline.
+
+    Chains two mapInPandas stages — decode (metadata) then frame-sample
+    (row-expanding) — the canonical video-curation shape: media scan →
+    decode → stride-sample frames → per-frame features downstream. Both
+    stages pipeline within the same task set (no shuffle between them:
+    ``.explain`` shows a single WholeStageCodegen→Python chain)."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    feats = payloads.mapInPandas(decode_features, FEATURE_SCHEMA)
+    return feats.mapInPandas(sample_frames, SAMPLE_SCHEMA)

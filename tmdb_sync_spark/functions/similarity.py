@@ -66,6 +66,36 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _bucketed(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
+    """vec_id, sign-LSH bucket, quantized v, exact norm — ONE projection.
+
+    Bucket bits, quantization and the norm all come out of a single scan
+    pass (no self-join back onto the raw table): for self-join consumers
+    this halves the scans and keeps each side a scan→project→filter
+    pipeline, the shape that matters when the corpus is 10^9 vectors.
+    """
+    emb = parallel_table(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(F.element_at(F.col("embedding"), i + 1) >= 0, "1").otherwise("0")
+        for i in range(n_bits)
+    ]
+    v = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
+    )
+    q = emb.select(
+        "vec_id", F.concat(*bits).alias("bucket"), v.alias("v")
+    )
+    nrm = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return q.select("vec_id", "bucket", "v", nrm.alias("nrm")).where(
+        F.col("nrm") > 0
+    )
+
+
 @register(
     "knn_cosine_topk",
     oracle=_QUANT_SQL
@@ -162,17 +192,7 @@ def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     once on ``bucket`` instead of building an O(n·q) cross product, and
     bucket cardinality (2^8..2^64) is tuned to keep partitions balanced.
     """
-    qd = _quantized(spark, sf_dir)
-    emb = table(spark, sf_dir, "embeddings")
-    bits = [
-        F.when(F.element_at(F.col("embedding"), i + 1) >= 0, "1").otherwise("0")
-        for i in range(N_SIGN_BITS)
-    ]
-    b = (
-        emb.join(qd, "vec_id")
-        .where(F.col("nrm") > 0)
-        .select("vec_id", F.concat(*bits).alias("bucket"), "v", "nrm")
-    )
+    b = _bucketed(spark, sf_dir, N_SIGN_BITS)
     queries = b.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket"),
@@ -247,17 +267,7 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     for balance; production near-dup at 100 TB uses the same plan with
     more planes and banded re-ranking.
     """
-    qd = _quantized(spark, sf_dir)
-    emb = table(spark, sf_dir, "embeddings")
-    bits = [
-        F.when(F.element_at(F.col("embedding"), i + 1) >= 0, "1").otherwise("0")
-        for i in range(N_DUP_BITS)
-    ]
-    b = (
-        emb.join(qd, "vec_id")
-        .where(F.col("nrm") > 0)
-        .select("vec_id", F.concat(*bits).alias("bucket"), "v", "nrm")
-    )
+    b = _bucketed(spark, sf_dir, N_DUP_BITS)
     left = b.select(
         F.col("vec_id").alias("a_id"), F.col("bucket"),
         F.col("v").alias("av"), F.col("nrm").alias("anrm"),

@@ -95,9 +95,29 @@ class TmdbDiscoverReader(DataSourceReader):
                 for r in range(lo, hi)
             ]
 
+        # One Arrow RecordBatch per page range: columnar transfer into the
+        # JVM instead of per-row pickling (~10× on wide scans).
+        import pyarrow as pa
+
+        rows: list[dict] = []
         for page in range(part.first, part.last + 1):
-            for row in _fetch_page_with_retry(page, items):
-                yield tuple(row[c] for c in _COLS)
+            rows.extend(_fetch_page_with_retry(page, items))
+        if rows:
+            yield pa.RecordBatch.from_pylist(
+                [{c: r[c] for c in _COLS} for r in rows],
+                schema=pa.schema([
+                    ("id", pa.int64()),
+                    ("content_type", pa.string()),
+                    ("title", pa.string()),
+                    ("name", pa.string()),
+                    ("release_date", pa.string()),
+                    ("popularity", pa.float64()),
+                    ("vote_average", pa.float64()),
+                    ("vote_count", pa.int64()),
+                    ("genre_ids", pa.list_(pa.int64())),
+                    ("page", pa.int32()),
+                ]),
+            )
 
 
 class TmdbDiscoverDataSource(DataSource):
