@@ -52,11 +52,19 @@ def main() -> None:
     import tmdb_sync_spark.all_queries  # noqa: F401
     from tmdb_sync_spark.registry import QUERIES
 
-    # JVM / codegen warmup (not measured)
+    # JVM / codegen / Python-worker-pool warmup (not measured): spin up the
+    # JVM whole-stage pipeline, one Python Data Source scan, and one
+    # mapInPandas exchange so per-session daemon startup isn't attributed
+    # to the first measured query.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     QUERIES["a1_sync_coverage"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    for warm in ("s1_discover_source", "mm_binary_features"):
+        if warm in QUERIES:
+            QUERIES[warm](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -160,3 +160,109 @@ def st4_a8_cursor_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_movies = st.read_state(spark, f"{d}/movies").agg(
         F.count(F.lit(1)).alias("n_movies"))
     return cursor.crossJoin(err_counts).crossJoin(n_movies)
+
+
+@register(
+    "w1_j4_frames_moderation",
+    oracle=f"""
+    WITH feed AS ({fixture.sql_top_feed(200)}),
+    live AS (SELECT * FROM feed WHERE NOT {_FAILED}),
+    frames AS (
+        SELECT f.id,
+               '/f/' || f.id || '_' || (g.range % 5) || '.jpg' AS path,
+               (13 + (f.id + 3 * g.range) % 10) / 10.0 AS aspect_ratio,
+               (f.id * (g.range + 1)) % 100 / 10.0 AS vote_average,
+               640 + (f.id + g.range) % 8 * 160 AS width,
+               g.range AS j
+        FROM live f, range(0, 9) g
+        WHERE g.range < f.id % 9
+    ),
+    valid AS (
+        SELECT * FROM frames
+        WHERE aspect_ratio BETWEEN 1.5 AND 2.2 AND vote_average >= 0
+    ),
+    dedup AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY id, path ORDER BY j) AS rn
+            FROM valid) WHERE rn = 1
+    ),
+    best AS (
+        SELECT id, path FROM (
+            SELECT id, path, row_number() OVER (
+                PARTITION BY id
+                ORDER BY vote_average DESC, width DESC, path) AS rn
+            FROM dedup) WHERE rn = 1
+    ),
+    marked AS (SELECT id, path FROM best WHERE id % 10 = 0),
+    kept AS (
+        SELECT d.* FROM dedup d
+        LEFT JOIN marked m ON d.id = m.id AND d.path = m.path
+        WHERE m.path IS NULL
+    ),
+    best2 AS (
+        SELECT id, path FROM (
+            SELECT id, path, row_number() OVER (
+                PARTITION BY id
+                ORDER BY vote_average DESC, width DESC, path) AS rn
+            FROM kept) WHERE rn = 1
+    )
+    SELECT f.id,
+           b.path AS old_backdrop,
+           b2.path AS new_backdrop,
+           CAST(CASE WHEN m.path IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS n_incorrect
+    FROM live f
+    LEFT JOIN best b USING (id)
+    LEFT JOIN marked m USING (id)
+    LEFT JOIN best2 b2 USING (id)
+    ORDER BY f.id
+    """,
+)
+def w1_j4_frames_moderation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR3+AR6+W1 composed: the frames-moderation endpoint flow.
+
+    The reference marks paths incorrect ($addToSet,
+    ``app/endpoints/frames.py:52-55``) and recomputes ``backdrop_path``
+    excluding them (``app/utils/frames.py:11-12`` + argmax) in a
+    read-modify-write loop per document. Here: the moderation set is a
+    DataFrame (every 10th item denylists its *current* backdrop), the
+    exclusion is an anti-join on (id, path), and the recompute is one
+    set-oriented argmax over the survivors — no per-row round trips.
+    Runs against the ingested movies state, so the old backdrop comes
+    from the pipeline's MERGE output, not recomputed from scratch.
+    """
+    d = scenario_dir(spark)
+    movies = st.read_state(spark, f"{d}/movies")
+    from tmdb_sync_spark.sources.enrich import fetch_frames
+
+    marked = movies.where(
+        (F.col("id") % 10 == 0) & F.col("backdrop_path").isNotNull()
+    ).select("id", F.col("backdrop_path").alias("bad_path"))
+
+    frames = fetch_frames(movies)
+    valid = frames.where(
+        F.col("aspect_ratio").between(1.5, 2.2) & (F.col("vote_average") >= 0)
+    )
+    dedup = valid.groupBy("id", "path").agg(
+        F.min_by(F.struct("vote_average", "width"), "j").alias("s")
+    )
+    kept = dedup.join(
+        marked,
+        (dedup.id == marked.id) & (dedup.path == marked.bad_path),
+        "left_anti",
+    )
+    best2 = kept.groupBy("id").agg(
+        F.max_by(
+            "path", F.struct(F.col("s.vote_average"), F.col("s.width"))
+        ).alias("new_backdrop")
+    )
+    return (
+        movies.select("id", F.col("backdrop_path").alias("old_backdrop"))
+        .join(marked.select("id", F.lit(1).alias("m")), "id", "left")
+        .join(best2, "id", "left")
+        .select(
+            "id", "old_backdrop", "new_backdrop",
+            F.coalesce("m", F.lit(0)).cast("long").alias("n_incorrect"),
+        )
+        .orderBy("id")
+    )
