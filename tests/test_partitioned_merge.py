@@ -1,0 +1,79 @@
+"""Physical proof of partition pruning in merge_into_partitioned:
+untouched partition directories are byte-identical (same files, same
+mtimes) after the MERGE; touched ones are rewritten."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.io import table
+from tmdb_sync_spark.plans.partitioned import (
+    merge_into_partitioned,
+    write_partitioned,
+)
+
+
+def _snapshot(pdir: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(os.path.join(pdir, f))
+        for f in sorted(os.listdir(pdir))
+        if not f.startswith(("_", "."))
+    }
+
+
+def test_untouched_partitions_not_rewritten(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="pm_test_")
+    target = f"{d}/orders"
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    write_partitioned(orders, target, "o_year")
+
+    years = sorted(
+        int(e.split("=")[1])
+        for e in os.listdir(target)
+        if e.startswith("o_year=")
+    )
+    assert len(years) >= 3, "need several partitions to prove pruning"
+    touch = years[:2]
+    before = {
+        y: _snapshot(os.path.join(target, f"o_year={y}")) for y in years
+    }
+
+    base = spark.read.parquet(target)
+    source = base.where(
+        (F.col("o_orderkey") % 7 == 0) & F.col("o_year").isin(*touch)
+    ).select(
+        "o_orderkey", "o_year",
+        (F.col("o_totalprice") + 5).alias("o_totalprice"),
+    )
+    n_before = base.count()
+    n_src_new = 0  # updates only — row count must be invariant
+    # materialize expectations BEFORE the swap invalidates source's files
+    expected = {r["o_orderkey"]: r["o_totalprice"] for r in source.collect()}
+
+    touched = merge_into_partitioned(
+        spark, target, source, keys=["o_orderkey"], partition_col="o_year"
+    )
+    assert sorted(touched) == touch
+
+    after = {
+        y: _snapshot(os.path.join(target, f"o_year={y}")) for y in years
+    }
+    for y in years[2:]:
+        assert after[y] == before[y], f"untouched partition {y} was rewritten"
+    for y in touch:
+        assert after[y] != before[y], f"touched partition {y} unchanged"
+
+    post = spark.read.parquet(target)
+    assert post.count() == n_before + n_src_new
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in post.where(
+            F.col("o_orderkey").isin(list(expected))
+        ).collect()
+    }
+    assert got == expected

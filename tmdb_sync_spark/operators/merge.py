@@ -142,3 +142,103 @@ def j1_merge_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("merge_action")
     )
+
+
+_PM_CACHE: dict[tuple, str] = {}
+
+
+def _partitioned_merge_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build a year-partitioned orders table and MERGE a delta batch into
+    it — once per (application, sf_dir); queries read the result."""
+    import tempfile
+
+    from tmdb_sync_spark.plans.partitioned import (
+        merge_into_partitioned,
+        write_partitioned,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PM_CACHE:
+        d = tempfile.mkdtemp(prefix="pm_orders_")
+        target = f"{d}/orders"
+        orders = table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate").cast("int")
+        )
+        write_partitioned(orders, target, "o_year")
+        base = spark.read.parquet(target)
+        updates = (
+            base.where(
+                (F.col("o_orderkey") % 100 == 0)
+                & F.col("o_year").isin(1996, 1997)
+            )
+            .select(
+                "o_orderkey", "o_year",
+                (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            )
+        )
+        inserts = base.where(F.col("o_orderkey") % 500 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit(1996).cast("int").alias("o_year"),
+            "o_totalprice",
+        )
+        merge_into_partitioned(
+            spark, target, updates.unionByName(inserts),
+            keys=["o_orderkey"], partition_col="o_year",
+        )
+        _PM_CACHE[key] = target
+    return _PM_CACHE[key]
+
+
+@register(
+    "j1_partitioned_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+               o_totalprice
+        FROM orders
+    ),
+    post AS (
+        SELECT o_orderkey, o_year,
+               CASE WHEN o_orderkey % 100 = 0 AND o_year IN (1996, 1997)
+                    THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+        FROM base
+        UNION ALL
+        SELECT o_orderkey + 10000000, 1996, o_totalprice
+        FROM base WHERE o_orderkey % 500 = 0
+    )
+    SELECT o_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           o_year IN (1996, 1997) AS is_touched
+    FROM post
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def j1_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/J1 at scale: MERGE that rewrites only touched partitions.
+
+    A year-partitioned orders table takes a delta batch (price updates in
+    1996-97 + new rows into 1996) through
+    ``plans.partitioned.merge_into_partitioned``: the target scan carries
+    a partition filter on the touched years (file-index pruning — the
+    1995/1998-2001 partitions are never opened), and only those partition
+    directories are rewritten. The oracle recomputes the post-state from
+    the raw table; untouched-partition integrity is additionally asserted
+    physically (file mtimes) in tests/test_partitioned_merge.py.
+    """
+    t = _partitioned_merge_dir(spark, sf_dir)
+    post = spark.read.parquet(t)
+    return (
+        post.groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("sum_price"),
+        )
+        .select(
+            "o_year", "n_orders", "sum_price",
+            F.col("o_year").isin(1996, 1997).alias("is_touched"),
+        )
+        .orderBy("o_year")
+    )

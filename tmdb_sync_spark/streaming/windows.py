@@ -169,3 +169,98 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("w.end").alias("session_end"),
                 "n_events", "sum_value")
     )
+
+
+STATE_OUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, max_value DOUBLE, min_value DOUBLE, "
+    "first_ts TIMESTAMP, last_ts TIMESTAMP"
+)
+STATE_SCHEMA = (
+    "n BIGINT, mx DOUBLE, mn DOUBLE, first_ts TIMESTAMP, last_ts TIMESTAMP"
+)
+
+
+def _user_state_fn(key, pdfs, state):
+    """applyInPandasWithState kernel: per-user running aggregate.
+
+    The state tuple survives across micro-batches in the state store;
+    min/max/count/first/last are order-independent, so the emitted row is
+    deterministic regardless of partitioning or batch slicing (the reason
+    this operator avoids floating-point *sums*)."""
+    import pandas as pd
+
+    (user_id,) = key
+    n, mx, mn, first_ts, last_ts = (
+        state.get if state.exists else (0, None, None, None, None)
+    )
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        bmx, bmn = pdf["value"].max(), pdf["value"].min()
+        mx = float(bmx) if mx is None else max(mx, float(bmx))
+        mn = float(bmn) if mn is None else min(mn, float(bmn))
+        bfirst, blast = pdf["ts"].min(), pdf["ts"].max()
+        first_ts = bfirst if first_ts is None else min(first_ts, bfirst)
+        last_ts = blast if last_ts is None else max(last_ts, blast)
+    state.update((n, mx, mn, first_ts, last_ts))
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_events": n, "max_value": mx,
+          "min_value": mn, "first_ts": first_ts, "last_ts": last_ts}]
+    )
+
+
+@register(
+    "st_stateful_user_agg",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(value) AS max_value,
+           MIN(value) AS min_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def st_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``.
+
+    A genuinely stream-executed per-user running profile: readStream file
+    source → groupBy(user_id) → arbitrary Python state (count / extrema /
+    first-last timestamps) kept in the state store across micro-batches →
+    memory sink under availableNow. The oracle is the batch GROUP BY —
+    stream/batch equivalence for a hand-rolled stateful operator.
+
+    Scale notes: state is one tiny tuple per user partitioned by the
+    group key; only extrema/counters cross batches (order-independent —
+    deliberately no double summation, SURVEY §5 determinism rules).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    batch = table(spark, sf_dir, "events")
+    raw_schema = StructType(
+        [StructField("ts", LongType(), True) if f.name == "ts" else f
+         for f in batch.schema.fields]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _user_state_fn,
+        outputStructType=STATE_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "st_state_" + tempfile.mkdtemp(prefix="x").rsplit("x", 1)[-1]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
