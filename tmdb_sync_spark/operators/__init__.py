@@ -11,5 +11,6 @@ from tmdb_sync_spark.operators import (  # noqa: F401
     merge,
     sorts,
     scalars,
+    sql_api,
     windows,
 )

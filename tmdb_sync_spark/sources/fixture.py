@@ -82,6 +82,30 @@ def year_item(year: int, rank: int, content_type: str) -> dict:
     }
 
 
+# DuckDB SQL twin of year_item() over ranks [0, n): identical expressions.
+def sql_year_feed(year: int, content_type: str) -> str:
+    n = YEAR_ITEMS[content_type]
+    mid = f"({year} * 10000 + range + 1)"
+    title = f"'Movie ' || {mid}" if content_type == "movie" else "CAST(NULL AS VARCHAR)"
+    name = f"'Show ' || {mid}" if content_type == "tv" else "CAST(NULL AS VARCHAR)"
+    return f"""
+    SELECT {mid} AS id,
+           '{content_type}' AS content_type,
+           {title} AS title,
+           {name} AS name,
+           printf('%04d-%02d-%02d', {year},
+                  1 + {mid} % 12, 1 + {mid} % 28) AS release_date,
+           (1000000 - 13 * range) / 1000.0 AS popularity,
+           ({mid} % 101) / 10.0 AS vote_average,
+           ({mid} % 9973) * 3 AS vote_count,
+           [1 + ({mid} * 3) % 19,
+            CASE WHEN {mid} % 5 = 0 THEN 16
+                 ELSE 28 + {mid} % 7 END] AS genre_ids,
+           CAST(range // {PAGE_SIZE} + 1 AS INT) AS page
+    FROM range(0, {n})
+    """
+
+
 # DuckDB SQL twin of top_movie() over ranks [0, n): identical expressions.
 def sql_top_feed(n: int) -> str:
     return f"""

@@ -192,3 +192,54 @@ def s7_backdrop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@register(
+    "s2_discover_years",
+    oracle=f"""
+    WITH feed AS (
+        {fixture.sql_year_feed(1999, "movie")}
+        UNION ALL
+        {fixture.sql_year_feed(1999, "tv")}
+    )
+    SELECT content_type,
+           COUNT(*) AS n,
+           MAX(page) AS n_pages,
+           CAST(SUM(vote_count) AS BIGINT) AS sum_votes,
+           MAX(popularity) AS max_pop,
+           MIN(release_date) AS min_date,
+           CAST(SUM(CASE WHEN list_contains(genre_ids, 16)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_animated
+    FROM feed
+    GROUP BY content_type
+    ORDER BY content_type
+    """,
+)
+def s2_discover_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the per-year discover shard, movie + tv feeds unioned.
+
+    The reference syncs one (year, content_type) pair per job unit
+    (``app/sync_years.py:151-281``) — the sharding that works around
+    TMDB's 500-page cap. Here both shards of 1999 are two parallel
+    bounded scans of the ``tmdb_discover`` source (``mode=years``)
+    unioned into one plan; ``release_date`` stays inside the requested
+    year window by construction (the gte/lte discover params,
+    ``app/sync_years.py:54-63``).
+    """
+    movie = discover(spark, mode="years", year=1999, content_type="movie")
+    tv = discover(spark, mode="years", year=1999, content_type="tv")
+    feed = movie.unionByName(tv)
+    return (
+        feed.groupBy("content_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("page").alias("n_pages"),
+            F.sum("vote_count").alias("sum_votes"),
+            F.max("popularity").alias("max_pop"),
+            F.min("release_date").alias("min_date"),
+            F.sum(
+                F.when(F.array_contains("genre_ids", F.lit(16)), 1).otherwise(0)
+            ).alias("n_animated"),
+        )
+        .orderBy("content_type")
+    )
