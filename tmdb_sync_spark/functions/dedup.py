@@ -309,3 +309,122 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter / union).alias("jaccard"),
         )
     )
+
+
+@register(
+    "dd_cluster_components",
+    oracle="""
+    WITH RECURSIVE q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               CAST(list_aggregate(list_transform(generate_series(1, 64), i -> v[i] * v[i]),
+                                   'sum') AS BIGINT) AS nrm
+        FROM q
+    ),
+    b AS (
+        SELECT e.vec_id,
+               (CASE WHEN e.embedding[1] >= 0 THEN '1' ELSE '0' END)
+               || (CASE WHEN e.embedding[2] >= 0 THEN '1' ELSE '0' END)
+               || (CASE WHEN e.embedding[3] >= 0 THEN '1' ELSE '0' END)
+               || (CASE WHEN e.embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket,
+               n.v, n.nrm
+        FROM embeddings e JOIN n ON e.vec_id = n.vec_id
+        WHERE n.nrm > 0
+    ),
+    edges AS (
+        SELECT a.vec_id AS u, c.vec_id AS w
+        FROM b a
+        JOIN b c ON a.vec_id < c.vec_id AND a.bucket = c.bucket
+        WHERE CAST(list_aggregate(list_transform(generate_series(1, 64),
+                                   i -> a.v[i] * c.v[i]), 'sum') AS BIGINT)
+                / (sqrt(a.nrm) * sqrt(c.nrm)) >= 0.30
+    ),
+    nodes AS (SELECT DISTINCT u AS v FROM edges
+              UNION SELECT DISTINCT w FROM edges),
+    sym AS (SELECT u, w FROM edges UNION ALL SELECT w, u FROM edges),
+    reach AS (
+        SELECT v, v AS r FROM nodes
+        UNION
+        SELECT s.w AS v, reach.r FROM reach JOIN sym s ON s.u = reach.v
+    ),
+    comp AS (SELECT v AS vec_id, MIN(r) AS component FROM reach GROUP BY v)
+    SELECT c.vec_id, c.component,
+           COUNT(*) OVER (PARTITION BY c.component) AS comp_size
+    FROM comp c
+    ORDER BY c.vec_id
+    """,
+)
+def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph (iterative operator).
+
+    Dedup at corpus scale keeps ONE representative per duplicate
+    *cluster*, not per pair — so the pair output of
+    ``dd_embedding_cosine`` feeds min-label propagation until fixpoint:
+    each node repeatedly takes the smallest label among itself and its
+    neighbors. Spark has no recursive SQL; the loop is driver-controlled
+    with ``localCheckpoint()`` per round to truncate lineage (the
+    standard large-graph pattern — label exchange is one shuffle per
+    round, rounds ≈ graph diameter). The oracle is DuckDB's recursive
+    CTE computing min reachable id — same fixpoint, declaratively.
+    """
+    from tmdb_sync_spark.functions.similarity import (
+        DUP_THRESHOLD, N_DUP_BITS, _bucketed, _dot,
+    )
+
+    b = _bucketed(spark, sf_dir, N_DUP_BITS)
+    left = b.select(F.col("vec_id").alias("u"), "bucket",
+                    F.col("v").alias("av"), F.col("nrm").alias("anrm"))
+    right = b.select(F.col("vec_id").alias("w"),
+                     F.col("bucket").alias("b_bucket"),
+                     F.col("v").alias("bv"), F.col("nrm").alias("bnrm"))
+    sim = _dot(F.col("av"), F.col("bv")) / (
+        F.sqrt(F.col("anrm")) * F.sqrt(F.col("bnrm"))
+    )
+    edges = (
+        left.join(right, (F.col("bucket") == F.col("b_bucket"))
+                  & (F.col("u") < F.col("w")))
+        .select("u", "w", sim.alias("s"))
+        .where(F.col("s") >= DUP_THRESHOLD)
+        .select("u", "w")
+        .localCheckpoint()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("v")).distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(20):   # rounds bounded by component diameter
+        neigh_min = (
+            sym.join(labels, sym.u == labels.v)
+            .groupBy(F.col("w").alias("v"))
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "v", "left")
+            .select("v", F.least("label", "nl").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("component")
+    return (
+        labels.select(F.col("v").alias("vec_id"),
+                      F.col("label").alias("component"))
+        .withColumn("comp_size", F.count(F.lit(1)).over(w))
+        .orderBy("vec_id")
+    )

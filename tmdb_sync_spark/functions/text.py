@@ -212,3 +212,52 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min(F.transform(shingles, lambda s: F.md5(s.cast("binary")))), 1, 16
         ).alias("fingerprint"),
     )
+
+
+@register(
+    "tx_ngram_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks
+        WHERE len(t) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def tx_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k bigrams — the pretraining corpus-analysis staple.
+
+    Explode bigrams → count → top-20. The limit rides on the aggregate as
+    ``TakeOrderedAndProject`` (per-partition heaps, no global sort);
+    map-side partial counts keep the Exchange small — the shape that holds
+    at 100 TB where the gram space is huge but heavy hitters dominate.
+    Ties broken by bigram text so both engines cut the same top-20.
+    """
+    docs = parallel_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = docs.where(F.size(t) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

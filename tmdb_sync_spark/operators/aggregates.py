@@ -242,3 +242,43 @@ def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "sum_value", "n_users",
         )
     )
+
+
+@register(
+    "a9_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution statistics per group (beyond the reference).
+
+    ``percentile`` (exact, linear interpolation — identical to DuckDB's
+    ``quantile_cont``) over the price distribution. Exact percentile
+    requires a per-group sort, so this is the one aggregate whose *scale
+    path* differs: at 100 TB you'd switch to ``approx_percentile``
+    (t-digest sketch, mergeable map-side) and accept bounded error —
+    kept exact here so the oracle can value-match bit-for-bit.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95D)").alias("p95"),
+            F.expr("percentile(l_extendedprice, 0.99D)").alias("p99"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
