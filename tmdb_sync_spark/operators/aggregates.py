@@ -282,3 +282,55 @@ def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "sk_salted_hot_key_agg",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+    ),
+    u AS (
+        SELECT event_type, COUNT(*) AS n_users
+        FROM (SELECT DISTINCT event_type, user_id FROM events)
+        GROUP BY event_type
+    )
+    SELECT a.event_type, a.n_events, a.sum_value, u.n_users
+    FROM agg a JOIN u USING (event_type)
+    ORDER BY a.event_type
+    """,
+)
+def sk_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation: explicit salting for a hot-key aggregation.
+
+    ``event_type`` has a handful of values over millions of events — a
+    direct ``groupBy`` sends each whole key to ONE reducer. The salted
+    plan shuffles on ``(event_type, salt)`` (16-way spread of every hot
+    key), combines partials, then merges the 16 sub-aggregates in a
+    second, trivially small Exchange. ``n_users`` shows the companion
+    rewrite for COUNT(DISTINCT) under skew: de-dup on the full pair
+    first, count second. Results are exactly the plain GROUP BY (the
+    oracle) — only the physical distribution differs. (Spark's AQE
+    skew-join handles *join* skew automatically; aggregate hot keys
+    still need this explicit two-level shape.)
+    """
+    ev = table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("user_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
+    )
+    agg = partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )
+    users = (
+        ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return agg.join(users, "event_type").orderBy("event_type")

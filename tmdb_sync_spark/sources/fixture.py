@@ -82,6 +82,59 @@ def year_item(year: int, rank: int, content_type: str) -> dict:
     }
 
 
+# category lists (S3): /movie/{category} and /tv/{category} feeds
+# (app/tmdb_client.py:44-136). Fixed code per category keeps ids disjoint
+# from the top/year feeds.
+CATEGORY_CODES = {"top_rated": 1, "popular": 2, "now_playing": 3, "upcoming": 4}
+CAT_ITEMS = 61   # 4 pages, last partial
+
+
+def category_item(category: str, rank: int, content_type: str) -> dict:
+    code = CATEGORY_CODES[category]
+    mid = 90_000_000 + code * 100_000 + rank + 1
+    g1 = 1 + (mid * 3) % 19
+    g2 = 16 if mid % 5 == 0 else 28 + mid % 7
+    title = f"Movie {mid}" if content_type == "movie" else None
+    name = f"Show {mid}" if content_type == "tv" else None
+    return {
+        "id": mid,
+        "content_type": content_type,
+        "title": title,
+        "name": name,
+        "release_date": "%04d-%02d-%02d"
+        % (1950 + mid % 75, 1 + mid % 12, 1 + mid % 28),
+        "popularity": (500_000 - 11 * rank) / 1000.0,
+        "vote_average": (mid % 101) / 10.0,
+        "vote_count": (mid % 7919) * 5,
+        "genre_ids": [g1, g2],
+        "page": rank // PAGE_SIZE + 1,
+    }
+
+
+# DuckDB SQL twin of category_item() over ranks [0, CAT_ITEMS).
+def sql_category_feed(category: str, content_type: str) -> str:
+    code = CATEGORY_CODES[category]
+    mid = f"(90000000 + {code} * 100000 + range + 1)"
+    title = f"'Movie ' || {mid}" if content_type == "movie" else "CAST(NULL AS VARCHAR)"
+    name = f"'Show ' || {mid}" if content_type == "tv" else "CAST(NULL AS VARCHAR)"
+    return f"""
+    SELECT {mid} AS id,
+           '{content_type}' AS content_type,
+           {title} AS title,
+           {name} AS name,
+           printf('%04d-%02d-%02d', 1950 + {mid} % 75,
+                  1 + {mid} % 12, 1 + {mid} % 28) AS release_date,
+           (500000 - 11 * range) / 1000.0 AS popularity,
+           ({mid} % 101) / 10.0 AS vote_average,
+           ({mid} % 7919) * 5 AS vote_count,
+           [1 + ({mid} * 3) % 19,
+            CASE WHEN {mid} % 5 = 0 THEN 16
+                 ELSE 28 + {mid} % 7 END] AS genre_ids,
+           CAST(range // {PAGE_SIZE} + 1 AS INT) AS page
+    FROM range(0, {CAT_ITEMS})
+    """
+
+
 # DuckDB SQL twin of year_item() over ranks [0, n): identical expressions.
 def sql_year_feed(year: int, content_type: str) -> str:
     n = YEAR_ITEMS[content_type]

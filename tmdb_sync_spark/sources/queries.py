@@ -32,6 +32,18 @@ def discover(spark: SparkSession, *, mode: str = "top", start_page: int = 1,
     )
 
 
+def discover_category(spark: SparkSession, *, category: str,
+                      content_type: str) -> DataFrame:
+    register_tmdb_source(spark)
+    return (
+        spark.read.format("tmdb_discover")
+        .option("mode", "category")
+        .option("category", category)
+        .option("content_type", content_type)
+        .load()
+    )
+
+
 @register(
     "s1_discover_source",
     oracle=f"""
@@ -242,4 +254,55 @@ def s2_discover_years(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_animated"),
         )
         .orderBy("content_type")
+    )
+
+
+@register(
+    "s3_category_source",
+    oracle=f"""
+    WITH feed AS (
+        SELECT 'top_rated' AS _category, *
+        FROM ({fixture.sql_category_feed("top_rated", "movie")})
+        UNION ALL
+        SELECT 'popular' AS _category, *
+        FROM ({fixture.sql_category_feed("popular", "tv")})
+    )
+    SELECT _category,
+           content_type,
+           COUNT(*) AS n,
+           MAX(page) AS n_pages,
+           CAST(SUM(vote_count) AS BIGINT) AS sum_votes,
+           MAX(popularity) AS max_pop,
+           CAST(SUM(CASE WHEN list_contains(genre_ids, 16)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_animated
+    FROM feed
+    GROUP BY _category, content_type
+    ORDER BY _category
+    """,
+)
+def s3_category_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: category-list feeds (/movie/{cat}, /tv/{cat}) as source shards.
+
+    Two category scans (movie top_rated + tv popular) through the
+    ``tmdb_discover`` source with ``mode=category``; the ``_category``
+    tag the reference stamps on every synced doc (``app/sync.py:102``,
+    ``app/sync_top.py:203``) is attached per-shard before the union.
+    """
+    tr = discover_category(spark, category="top_rated", content_type="movie")
+    po = discover_category(spark, category="popular", content_type="tv")
+    feed = tr.withColumn("_category", F.lit("top_rated")).unionByName(
+        po.withColumn("_category", F.lit("popular"))
+    )
+    return (
+        feed.groupBy("_category", "content_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("page").alias("n_pages"),
+            F.sum("vote_count").alias("sum_votes"),
+            F.max("popularity").alias("max_pop"),
+            F.sum(
+                F.when(F.array_contains("genre_ids", F.lit(16)), 1).otherwise(0)
+            ).alias("n_animated"),
+        )
+        .orderBy("_category")
     )

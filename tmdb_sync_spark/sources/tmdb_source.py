@@ -68,10 +68,13 @@ class TmdbDiscoverReader(DataSourceReader):
         self.content_type = options.get("content_type", "movie")
         self.start_page = int(options.get("start_page", 1))
         self.max_pages = int(options.get("max_pages", 10**9))
+        self.category = options.get("category", "top_rated")
 
     def _total_items(self) -> int:
         if self.mode == "top":
             return fixture.TOTAL_TOP
+        if self.mode == "category":
+            return fixture.CAT_ITEMS
         return fixture.YEAR_ITEMS[self.content_type]
 
     def partitions(self):
@@ -90,6 +93,11 @@ class TmdbDiscoverReader(DataSourceReader):
             hi = min(lo + fixture.PAGE_SIZE, total)
             if self.mode == "top":
                 return [fixture.top_movie(r) for r in range(lo, hi)]
+            if self.mode == "category":
+                return [
+                    fixture.category_item(self.category, r, self.content_type)
+                    for r in range(lo, hi)
+                ]
             return [
                 fixture.year_item(self.year, r, self.content_type)
                 for r in range(lo, hi)
