@@ -24,7 +24,12 @@ from ``read()`` generators).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from tmdb_sync_spark.sources import fixture
 
@@ -128,6 +133,58 @@ class TmdbDiscoverReader(DataSourceReader):
             )
 
 
+class TmdbDiscoverStreamReader(SimpleDataSourceStreamReader):
+    """The same feed as a STREAMING source: offset = last fully-read page.
+
+    This is the Spark-native form of the reference's cursor protocol
+    (``app/sync_top.py:22-29,267-273``): the page offset lives in the
+    query's checkpoint, so resume-after-restart (ST2) and replay of an
+    un-committed batch (``readBetweenOffsets``) come from the engine —
+    no hand-rolled cursor table required. ``max_pages`` bounds the feed
+    (ST3): once reached, reads report no new data and an
+    ``availableNow``/``processAllAvailable`` run terminates.
+    """
+
+    def __init__(self, options: dict):
+        self.batch = TmdbDiscoverReader(options)   # reuse page math
+        self.start_page = self.batch.start_page
+        self.pages_per_batch = int(options.get("pages_per_batch", 2))
+
+    def initialOffset(self) -> dict:
+        return {"page": self.start_page - 1}
+
+    def _items(self, page: int) -> list[dict]:
+        r = self.batch
+        total = r._total_items()
+        lo, hi = (page - 1) * fixture.PAGE_SIZE, min(page * fixture.PAGE_SIZE, total)
+        if r.mode == "top":
+            return [fixture.top_movie(i) for i in range(lo, hi)]
+        if r.mode == "category":
+            return [fixture.category_item(r.category, i, r.content_type)
+                    for i in range(lo, hi)]
+        return [fixture.year_item(r.year, i, r.content_type)
+                for i in range(lo, hi)]
+
+    def _read_pages(self, first: int, last: int):
+        for page in range(first, last + 1):
+            for row in _fetch_page_with_retry(page, self._items):
+                yield tuple(row[c] for c in _COLS)
+
+    def read(self, start: dict):
+        first = start["page"] + 1
+        last = min(
+            first + self.pages_per_batch - 1,
+            self.batch.start_page + self.batch.max_pages - 1,
+            -(-self.batch._total_items() // fixture.PAGE_SIZE),
+        )
+        if last < first:   # caught up / bounded out (ST3)
+            return iter([]), start
+        return self._read_pages(first, last), {"page": last}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._read_pages(start["page"] + 1, end["page"])
+
+
 class TmdbDiscoverDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -138,6 +195,9 @@ class TmdbDiscoverDataSource(DataSource):
 
     def reader(self, schema) -> TmdbDiscoverReader:
         return TmdbDiscoverReader(self.options)
+
+    def simpleStreamReader(self, schema) -> TmdbDiscoverStreamReader:
+        return TmdbDiscoverStreamReader(self.options)
 
 
 def register_tmdb_source(spark) -> None:
