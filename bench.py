@@ -24,8 +24,8 @@ HEADLINE = [
     "q5_revenue_by_nation",
     "q3_top_orders_by_revenue",
     "w1_argmax_exclusion",
-    "w2_dedup_keep_best",
-    "o1_pagination",
+    "w2_w3_dedup_variants",
+    "o1_o2_pagination_topk",
     "j1_merge_upsert",
     "a4_a5_report_stats",
     "st_tumbling_window",
@@ -36,9 +36,8 @@ HEADLINE = [
     "dd_embedding_cosine",
     "knn_cosine_topk",
     "ann_ivf_topk",
-    "tx_token_stats",
-    "mm_binary_features",
-    "mm_frame_sample",
+    "tx_text_features",
+    "mm_media_pipeline",
     "s1_discover_source",
     "s7_backdrop_pipeline",
 ]

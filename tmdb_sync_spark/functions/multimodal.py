@@ -57,60 +57,33 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register(
-    "mm_binary_features",
-    oracle="""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           CAST(octet_length(encode(text)) % 64 AS INT) AS width,
-           CAST((octet_length(encode(text)) // 64) % 64 AS INT) AS height,
-           CAST(octet_length(encode(text)) % 5 AS INT) AS n_frames,
-           'fakeimg' AS media_format
-    FROM documents
-    """,
-)
-def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction through the Arrow/pandas path.
-
-    ``documents.text`` stands in for the media bytes (utf-8 encoded to a
-    real ``binary`` column); the decode stub emits typed metadata. The
-    plan shape is the production one: scan → narrow binary projection →
-    ``mapInPandas`` (Arrow batches, partition-parallel) → typed columns.
-    No shuffle; Python cost is amortized per ~10k-row Arrow batch. (On
-    the single-file test tables the scan is one partition; production
-    media lakes arrive pre-split, and the decode stub is too cheap here
-    to amortize spinning up 32 Python workers.)
-    """
-    docs = table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
-    return payloads.mapInPandas(decode_features, FEATURE_SCHEMA)
-
-
 SAMPLE_EVERY = 2   # keep every 2nd frame (production: fps-based stride)
 
 SAMPLE_SCHEMA = (
-    "doc_id bigint, frame_idx int, frame_ts double, thumb_w int, thumb_h int"
+    "doc_id bigint, byte_len bigint, media_format string, "
+    "frame_idx int, frame_ts double, thumb_w int, thumb_h int"
 )
 
 
 def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel with *row-expanding* output: one input media row
-    fans out to its sampled frames. In production this is the
-    ffmpeg-frame-seek + thumbnail-resize loop; the stub derives the frame
-    list from the decoded ``n_frames`` metadata and fake 2:1-downscaled
-    thumbnail dims — the Spark-side contract (schema, fan-out shape,
-    Arrow batching) is identical."""
+    fans out to its sampled frames, carrying the doc-level decode metadata
+    along. In production this is the ffmpeg-frame-seek + thumbnail-resize
+    loop; the stub derives the frame list from the decoded ``n_frames``
+    metadata and fake 2:1-downscaled thumbnail dims — the Spark-side
+    contract (schema, fan-out shape, Arrow batching) is identical."""
     for pdf in batches:
         rows = []
-        for doc_id, n_frames, w, h in zip(
-            pdf["doc_id"], pdf["n_frames"], pdf["width"], pdf["height"]
+        for doc_id, byte_len, fmt, n_frames, w, h in zip(
+            pdf["doc_id"], pdf["byte_len"], pdf["media_format"],
+            pdf["n_frames"], pdf["width"], pdf["height"],
         ):
             for k in range(0, int(n_frames), SAMPLE_EVERY):
                 rows.append(
                     {
                         "doc_id": int(doc_id),
+                        "byte_len": int(byte_len),
+                        "media_format": fmt,
                         "frame_idx": k,
                         "frame_ts": k / 24.0,      # fake 24 fps timeline
                         "thumb_w": int(w) // 2,
@@ -118,21 +91,27 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     }
                 )
         yield pd.DataFrame(
-            rows, columns=["doc_id", "frame_idx", "frame_ts", "thumb_w", "thumb_h"]
+            rows,
+            columns=["doc_id", "byte_len", "media_format",
+                     "frame_idx", "frame_ts", "thumb_w", "thumb_h"],
         )
 
 
 @register(
-    "mm_frame_sample",
+    "mm_media_pipeline",
     oracle=f"""
     WITH feats AS (
         SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                CAST(octet_length(encode(text)) % 64 AS INT) AS width,
                CAST((octet_length(encode(text)) // 64) % 64 AS INT) AS height,
-               CAST(octet_length(encode(text)) % 5 AS INT) AS n_frames
+               CAST(octet_length(encode(text)) % 5 AS INT) AS n_frames,
+               'fakeimg' AS media_format
         FROM documents
     )
     SELECT f.doc_id,
+           f.byte_len,
+           f.media_format,
            CAST(g.range AS INT) AS frame_idx,
            g.range / 24.0 AS frame_ts,
            CAST(f.width // 2 AS INT) AS thumb_w,
@@ -141,14 +120,22 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     WHERE g.range < f.n_frames AND g.range % {SAMPLE_EVERY} = 0
     """,
 )
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling + thumbnail resize through the decode pipeline.
+def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode → feature extraction → frame sampling, one pipeline.
 
-    Chains two mapInPandas stages — decode (metadata) then frame-sample
-    (row-expanding) — the canonical video-curation shape: media scan →
-    decode → stride-sample frames → per-frame features downstream. Both
-    stages pipeline within the same task set (no shuffle between them:
-    ``.explain`` shows a single WholeStageCodegen→Python chain)."""
+    ``documents.text`` stands in for the media bytes (utf-8 encoded to a
+    real ``binary`` column). Chains the two mapInPandas stages — decode
+    (typed metadata out of opaque bytes) then frame-sample (row-expanding
+    with the doc-level features carried through) — the canonical
+    video-curation shape: media scan → narrow binary projection → decode →
+    stride-sample frames → per-frame features downstream. Both stages
+    pipeline within the same task set (no shuffle between them:
+    ``.explain`` shows a single WholeStageCodegen→Python chain); Python
+    cost is amortized per ~10k-row Arrow batch. (On the single-file test
+    tables the scan is one partition; production media lakes arrive
+    pre-split, and the decode stub is too cheap here to amortize spinning
+    up 32 Python workers.)
+    """
     docs = table(spark, sf_dir, "documents")
     payloads = docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")

@@ -29,16 +29,37 @@ def _tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+_MARKERS = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "de", "los", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ",".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(t, x -> list_contains([{lst}], lower(x))))"
+
+
 @register(
-    "tx_token_stats",
+    "tx_text_features",
     oracle=rf"""
     WITH toks AS (
-        SELECT doc_id,
+        SELECT doc_id, lang AS lang_label,
                regexp_split_to_array(trim(text), '\s+') AS t,
                length(trim(text)) AS trimmed_len,
                length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         FROM documents
+    ),
+    scored AS (
+        SELECT *,
+               CAST({_marker_sql('en')} AS INT) AS en_n,
+               CAST({_marker_sql('de')} AS INT) AS de_n,
+               CAST({_marker_sql('es')} AS INT) AS es_n,
+               CAST({_marker_sql('fr')} AS INT) AS fr_n
+        FROM toks
     )
     SELECT doc_id,
            CAST(len(t) AS INT) AS n_tokens,
@@ -51,18 +72,31 @@ def _tokens(col: Column) -> Column:
            (CASE WHEN len(t) >= 10 THEN 0.5 ELSE 0.0 END
             + CASE WHEN CAST(len(list_filter(t, x -> list_contains({_STOP_SQL}, lower(x)))) AS INT) / len(t)
                         BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END
-            + CASE WHEN n_punct * 5 < trimmed_len THEN 0.2 ELSE 0.0 END) AS quality_score
-    FROM toks
+            + CASE WHEN n_punct * 5 < trimmed_len THEN 0.2 ELSE 0.0 END) AS quality_score,
+           lang_label, en_n, de_n, es_n, fr_n,
+           CASE WHEN en_n = 0 AND de_n = 0 AND es_n = 0 AND fr_n = 0 THEN 'und'
+                WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
+                WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
+                WHEN es_n >= fr_n THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM scored
     """,
 )
-def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality scoring per document.
+def tx_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/quality stats + language ID, one fused per-document pass.
 
     - ``n_tokens``: whitespace tokens; ``n_bpe_tokens``: BPE-ish regex
       token count (letters / digit runs / single symbols).
     - ``quality_score``: deterministic length / stopword-ratio / punct
       heuristic (the classic pretraining quality-filter shape) — a sum of
       exact double literals, so it hash-matches across engines.
+    - Language ID: count per-language marker words, argmax with a fixed
+      priority order for ties (deterministic). ``lang_label`` rides along
+      so accuracy is inspectable; the contract is the deterministic
+      guess, not label recovery.
+
+    Fusing the two stages shares one tokenization scan — at 100 TB the
+    text is read and split once for every per-row feature downstream.
     """
     docs = parallel_table(spark, sf_dir, "documents")
     t = _tokens(F.col("text"))
@@ -84,65 +118,7 @@ def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(stop_ratio.between(0.05, 0.6), 0.3).otherwise(0.0)
         + F.when(n_punct * 5 < F.length(F.trim(F.col("text"))), 0.2).otherwise(0.0)
     )
-    return docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_bpe.alias("n_bpe_tokens"),
-        n_punct.alias("n_punct"),
-        token_chars.alias("token_chars"),
-        (token_chars / n_tokens).alias("avg_token_len"),
-        n_stop.alias("n_stopwords"),
-        stop_ratio.alias("stopword_ratio"),
-        quality.alias("quality_score"),
-    )
 
-
-_MARKERS = {
-    "en": ("the", "and", "of", "is", "a"),
-    "de": ("der", "die", "und", "das", "ist"),
-    "es": ("el", "la", "de", "los", "es"),
-    "fr": ("le", "la", "et", "les", "est"),
-}
-
-
-def _marker_sql(lang: str) -> str:
-    lst = ",".join(f"'{w}'" for w in _MARKERS[lang])
-    return f"len(list_filter(t, x -> list_contains([{lst}], lower(x))))"
-
-
-@register(
-    "tx_lang_id",
-    oracle=rf"""
-    WITH toks AS (
-        SELECT doc_id, lang AS lang_label,
-               regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents
-    ),
-    scored AS (
-        SELECT doc_id, lang_label,
-               CAST({_marker_sql('en')} AS INT) AS en_n,
-               CAST({_marker_sql('de')} AS INT) AS de_n,
-               CAST({_marker_sql('es')} AS INT) AS es_n,
-               CAST({_marker_sql('fr')} AS INT) AS fr_n
-        FROM toks
-    )
-    SELECT doc_id, lang_label, en_n, de_n, es_n, fr_n,
-           CASE WHEN en_n = 0 AND de_n = 0 AND es_n = 0 AND fr_n = 0 THEN 'und'
-                WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
-                WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
-                WHEN es_n >= fr_n THEN 'es'
-                ELSE 'fr' END AS lang_guess
-    FROM scored
-    """,
-)
-def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram-heuristic language ID: count per-language marker words,
-    argmax with a fixed priority order for ties (deterministic). The
-    ``lang_label`` column rides along so accuracy is inspectable; the
-    operator's contract is the deterministic guess, not label recovery.
-    """
-    docs = parallel_table(spark, sf_dir, "documents")
-    t = _tokens(F.col("text"))
     def marker_count(words: tuple[str, ...]) -> Column:
         # NB: HOF lambdas must be single-parameter — PySpark binds a
         # lambda variable to every declared parameter, defaults included.
@@ -160,57 +136,20 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        n_punct.alias("n_punct"),
+        token_chars.alias("token_chars"),
+        (token_chars / n_tokens).alias("avg_token_len"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
         F.col("lang").alias("lang_label"),
         en.alias("en_n"),
         de.alias("de_n"),
         es.alias("es_n"),
         fr.alias("fr_n"),
         guess.alias("lang_guess"),
-    )
-
-
-@register(
-    "tx_fingerprint",
-    oracle=r"""
-    WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents
-    ),
-    sh AS (
-        SELECT doc_id,
-               CASE WHEN len(t) >= 3
-                    THEN list_transform(generate_series(1, len(t)-2),
-                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                    ELSE [array_to_string(t, ' ')] END AS shingles
-        FROM toks
-    )
-    SELECT doc_id,
-           CAST(len(shingles) AS INT) AS n_shingles,
-           substr(list_aggregate(list_transform(shingles, s -> md5(s)), 'min'), 1, 16) AS fingerprint
-    FROM sh
-    """,
-)
-def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: min-hash over 3-word shingles (a 1-permutation
-    MinHash — the rolling-hash fingerprint generalized). md5 is the hash on
-    both engines (engine-native ``hash()`` differs, registry rule)."""
-    docs = parallel_table(spark, sf_dir, "documents")
-    t = _tokens(F.col("text"))
-    shingles = F.when(
-        F.size(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-            ),
-        ),
-    ).otherwise(F.array(F.array_join(t, " ")))
-    return docs.select(
-        "doc_id",
-        F.size(shingles).alias("n_shingles"),
-        F.substring(
-            F.array_min(F.transform(shingles, lambda s: F.md5(s.cast("binary")))), 1, 16
-        ).alias("fingerprint"),
     )
 
 

@@ -132,40 +132,73 @@ def a4_a5_report_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a8_batch_counters",
+    "a8_sk_salted_counters",
     oracle="""
-    SELECT event_type,
-           COUNT(*) AS processed,
-           CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS inserted,
-           CAST(SUM(CASE WHEN value <= 50.0 OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated,
-           MAX(ts) AS cursor_ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY 1
-    ORDER BY 1
+    WITH agg AS (
+        SELECT event_type,
+               COUNT(*) AS processed,
+               CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS inserted,
+               CAST(SUM(CASE WHEN value <= 50.0 OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+               MAX(ts) AS cursor_ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1
+    ),
+    u AS (
+        SELECT event_type, COUNT(*) AS n_users
+        FROM (SELECT DISTINCT event_type, user_id FROM events)
+        GROUP BY event_type
+    )
+    SELECT a.event_type, a.processed, a.inserted, a.updated, a.cursor_ts,
+           a.total_value, u.n_users
+    FROM agg a JOIN u USING (event_type)
+    ORDER BY a.event_type
     """,
 )
-def a8_batch_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: per-batch running counters folded per category.
+def a8_sk_salted_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 + skew mitigation: batch counters via an explicitly salted plan.
 
-    Reference: inserted/updated/processed counters accumulated across the
-    ingest loop and merged into the cursor row
-    (``app/sync_top.py:136-143,267-273``). Set-oriented: one groupBy over
-    the batch. The ``value`` sum goes through DECIMAL so it is exact and
-    shuffle-order-independent (doubles summed in different orders diverge).
+    Semantics (A8): inserted/updated/processed counters accumulated across
+    the ingest loop and merged into the cursor row
+    (``app/sync_top.py:136-143,267-273``) — set-oriented, one aggregate
+    over the batch, ``value`` summed through DECIMAL so it is exact and
+    shuffle-order-independent.
+
+    Physical shape (the 100 TB posture): ``event_type`` has a handful of
+    values over millions of events — a direct groupBy sends each whole
+    key to ONE reducer. The salted plan shuffles on ``(event_type,
+    salt)`` (16-way spread of every hot key), combines partials, then
+    merges the 16 sub-aggregates in a second, trivially small Exchange.
+    ``n_users`` shows the companion rewrite for COUNT(DISTINCT) under
+    skew: de-dup on the full pair first, count second. Results are
+    exactly the plain GROUP BY (the oracle) — only the distribution
+    differs. (AQE skew-join handles *join* skew automatically; aggregate
+    hot keys still need this explicit two-level shape.)
     """
     ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("processed"),
-            F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("inserted"),
-            F.sum(F.when((F.col("value") <= 50.0) | F.col("value").isNull(), 1).otherwise(0)).alias("updated"),
-            F.max("ts").alias("cursor_ts"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
-        )
-        .orderBy("event_type")
+    salted = ev.withColumn("salt", F.pmod(F.col("user_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("pins"),
+        F.sum(
+            F.when((F.col("value") <= 50.0) | F.col("value").isNull(), 1).otherwise(0)
+        ).alias("pupd"),
+        F.max("ts").alias("pts"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
     )
+    agg = partial.groupBy("event_type").agg(
+        F.sum("pn").alias("processed"),
+        F.sum("pins").alias("inserted"),
+        F.sum("pupd").alias("updated"),
+        F.max("pts").alias("cursor_ts"),
+        F.sum("psum").cast("double").alias("total_value"),
+    )
+    users = (
+        ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return agg.join(users, "event_type").orderBy("event_type")
 
 
 @register(
@@ -204,42 +237,6 @@ def a6_a7_p11_recent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 ).otherwise(0)
             ).alias("errors_last_day"),
-        )
-    )
-
-
-@register(
-    "st_tumbling_window",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-           COUNT(DISTINCT user_id) AS n_users
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling event-time window aggregation (streaming-shaped, batch run).
-
-    The reference has no event-time windows (SURVEY §2.10); this is the
-    stretch operator demonstrated on the ``events`` table. The identical
-    logic runs under Structured Streaming in
-    ``tmdb_sync_spark.streaming`` (readStream + watermark); here it is the
-    batch-equivalent plan so the DuckDB oracle can check it.
-    """
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type", "n_events", "sum_value", "n_users",
         )
     )
 
@@ -284,53 +281,3 @@ def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sk_salted_hot_key_agg",
-    oracle="""
-    WITH agg AS (
-        SELECT event_type,
-               COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        FROM events
-        GROUP BY event_type
-    ),
-    u AS (
-        SELECT event_type, COUNT(*) AS n_users
-        FROM (SELECT DISTINCT event_type, user_id FROM events)
-        GROUP BY event_type
-    )
-    SELECT a.event_type, a.n_events, a.sum_value, u.n_users
-    FROM agg a JOIN u USING (event_type)
-    ORDER BY a.event_type
-    """,
-)
-def sk_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew mitigation: explicit salting for a hot-key aggregation.
-
-    ``event_type`` has a handful of values over millions of events — a
-    direct ``groupBy`` sends each whole key to ONE reducer. The salted
-    plan shuffles on ``(event_type, salt)`` (16-way spread of every hot
-    key), combines partials, then merges the 16 sub-aggregates in a
-    second, trivially small Exchange. ``n_users`` shows the companion
-    rewrite for COUNT(DISTINCT) under skew: de-dup on the full pair
-    first, count second. Results are exactly the plain GROUP BY (the
-    oracle) — only the physical distribution differs. (Spark's AQE
-    skew-join handles *join* skew automatically; aggregate hot keys
-    still need this explicit two-level shape.)
-    """
-    ev = table(spark, sf_dir, "events")
-    salted = ev.withColumn("salt", F.pmod(F.col("user_id"), F.lit(16)))
-    partial = salted.groupBy("event_type", "salt").agg(
-        F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
-    )
-    agg = partial.groupBy("event_type").agg(
-        F.sum("pn").alias("n_events"),
-        F.sum("psum").cast("double").alias("sum_value"),
-    )
-    users = (
-        ev.select("event_type", "user_id").distinct()
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-    return agg.join(users, "event_type").orderBy("event_type")

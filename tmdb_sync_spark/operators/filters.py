@@ -22,30 +22,7 @@ from tmdb_sync_spark.registry import register
 
 
 @register(
-    "p1_projection_filter",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
-    FROM orders
-    WHERE o_orderstatus = 'O'
-    """,
-)
-def p1_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1+P2+P8: keep-set projection after an equality filter.
-
-    Reference: ``_project_movie`` keep-set (``app/endpoints/movies.py:9-17``)
-    + ``_type == t`` equality (P8). Unlike the reference — which projects
-    app-side *after* full documents cross the wire (SURVEY §4) — the select
-    prunes the parquet scan to 4 columns and the filter pushes down.
-    """
-    return (
-        table(spark, sf_dir, "orders")
-        .where(F.col("o_orderstatus") == "O")
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-    )
-
-
-@register(
-    "p3_conjunctive_filter",
+    "p1_p3_projection_conjunctive",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
     FROM lineitem
@@ -55,14 +32,18 @@ def p1_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND strftime(l_shipdate, '%Y-%m-%d') >= '1996-06-01'
     """,
 )
-def p3_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3: dynamic AND of optional predicates, built imperatively.
+def p1_p3_projection_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P3+P8: keep-set projection over a dynamically built conjunction.
 
     Mirrors the reference's conjunctive filter-dict builder
     (``app/endpoints/movies.py:37-51``): each predicate appended only when
-    its parameter is present; Catalyst folds the conjunction. The ship-date
-    bound is compared *as a string* (P7's lexicographic-ISO-date idiom,
-    ``app/endpoints/movies.py:46-51``).
+    its parameter is present (equality = P8, range, string-date compare =
+    P7's lexicographic-ISO idiom); Catalyst folds the conjunction. The
+    final keep-set select is ``_project_movie`` (P1/P2,
+    ``app/endpoints/movies.py:9-17``) — unlike the reference, which
+    projects app-side after full documents cross the wire (SURVEY §4), the
+    select prunes the parquet scan to 5 columns and every sargable
+    conjunct pushes down (``PushedFilters`` in ``.explain``).
     """
     li = table(spark, sf_dir, "lineitem")
     # imperative predicate assembly, as the reference builds its filter dict
@@ -78,26 +59,6 @@ def p3_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.where(cond).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
     )
-
-
-@register(
-    "p6_isin_by_ids",
-    oracle="""
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-    FROM customer
-    WHERE c_custkey IN (1, 7, 11, 42, 58, 77, 96, 104, 133, 149)
-    """,
-)
-def p6_isin_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6: scalar ``$in`` point-lookup by key list.
-
-    Reference: ``/movies/by-ids`` (``app/endpoints/movies.py:71-79``).
-    Small literal list → Catalyst ``In`` predicate, pushed to the scan.
-    (For large id lists the engine switches to a broadcast LEFT SEMI join —
-    see ``j2_semi_join_ids``.)
-    """
-    ids = [1, 7, 11, 42, 58, 77, 96, 104, 133, 149]
-    return table(spark, sf_dir, "customer").where(F.col("c_custkey").isin(ids))
 
 
 @register(
@@ -135,8 +96,8 @@ def p7_date_string_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_type
     FROM part
-    WHERE regexp_matches(p_name, '(?i)green')
-       OR regexp_matches(p_type, '(?i)steel')
+    WHERE regexp_matches(p_name, '(?i)RED')
+       OR regexp_matches(p_type, '(?i)promo')
     """,
 )
 def p9_regex_or_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,10 +106,14 @@ def p9_regex_or_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: title search ``$or: [title ~ /q/i, title_ru ~ /q/i]``
     (``app/endpoints/catalog.py:50-53``). Full scan + rlike in both the
     reference (no index support) and here — acceptable by design (SURVEY §4).
+    Patterns deliberately cross-cased against the data ('RED' vs lowercase
+    names, 'promo' vs uppercase types) so the match set is non-empty ONLY
+    if (?i) folding actually works — a vacuous empty-set parity proved
+    nothing (round-1 verdict finding 4).
     """
     p = table(spark, sf_dir, "part")
     return p.where(
-        F.col("p_name").rlike("(?i)green") | F.col("p_type").rlike("(?i)steel")
+        F.col("p_name").rlike("(?i)RED") | F.col("p_type").rlike("(?i)promo")
     ).select("p_partkey", "p_name", "p_type")
 
 

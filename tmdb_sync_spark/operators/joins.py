@@ -21,22 +21,26 @@ from tmdb_sync_spark.registry import register
 
 
 @register(
-    "j2_semi_join_ids",
+    "p6_j2_semi_join_ids",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 1)
+      AND o_orderstatus IN ('O', 'F')
     """,
 )
-def j2_semi_join_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: semi-join by key list, broadcast.
+def p6_j2_semi_join_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+J2: scalar ``$in`` + semi-join by key list, broadcast.
 
-    Reference: ``/movies/by-ids`` with a large id list
-    (``app/endpoints/movies.py:71-79``). For lists too big for an ``In``
-    literal, the scalable form is a broadcast LEFT SEMI join: the id set
-    ships to every executor once; the fact scan never shuffles.
+    Reference: ``/movies/by-ids`` (``app/endpoints/movies.py:71-79``). Both
+    renderings of the ``$in`` operator in one plan: the small literal list
+    compiles to a Catalyst ``In`` predicate pushed to the scan (P6); the
+    large id list is a broadcast LEFT SEMI join — the id set ships to every
+    executor once; the fact scan never shuffles (J2).
     """
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isin("O", "F")  # P6: literal $in, pushed
+    )
     ids = (
         table(spark, sf_dir, "customer")
         .where(F.col("c_custkey") % 10 == 1)

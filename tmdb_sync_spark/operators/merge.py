@@ -88,7 +88,10 @@ def j1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       (J4's keep-existing rule, ``app/catalog/upsert.py:79-85``).
     - WHEN NOT MATCHED: insert the source row.
     - ``merge_action`` column = insert/update classification → the
-      reference's inserted/updated counters (A8) fall out of a groupBy.
+      reference's inserted/updated counters (``app/sync_top.py:275-286``,
+      A8) are one ``groupBy(merge_action).count()`` over this output —
+      value-checked here per-row (stronger than the count aggregate) and
+      as live counters by ``st4_a8_cursor_errors``.
     """
     target = table(spark, sf_dir, "orders")
     source = _merge_source(spark, sf_dir)
@@ -113,34 +116,6 @@ def j1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("order_priority"),
         F.col("o_orderdate").alias("order_date"),
         F.col("merge_action"),
-    )
-
-
-@register(
-    "j1_merge_counters",
-    oracle=_SOURCE_SQL
-    + """
-    SELECT CASE WHEN t.o_orderkey IS NULL THEN 'insert'
-                WHEN s.o_orderkey IS NULL THEN 'noop'
-                ELSE 'update' END AS merge_action,
-           COUNT(*) AS n
-    FROM orders t
-    FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
-    GROUP BY 1
-    ORDER BY 1
-    """,
-)
-def j1_merge_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 over J1: inserted/updated/untouched counters of the MERGE —
-    the reference's per-job stats (``app/sync_top.py:275-286``) as one
-    aggregate over the merge classification instead of loop counters."""
-    target = table(spark, sf_dir, "orders")
-    source = _merge_source(spark, sf_dir)
-    merged = merge_into(target, source, keys=["o_orderkey"], with_action=True)
-    return (
-        merged.groupBy("merge_action")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("merge_action")
     )
 
 

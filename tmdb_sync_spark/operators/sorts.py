@@ -21,32 +21,7 @@ from tmdb_sync_spark.registry import register
 
 
 @register(
-    "o1_pagination",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 50 OFFSET 100
-    """,
-)
-def o1_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: dynamic sort + skip/limit pagination with unique tiebreak.
-
-    Reference: ``sort(field, ±1).skip(s).limit(n)`` with whitelisted sort
-    fields (``app/endpoints/movies.py:31-66``). ``o_orderkey`` tiebreak
-    pins a total order so page contents are deterministic across engines.
-    """
-    return (
-        table(spark, sf_dir, "orders")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .offset(100)
-        .limit(50)
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-    )
-
-
-@register(
-    "o2_topk_multisort",
+    "o1_o2_pagination_topk",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey,
            COALESCE(l_extendedprice, 0.0) AS price,
@@ -55,16 +30,21 @@ def o1_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY COALESCE(l_extendedprice, 0.0) DESC,
              COALESCE(l_quantity, 0.0) DESC,
              l_orderkey ASC, l_linenumber ASC, l_partkey ASC
-    LIMIT 100
+    LIMIT 100 OFFSET 50
     """,
 )
-def o2_topk_multisort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2+O4: multi-key descending top-k with null→0 sort-key coercion.
+def o1_o2_pagination_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2+O4: multi-key desc sort + skip/limit page, null→0 coercion.
 
-    Reference: frames sorted by ``(vote_average desc, width desc)`` with
-    ``or 0`` null coercion (``app/tmdb_client.py:214-220``,
-    ``app/utils/frames.py:17``) and bounded fetch (O4). Physical plan:
-    TakeOrderedAndProject — no full sort at scale.
+    Reference: ``sort(field, ±1).skip(s).limit(n)`` pagination with
+    whitelisted sort fields (``app/endpoints/movies.py:31-66``, O1) over
+    the multi-key desc order with ``or 0`` null coercion the frames sort
+    uses (``app/tmdb_client.py:214-220``, ``app/utils/frames.py:17``, O2)
+    and a bounded fetch (O4). The unique (orderkey, linenumber, partkey)
+    tiebreak pins a total order so page contents are deterministic across
+    engines (Mongo's sort is non-stable — SURVEY §7 hard-part 2).
+    Physical plan: TakeOrderedAndProject of offset+limit rows — no global
+    sort at scale.
     """
     li = table(spark, sf_dir, "lineitem")
     price = F.coalesce(F.col("l_extendedprice"), F.lit(0.0)).alias("price")
@@ -76,5 +56,6 @@ def o2_topk_multisort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").asc(), F.col("l_linenumber").asc(),
             F.col("l_partkey").asc(),
         )
+        .offset(50)
         .limit(100)
     )

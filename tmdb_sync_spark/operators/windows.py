@@ -79,66 +79,72 @@ def w1_argmax_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w2_dedup_keep_best",
+    "w2_w3_dedup_variants",
     oracle="""
-    SELECT l_orderkey, l_partkey, l_quantity, l_linenumber, l_extendedprice
-    FROM lineitem
-    QUALIFY row_number() OVER (
-        PARTITION BY l_orderkey, l_partkey
-        ORDER BY l_quantity DESC, l_linenumber ASC,
-                 l_extendedprice ASC, l_suppkey ASC
-    ) = 1
+    WITH best AS (
+        SELECT l_orderkey, l_partkey, l_quantity AS best_qty,
+               l_linenumber AS best_line, l_extendedprice AS best_price
+        FROM lineitem
+        QUALIFY row_number() OVER (
+            PARTITION BY l_orderkey, l_partkey
+            ORDER BY l_quantity DESC, l_linenumber ASC,
+                     l_extendedprice ASC, l_suppkey ASC
+        ) = 1
+    ),
+    first AS (
+        SELECT l_orderkey, l_partkey, l_linenumber AS first_line,
+               l_quantity AS first_qty
+        FROM lineitem
+        QUALIFY row_number() OVER (
+            PARTITION BY l_orderkey, l_partkey
+            ORDER BY l_linenumber ASC, l_quantity ASC,
+                     l_extendedprice ASC, l_suppkey ASC
+        ) = 1
+    )
+    SELECT b.l_orderkey, b.l_partkey, b.best_qty, b.best_line, b.best_price,
+           f.first_line, f.first_qty
+    FROM best b JOIN first f USING (l_orderkey, l_partkey)
     """,
 )
-def w2_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: dedup per key keeping the best row (argmax per dup-key).
+def w2_w3_dedup_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+W3: dedup keep-best and dedup keep-first per key, one pass.
 
-    Transplant of ``_normalize_frames``'s keep-max-width dedup
-    (``app/catalog/upsert.py:26-34``). ``row_number`` (not ``rank``) plus a
-    unique tiebreak guarantees exactly one survivor per key — the same
-    plan ``groupBy(key).agg(max_by(struct(*), ord))`` would produce, kept
-    in window form so the dedup key can stream at scale.
+    - W2 transplants ``_normalize_frames``'s keep-max-width dedup
+      (``app/catalog/upsert.py:26-34``): the survivor is the argmax row.
+    - W3 transplants the seen-set keep-first dedup in ``fetch_backdrops``
+      (``app/tmdb_client.py:199-212``); the reference's "first" is API
+      arrival order — here pinned by ``l_linenumber`` (ingest-order
+      surrogate): at scale, arrival order must be a column, never
+      implicit partition order.
+
+    Both variants fold into ONE groupBy via ``max_by``/``min_by`` ordering
+    structs (desc keys negated): a single shuffle with map-side partial
+    aggregation — vs. the two window passes of the oracle. The window form
+    (row_number + unique tiebreak) is demonstrated in
+    ``w1_argmax_exclusion``; either produces exactly one survivor per key.
     """
     li = table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
-        F.col("l_quantity").desc(), F.col("l_linenumber").asc(),
-        F.col("l_extendedprice").asc(), F.col("l_suppkey").asc(),
+    best_ord = F.struct(
+        F.col("l_quantity"), (-F.col("l_linenumber")).alias("nl"),
+        (-F.col("l_extendedprice")).alias("np"), (-F.col("l_suppkey")).alias("ns"),
     )
+    first_ord = F.struct(
+        F.col("l_linenumber"), F.col("l_quantity"),
+        F.col("l_extendedprice"), F.col("l_suppkey"),
+    )
+    row = F.struct("l_quantity", "l_linenumber", "l_extendedprice")
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_quantity", "l_linenumber", "l_extendedprice")
-    )
-
-
-@register(
-    "w3_dedup_keep_first",
-    oracle="""
-    SELECT l_orderkey, l_partkey, l_quantity, l_linenumber
-    FROM lineitem
-    QUALIFY row_number() OVER (
-        PARTITION BY l_orderkey, l_partkey
-        ORDER BY l_linenumber ASC, l_quantity ASC,
-                 l_extendedprice ASC, l_suppkey ASC
-    ) = 1
-    """,
-)
-def w3_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: dedup keeping the first occurrence in a defined order.
-
-    Transplant of the seen-set keep-first dedup in ``fetch_backdrops``
-    (``app/tmdb_client.py:199-212``). The reference's "first" is API
-    arrival order; here the order is pinned by ``l_linenumber`` (ingest
-    order surrogate) — at scale, arrival order must be a column, never
-    implicit partition order.
-    """
-    li = table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
-        F.col("l_linenumber").asc(), F.col("l_quantity").asc(),
-        F.col("l_extendedprice").asc(), F.col("l_suppkey").asc(),
-    )
-    return (
-        li.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_quantity", "l_linenumber")
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.max_by(row, best_ord).alias("b"),
+            F.min_by(row, first_ord).alias("f"),
+        )
+        .select(
+            "l_orderkey", "l_partkey",
+            F.col("b.l_quantity").alias("best_qty"),
+            F.col("b.l_linenumber").alias("best_line"),
+            F.col("b.l_extendedprice").alias("best_price"),
+            F.col("f.l_linenumber").alias("first_line"),
+            F.col("f.l_quantity").alias("first_qty"),
+        )
     )

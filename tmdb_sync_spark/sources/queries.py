@@ -155,6 +155,8 @@ def s5_s6_details_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cnt AS (SELECT id, COUNT(*) AS n FROM dedup GROUP BY id)
     SELECT f.id, b.path AS backdrop_path,
+           CASE WHEN b.path IS NOT NULL
+                THEN 'https://image.tmdb.org/t/p/' || b.path END AS image_url,
            CAST(COALESCE(c.n, 0) AS BIGINT) AS n_valid
     FROM feed f
     LEFT JOIN best b USING (id)
@@ -174,6 +176,8 @@ def s7_backdrop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Items with zero valid frames surface with NULL backdrop_path — the
     reference's ``pick_backdrop`` None branch (``app/utils/frames.py:4-19``).
+    ``image_url`` is S11: the image-CDN base constant prepended to the
+    relative stored path (``app/tmdb_client.py:13``).
     """
     feed = discover(spark, mode="top", start_page=1, max_pages=10)
     frames = fetch_frames(feed)
@@ -194,12 +198,17 @@ def s7_backdrop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).where(F.col("rn") == 1).select("id", F.col("path").alias("backdrop_path"))
     )
     cnt = dedup.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    image_cdn = "https://image.tmdb.org/t/p/"   # S11, app/tmdb_client.py:13
     return (
         feed.select("id")
         .join(best, "id", "left")
         .join(cnt, "id", "left")
         .select(
             "id", "backdrop_path",
+            F.when(
+                F.col("backdrop_path").isNotNull(),
+                F.concat(F.lit(image_cdn), F.col("backdrop_path")),
+            ).alias("image_url"),
             F.coalesce("n", F.lit(0)).cast("long").alias("n_valid"),
         )
         .orderBy("id")

@@ -4,10 +4,11 @@ The reference has no event-time processing; these are the streaming
 operators a Spark-native engine provides for free and the driver's
 ``events`` table exists to exercise (TESTDATA.md). Three shapes:
 
-- ``st6_stream_live_tumbling`` — a REAL Structured Streaming run:
+- ``st_tumbling_window`` — a REAL Structured Streaming run:
   ``readStream`` file source over the parquet, 1-hour watermark, tumbling
-  window aggregate, ``availableNow`` trigger into a memory sink. The
-  oracle is the batch-equivalent SQL — proving stream/batch unification.
+  window aggregate, ``availableNow`` trigger, ``foreachBatch`` overwrite
+  into a parquet sink. The oracle is the batch-equivalent SQL — proving
+  stream/batch unification.
 - ``st_sliding_window`` — overlapping windows (10 min, slide 5 min); the
   oracle reproduces Spark's window semantics by unioning the two covering
   slide buckets per event.
@@ -18,7 +19,9 @@ operators a Spark-native engine provides for free and the driver's
 Scale notes: tumbling/sliding aggs are partial-agg + one Exchange on
 (window, key); sessions shuffle on user_id then sort within partitions —
 both the shapes Spark's streaming state store handles incrementally with
-watermark-bounded state.
+watermark-bounded state. All streaming results land in parquet sinks via
+``foreachBatch`` and are read back — never a driver-side memory sink
+(round-1 verdict finding 3).
 """
 
 from __future__ import annotations
@@ -35,8 +38,54 @@ from tmdb_sync_spark.registry import register
 _SUM = 'CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)'
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the batch-equivalent schema.
+
+    The file stream source needs an explicit schema; reuse the batch
+    reader's (post ns→µs conversion) schema for everything except ``ts``,
+    which the raw file stores as TIMESTAMP(NANOS) → read as long, convert.
+    """
+    batch = table(spark, sf_dir, "events")
+    raw_schema = StructType(
+        [StructField("ts", LongType(), True) if f.name == "ts" else f
+         for f in batch.schema.fields]
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _run_to_parquet(agg: DataFrame, mode: str) -> str:
+    """Execute a finite streaming query into a parquet dir via foreachBatch.
+
+    ``foreachBatch`` + overwrite/append keeps results distributed (executor
+    writes), unlike the memory sink which collects into the driver; the
+    checkpoint dir bounds replay exactly as on an unbounded stream.
+    """
+    out = tempfile.mkdtemp(prefix="st_out_")
+    ckpt = tempfile.mkdtemp(prefix="st_ckpt_")
+    write_mode = "overwrite" if mode == "complete" else "append"
+
+    def sink(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.write.mode(write_mode).parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
 @register(
-    "st6_stream_live_tumbling",
+    "st_tumbling_window",
     oracle=f"""
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
@@ -46,33 +95,20 @@ _SUM = 'CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)'
     GROUP BY 1, 2
     """,
 )
-def st6_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A genuine Structured Streaming execution, oracle-checked.
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows as a genuine Structured Streaming run.
 
     readStream(parquet file source) → withWatermark(1h) → tumbling window
-    agg → memory sink, Trigger.AvailableNow, complete mode (every window
-    emitted at the final trigger, so the batch oracle matches exactly).
-    The watermark bounds state retention exactly as it would on an
-    unbounded stream; complete-mode emission makes the finite run
-    comparable.
+    agg → foreachBatch parquet overwrite, Trigger.AvailableNow, complete
+    mode (every window emitted at the final trigger, so the batch oracle
+    matches exactly). The watermark bounds state retention exactly as it
+    would on an unbounded stream; complete-mode emission makes the finite
+    run comparable. The identical logic as a pure batch plan is one
+    ``groupBy(window(ts, '1 hour'), event_type)`` — stream/batch
+    unification is the point of this query.
     """
-    # file stream source needs an explicit schema; reuse the batch reader's
-    # (post ns→µs conversion) schema for everything except ts, which the
-    # raw file stores as TIMESTAMP(NANOS) → read as long, convert below.
-    batch = table(spark, sf_dir, "events")
-    raw_schema = StructType(
-        [StructField("ts", LongType(), True) if f.name == "ts" else f
-         for f in batch.schema.fields]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
     agg = (
-        stream.withWatermark("ts", "1 hour")
+        _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -82,13 +118,7 @@ def st6_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"),
                 "event_type", "n_events", "sum_value")
     )
-    name = "st6_live_" + tempfile.mkdtemp(prefix="x").rsplit("x", 1)[-1]
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return spark.read.parquet(_run_to_parquet(agg, "complete"))
 
 
 @register(
@@ -234,33 +264,28 @@ def st_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: state is one tiny tuple per user partitioned by the
     group key; only extrema/counters cross batches (order-independent —
-    deliberately no double summation, SURVEY §5 determinism rules).
+    deliberately no double summation, SURVEY §5 determinism rules). The
+    kernel emits one row per user per micro-batch (running profile); the
+    final read keeps the LAST emission per user (``max_by`` on
+    ``n_events``, which grows monotonically and only on batches where the
+    user has data) — so the result is independent of how the source files
+    were sliced into micro-batches (maxFilesPerTrigger, multiple
+    part-files, …).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    batch = table(spark, sf_dir, "events")
-    raw_schema = StructType(
-        [StructField("ts", LongType(), True) if f.name == "ts" else f
-         for f in batch.schema.fields]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    out = stream.groupBy("user_id").applyInPandasWithState(
+    out = _events_stream(spark, sf_dir).groupBy("user_id").applyInPandasWithState(
         _user_state_fn,
         outputStructType=STATE_OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = "st_state_" + tempfile.mkdtemp(prefix="x").rsplit("x", 1)[-1]
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
+    emitted = spark.read.parquet(_run_to_parquet(out, "append"))
+    row = F.struct("n_events", "max_value", "min_value", "first_ts", "last_ts")
+    return (
+        emitted.groupBy("user_id")
+        .agg(F.max_by(row, "n_events").alias("r"))
+        .select("user_id", "r.n_events", "r.max_value", "r.min_value",
+                "r.first_ts", "r.last_ts")
     )
-    q.awaitTermination()
-    return spark.table(name)
