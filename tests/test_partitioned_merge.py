@@ -55,10 +55,10 @@ def test_untouched_partitions_not_rewritten(spark, sf_dir):
     # materialize expectations BEFORE the swap invalidates source's files
     expected = {r["o_orderkey"]: r["o_totalprice"] for r in source.collect()}
 
-    touched = merge_into_partitioned(
+    res = merge_into_partitioned(
         spark, target, source, keys=["o_orderkey"], partition_col="o_year"
     )
-    assert sorted(touched) == touch
+    assert sorted(res["touched"]) == touch
 
     after = {
         y: _snapshot(os.path.join(target, f"o_year={y}")) for y in years
@@ -77,3 +77,36 @@ def test_untouched_partitions_not_rewritten(spark, sf_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_ingest_loop_prunes_partitions(spark):
+    """The live ingestion loop (run_sync_top) must rewrite only the year
+    partitions present in the batch — the O(total state) full rewrite was
+    round-1 verdict finding 2."""
+    import tempfile
+
+    from tmdb_sync_spark.streaming.ingest import run_sync_top
+
+    d = tempfile.mkdtemp(prefix="ingest_prune_")
+    run_sync_top(spark, d, max_pages=5, resume=True)       # ids 1..100
+    movies = f"{d}/movies"
+    years = sorted(
+        int(e.split("=")[1])
+        for e in os.listdir(movies)
+        if e.startswith("year=")
+    )
+    n0 = spark.read.parquet(movies).count()
+    before = {y: _snapshot(os.path.join(movies, f"year={y}")) for y in years}
+
+    # re-sync page 1 only: ids 1..20 → years 1951..1970 touched
+    stats = run_sync_top(spark, d, max_pages=1, resume=False, start_page=1)
+    assert stats["inserted"] == 0 and stats["updated"] == 20
+
+    touched = set(range(1951, 1971))
+    after = {y: _snapshot(os.path.join(movies, f"year={y}")) for y in years}
+    for y in years:
+        if y in touched:
+            assert after[y] != before[y], f"touched partition {y} unchanged"
+        else:
+            assert after[y] == before[y], f"untouched partition {y} rewritten"
+    assert spark.read.parquet(movies).count() == n0

@@ -28,18 +28,42 @@ scope, as in Hive static-partition MERGE: the reference's partition key
 
 from __future__ import annotations
 
+from collections.abc import Mapping, Sequence
+
 import os
 import shutil
-from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tmdb_sync_spark.plans.merge import merge_into
+from tmdb_sync_spark.plans.merge import ACTION_COL, merge_into
 
 
 def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+
+
+def _swap_partition(target_dir: str, staging: str, pdir: str) -> None:
+    """Replace one partition dir with its staged version.
+
+    Rename the old dir aside FIRST, then move staging in, then delete the
+    old copy — a crash between steps leaves either the old or the new
+    partition fully in place, never neither (the naive rmtree-then-move
+    order loses the partition if interrupted). Not fully crash-atomic
+    (two renames), matching local-FS/HDFS semantics; on object stores
+    this is the job committer's / table format's job.
+    """
+    dst = os.path.join(target_dir, pdir)
+    src = os.path.join(staging, pdir)
+    old = dst + ".old"
+    if not os.path.isdir(src):
+        return
+    if os.path.isdir(old):          # leftover from an interrupted swap
+        shutil.rmtree(old)
+    if os.path.isdir(dst):
+        os.rename(dst, old)
+    shutil.move(src, dst)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def merge_into_partitioned(
@@ -48,27 +72,54 @@ def merge_into_partitioned(
     source: DataFrame,
     keys: Sequence[str],
     partition_col: str,
-) -> list:
+    matched_update: Mapping[str, Column] | None = None,
+    not_matched_insert: Mapping[str, Column] | None = None,
+    count_actions: bool = False,
+) -> dict:
     """MERGE ``source`` into the partitioned table at ``target_dir``,
-    rewriting only touched partitions. Returns the touched values."""
+    rewriting only touched partitions.
+
+    ``matched_update`` / ``not_matched_insert`` pass through to
+    :func:`plans.merge.merge_into` (J4 preserve rules, ``$setOnInsert``).
+    With ``count_actions`` the insert/update/noop row counts come back
+    (the reference's per-run counters, ``app/sync_top.py:267-273``) —
+    computed over the cached merge output, so the full-outer join runs
+    once and both the counters and the staging write read the cache;
+    every job in here scans touched partitions only.
+
+    Returns ``{"touched": [...], "counts": {action: n} | None}``.
+    """
     touched = [
         r[0] for r in source.select(partition_col).distinct().collect()
     ]
     target = spark.read.parquet(target_dir).where(
         F.col(partition_col).isin(touched)
     )
-    merged = merge_into(target, source, keys)
+    merged = merge_into(
+        target, source, keys,
+        matched_update=matched_update,
+        not_matched_insert=not_matched_insert,
+        with_action=count_actions,
+    )
     staging = target_dir.rstrip("/") + "__staging"
-    merged.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
+    counts: dict | None = None
+    if count_actions:
+        merged = merged.persist()
+        counts = {
+            r[ACTION_COL]: r["n"]
+            for r in merged.groupBy(ACTION_COL)
+                           .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        merged.drop(ACTION_COL).write.partitionBy(partition_col).mode(
+            "overwrite"
+        ).parquet(staging)
+        merged.unpersist()
+    else:
+        merged.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
     for v in touched:
-        pdir = f"{partition_col}={v}"
-        dst, src = os.path.join(target_dir, pdir), os.path.join(staging, pdir)
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        if os.path.isdir(src):
-            shutil.move(src, dst)
+        _swap_partition(target_dir, staging, f"{partition_col}={v}")
     shutil.rmtree(staging, ignore_errors=True)
     # Spark's session-wide FileStatusCache would otherwise serve the old
     # listing (deleted part files) to subsequent reads of this path.
     spark.catalog.refreshByPath(target_dir)
-    return touched
+    return {"touched": touched, "counts": counts}

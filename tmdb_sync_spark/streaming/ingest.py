@@ -15,21 +15,29 @@ standing in for the reference's per-item error taxonomy
 (``app/sync_top.py:222-265``) so the skip/dead-letter path is oracle-
 checkable.
 
-Scale posture: the per-batch state rewrite is a full-outer-join MERGE into
-a versioned parquet dir; on a cluster the target is Delta/Iceberg
-partitioned by ``year`` with the join pruned to touched partitions. Batch
-counters (A8) come from one ``groupBy(merge_action)`` over the merge
-output, not per-row bookkeeping.
+Scale posture: the movies state is a ``year``-partitioned parquet table
+and every micro-batch MERGE goes through
+``plans.partitioned.merge_into_partitioned`` — the target scan carries a
+partition filter on the years present in the batch and ONLY those
+partition directories are rewritten (round-1 verdict finding 2: the
+previous full-state rewrite was O(total state) per batch). On a cluster
+the same call sites target Delta/Iceberg. Batch counters (A8) come from
+one ``groupBy(merge_action)`` over the merge output, not per-row
+bookkeeping.
 """
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tmdb_sync_spark.plans.merge import ACTION_COL, merge_into
+from tmdb_sync_spark.plans.partitioned import (
+    merge_into_partitioned,
+    write_partitioned,
+)
 from tmdb_sync_spark.sources.enrich import enrich_details, fetch_frames
 from tmdb_sync_spark.sources.queries import discover
 from tmdb_sync_spark.streaming import state as st
@@ -63,12 +71,18 @@ def _build_source(feed: DataFrame) -> DataFrame:
     dedup = valid.groupBy("id", "path").agg(
         F.min_by(F.struct("vote_average", "width"), "j").alias("s")
     )
-    # (vote_average, width) pairs are distinct within an id for deduped
-    # fixture frames (widths differ whenever averages collide), so max_by
-    # needs no further tiebreak to agree with the oracle.
+    # Total order (vote_average desc, width desc, path asc) via min_by on
+    # negated numeric keys — the path tiebreak pins the argmax even when
+    # (vote_average, width) pairs collide, so the result never depends on
+    # fixture-specific distinctness (round-1 advisor finding).
     best = dedup.groupBy("id").agg(
-        F.max_by(
-            "path", F.struct(F.col("s.vote_average"), F.col("s.width"))
+        F.min_by(
+            "path",
+            F.struct(
+                (-F.col("s.vote_average")).alias("nva"),
+                (-F.col("s.width")).alias("nw"),
+                F.col("path"),
+            ),
         ).alias("cand"),
         F.count(F.lit(1)).alias("n_valid_frames"),
     )
@@ -128,28 +142,24 @@ def run_sync_top(
             ).write.mode("append").parquet(errors_path)
 
             ok = src.where(~(failed | skipped)).drop("page")
-            target = st.read_state(spark, movies_path)
-            if target is None:
-                target = ok.limit(0).withColumn(
-                    "created_at", F.col("synced_at"))
-            merged = merge_into(
-                target, ok, keys=["id", "content_type"],
-                # J4 / $setOnInsert: created_at only on insert; preserved on
-                # update (app/catalog/upsert.py:91)
-                not_matched_insert={"created_at": F.col("s.synced_at")},
-                with_action=True,
-            ).cache()
-            try:
-                counts = {
-                    r[ACTION_COL]: r["n"]
-                    for r in merged.groupBy(ACTION_COL)
-                                   .agg(F.count(F.lit(1)).alias("n")).collect()
-                }
-                inserted += counts.get("insert", 0)
-                updated += counts.get("update", 0)
-                st.commit(merged.drop(ACTION_COL), movies_path)
-            finally:
-                merged.unpersist()
+            if not os.path.isdir(movies_path):
+                # bootstrap: first batch creates the partitioned table —
+                # every row is an insert, created_at = synced_at
+                # ($setOnInsert on the insert branch, app/catalog/upsert.py:91)
+                boot = ok.withColumn("created_at", F.col("synced_at"))
+                write_partitioned(boot, movies_path, "year")
+                inserted += ok.count()
+            else:
+                res = merge_into_partitioned(
+                    spark, movies_path, ok,
+                    keys=["id", "content_type"], partition_col="year",
+                    # J4 / $setOnInsert: created_at only on insert;
+                    # preserved on update (app/catalog/upsert.py:91)
+                    not_matched_insert={"created_at": F.col("s.synced_at")},
+                    count_actions=True,
+                )
+                inserted += res["counts"].get("insert", 0)
+                updated += res["counts"].get("update", 0)
         finally:
             src.unpersist()
         page = last_page

@@ -104,7 +104,7 @@ def st1_st3_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``app/catalog/upsert.py:68,91``); dead-lettered ids are absent.
     """
     d = scenario_dir(spark)
-    movies = st.read_state(spark, f"{d}/movies")
+    movies = spark.read.parquet(f"{d}/movies")
     return movies.select(
         "id", "year", "is_animated",
         F.coalesce("title_ru", "title", "name").alias("display_title"),
@@ -157,7 +157,7 @@ def st4_a8_cursor_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("category") == "other", 1).otherwise(0))
          .cast("long").alias("n_other_errors"),
     )
-    n_movies = st.read_state(spark, f"{d}/movies").agg(
+    n_movies = spark.read.parquet(f"{d}/movies").agg(
         F.count(F.lit(1)).alias("n_movies"))
     return cursor.crossJoin(err_counts).crossJoin(n_movies)
 
@@ -232,7 +232,7 @@ def w1_j4_frames_moderation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the pipeline's MERGE output, not recomputed from scratch.
     """
     d = scenario_dir(spark)
-    movies = st.read_state(spark, f"{d}/movies")
+    movies = spark.read.parquet(f"{d}/movies")
     from tmdb_sync_spark.sources.enrich import fetch_frames
 
     marked = movies.where(
@@ -252,8 +252,13 @@ def w1_j4_frames_moderation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     best2 = kept.groupBy("id").agg(
-        F.max_by(
-            "path", F.struct(F.col("s.vote_average"), F.col("s.width"))
+        F.min_by(
+            "path",
+            F.struct(
+                (-F.col("s.vote_average")).alias("nva"),
+                (-F.col("s.width")).alias("nw"),
+                F.col("path"),
+            ),
         ).alias("new_backdrop")
     )
     return (
