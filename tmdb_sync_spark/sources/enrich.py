@@ -9,11 +9,12 @@ cluster this runs once per input partition with connection reuse — the
 correct scale shape for a remote keyed lookup (semantically a left join
 against the remote source, SURVEY §2.1 S5).
 
-The fixture (``fixture.py``) stands in for httpx; a production deployment
-would swap ``_details_client`` for a real pooled HTTP client with the
-reference's retry policy (3 attempts, ``app/tmdb_client.py:390``) — the
-Spark-side plumbing (schemas, batching, partitioning) is identical and is
-what's under test.
+All lookups go through the injectable client seam
+(``sources/http_client.py``): the shared 3-attempt retry with linear
+backoff (``app/tmdb_client.py:390``) over either the deterministic fixture
+transport (default) or a pooled httpx transport (TMDB_API_BASE opt-in) —
+a production deployment swaps the transport without touching the tested
+Spark-side plumbing (schemas, batching, partitioning).
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from tmdb_sync_spark.sources import fixture
+from tmdb_sync_spark.sources.http_client import get_api
 
 FRAME_SCHEMA = (
     "id BIGINT, path STRING, aspect_ratio DOUBLE, vote_average DOUBLE, "
@@ -44,14 +45,18 @@ def enrich_details(df: DataFrame) -> DataFrame:
     ) + ", title_ru STRING, country_codes ARRAY<STRING>"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        api = get_api()   # per-process pooled client
         for pdf in it:
             ids = pdf["id"]
+            cts = pdf["content_type"] if "content_type" in pdf else ["movie"] * len(pdf)
             pdf = pdf.copy()
-            pdf["title_ru"] = [fixture.title_ru(int(i)) for i in ids]
+            pdf["title_ru"] = [
+                api.title_ru(int(i), ct) for i, ct in zip(ids, cts)
+            ]
             pdf["country_codes"] = [
                 [c["iso_3166_1"]
-                 for c in fixture.details(int(i))["production_countries"]]
-                for i in ids
+                 for c in api.details(int(i), ct)["production_countries"]]
+                for i, ct in zip(ids, cts)
             ]
             yield pdf
 
@@ -67,11 +72,15 @@ def fetch_frames(ids_df: DataFrame) -> DataFrame:
     """
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        api = get_api()
         for pdf in it:
             rows = [
-                {"id": int(i), **fixture.frame(int(i), j)}
+                {"id": int(i), "path": b["file_path"],
+                 "aspect_ratio": b["aspect_ratio"],
+                 "vote_average": b["vote_average"], "width": b["width"],
+                 "j": j}
                 for i in pdf["id"]
-                for j in range(fixture.n_frames(int(i)))
+                for j, b in enumerate(api.backdrops(int(i)))
             ]
             yield pd.DataFrame(
                 rows,

@@ -1,0 +1,250 @@
+"""Injectable TMDB API client — fixture and real HTTP share one code path.
+
+The reference talks to TMDB through httpx with a bounded-attempt retry and
+linear backoff (5 attempts for discover/category ``app/sync_top.py:46``,
+3 for details/images/ru-title ``app/tmdb_client.py:55,175,390``,
+``sleep(attempt)`` backoff ``app/sync_top.py:117``, timeouts 30 s total /
+10 s connect ``app/tmdb_client.py:14``) and dead-letters failures into
+``sync_errors`` with an http/other taxonomy (``app/tmdb_client.py:76-85,
+161-165``).
+
+Here that policy lives ONCE, in :func:`request_with_retry` /
+:func:`error_record`, over a swappable transport:
+
+- :class:`FixtureTransport` — deterministic responses computed from
+  ``fixture.py``'s formulas (the default; tests and the sandbox never
+  touch a network). Transient failures are simulated per endpoint so the
+  retry loop is genuinely exercised: discover pages where
+  ``page % 7 == 0`` only respond on attempt ``1 + page % 3``.
+- :class:`HttpxTransport` — a pooled real client (import-gated; httpx is
+  absent from this container) with the reference's timeout policy.
+
+Executors construct the transport lazily per process via :func:`get_api`
+(transports hold sockets/state and must not be pickled into tasks);
+setting ``TMDB_API_BASE`` (+ optional ``TMDB_API_KEY``) opts a deployment
+into the real transport without touching any tested code.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+
+from tmdb_sync_spark.sources import fixture
+
+DISCOVER_ATTEMPTS = 5   # app/sync_top.py:46
+DETAIL_ATTEMPTS = 3     # app/tmdb_client.py:55,175,390
+
+
+class TransientHttpError(RuntimeError):
+    """Network-level failure or retryable status — retry then dead-letter."""
+
+
+class HttpStatusError(RuntimeError):
+    """Non-retryable HTTP failure; carries the status code."""
+
+    def __init__(self, status_code: int, text: str = ""):
+        super().__init__(f"HTTP {status_code}: {text[:200]}")
+        self.status_code = status_code
+
+
+def request_with_retry(
+    transport,
+    endpoint: str,
+    params: dict | None = None,
+    max_attempts: int = DISCOVER_ATTEMPTS,
+    backoff: Callable[[int], None] | None = None,
+) -> dict:
+    """The reference's bounded retry loop with linear backoff, shared by
+    every fetch site (``app/sync_top.py:44-121``). ``backoff`` defaults to
+    the transport's policy (fixture: no-op; httpx: ``sleep(attempt)``)."""
+    if backoff is None:
+        backoff = getattr(transport, "backoff", lambda attempt: None)
+    last: Exception | None = None
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return transport.request(endpoint, params or {})
+        except TransientHttpError as e:
+            last = e
+            if attempt < max_attempts:
+                backoff(attempt)   # linear: sleep(attempt) in production
+    raise last  # type: ignore[misc]
+
+
+def error_record(endpoint: str, exc: Exception, **context) -> dict:
+    """A ``sync_errors`` dead-letter row (``app/tmdb_client.py:76-85``:
+    http failures carry status_code; generic failures carry the message —
+    the taxonomy ST4 queries group on)."""
+    rec = {
+        "endpoint": endpoint,
+        "category": "http" if isinstance(exc, HttpStatusError) else "other",
+        "status_code": getattr(exc, "status_code", None),
+        "error": str(exc)[:200],
+        **context,
+    }
+    return rec
+
+
+class FixtureTransport:
+    """Deterministic stand-in for the TMDB API, endpoint-compatible with
+    the reference's request shapes. Stateful attempt counting simulates a
+    flaky upstream so the shared retry loop is exercised for real."""
+
+    backoff = staticmethod(lambda attempt: None)   # deterministic — no waits
+
+    def __init__(self) -> None:
+        self._attempts: dict = {}
+
+    def request(self, endpoint: str, params: dict) -> dict:
+        key = (endpoint, tuple(sorted(params.items())))
+        n = self._attempts[key] = self._attempts.get(key, 0) + 1
+        page = int(params.get("page", 1))
+        if endpoint.startswith(("/discover/", "/movie/", "/tv/")) and \
+                "page" in params and page % 7 == 0 and n < 1 + page % 3:
+            raise TransientHttpError(f"fixture transient on {endpoint} p{page}")
+
+        if endpoint == "/discover/movie" and "primary_release_date.gte" in params:
+            year = int(params["primary_release_date.gte"][:4])
+            return self._page(params, fixture.YEAR_ITEMS["movie"],
+                              lambda r: fixture.year_item(year, r, "movie"))
+        if endpoint == "/discover/tv":
+            year = int(params["first_air_date.gte"][:4])
+            return self._page(params, fixture.YEAR_ITEMS["tv"],
+                              lambda r: fixture.year_item(year, r, "tv"))
+        if endpoint == "/discover/movie":
+            return self._page(params, fixture.TOTAL_TOP, fixture.top_movie)
+        for ct in ("movie", "tv"):
+            prefix = f"/{ct}/"
+            if endpoint.startswith(prefix):
+                rest = endpoint[len(prefix):]
+                if rest in fixture.CATEGORY_CODES:   # /movie/{category}
+                    return self._page(
+                        params, fixture.CAT_ITEMS,
+                        lambda r: fixture.category_item(rest, r, ct),
+                    )
+                if rest.endswith("/images"):         # /{type}/{id}/images
+                    mid = int(rest.split("/")[0])
+                    return {"backdrops": [
+                        {"file_path": f["path"], "aspect_ratio": f["aspect_ratio"],
+                         "vote_average": f["vote_average"], "width": f["width"]}
+                        for f in (fixture.frame(mid, j)
+                                  for j in range(fixture.n_frames(mid)))
+                    ]}
+                if rest.isdigit():                   # /{type}/{id} details
+                    mid = int(rest)
+                    if params.get("language") == "ru-RU":
+                        t = fixture.title_ru(mid)
+                        return {"title": t, "name": t}
+                    return fixture.details(mid)
+        raise HttpStatusError(404, endpoint)
+
+    @staticmethod
+    def _page(params: dict, total: int, item_fn) -> dict:
+        page = int(params.get("page", 1))
+        lo = (page - 1) * fixture.PAGE_SIZE
+        hi = min(lo + fixture.PAGE_SIZE, total)
+        return {
+            "page": page,
+            "results": [item_fn(r) for r in range(lo, hi)],
+            "total_pages": -(-total // fixture.PAGE_SIZE),
+        }
+
+
+class HttpxTransport:
+    """Pooled real client with the reference's policy (import-gated —
+    httpx is not in this container; the class is exercised only by a
+    deployment that opts in via TMDB_API_BASE)."""
+
+    backoff = staticmethod(time.sleep)   # linear, app/sync_top.py:117
+
+    def __init__(self, base_url: str, api_key: str | None = None) -> None:
+        import httpx   # deferred: absent in the sandbox
+
+        self._api_key = api_key
+        self._client = httpx.Client(
+            base_url=base_url,
+            timeout=httpx.Timeout(30.0, connect=10.0),  # app/tmdb_client.py:14
+        )
+
+    def request(self, endpoint: str, params: dict) -> dict:
+        if self._api_key:
+            params = {**params, "api_key": self._api_key}
+        try:
+            resp = self._client.get(endpoint, params=params)
+        except Exception as e:   # DNS/conn/timeouts → retryable
+            raise TransientHttpError(str(e)) from e
+        if resp.status_code in (429, 500, 502, 503, 504):
+            raise TransientHttpError(f"HTTP {resp.status_code}")
+        if resp.status_code != 200:
+            raise HttpStatusError(resp.status_code, resp.text)
+        return resp.json()
+
+
+class TmdbApi:
+    """The fetch surface of the reference's client, one method per
+    endpoint family, all funnelled through :func:`request_with_retry`."""
+
+    def __init__(self, transport) -> None:
+        self.transport = transport
+
+    # -- discover feeds (S1-S4) --------------------------------------------
+    def discover_top(self, page: int) -> dict:
+        return request_with_retry(
+            self.transport, "/discover/movie",
+            {"sort_by": "vote_count.desc", "include_adult": False, "page": page},
+            DISCOVER_ATTEMPTS,
+        )
+
+    def discover_year(self, year: int, page: int, content_type: str) -> dict:
+        date_key = ("primary_release_date" if content_type == "movie"
+                    else "first_air_date")   # app/sync_years.py:54-63
+        return request_with_retry(
+            self.transport, f"/discover/{content_type}",
+            {f"{date_key}.gte": f"{year}-01-01", f"{date_key}.lte": f"{year}-12-31",
+             "sort_by": "popularity.desc", "page": page},
+            DISCOVER_ATTEMPTS,
+        )
+
+    def category(self, category: str, page: int, content_type: str) -> dict:
+        return request_with_retry(
+            self.transport, f"/{content_type}/{category}", {"page": page},
+            DISCOVER_ATTEMPTS,
+        )
+
+    # -- per-item enrichment (S5-S7) ---------------------------------------
+    def details(self, item_id: int, content_type: str = "movie") -> dict:
+        return request_with_retry(
+            self.transport, f"/{content_type}/{item_id}", {}, DETAIL_ATTEMPTS,
+        )
+
+    def title_ru(self, item_id: int, content_type: str = "movie") -> str | None:
+        d = request_with_retry(
+            self.transport, f"/{content_type}/{item_id}",
+            {"language": "ru-RU"}, DETAIL_ATTEMPTS,
+        )
+        return d.get("title") or d.get("name")   # app/sync.py:36 coalesce
+
+    def backdrops(self, item_id: int, content_type: str = "movie") -> list[dict]:
+        d = request_with_retry(
+            self.transport, f"/{content_type}/{item_id}/images", {},
+            DETAIL_ATTEMPTS,
+        )
+        return d.get("backdrops", [])
+
+
+_API: TmdbApi | None = None
+
+
+def get_api() -> TmdbApi:
+    """Per-process API singleton (executors call this inside tasks —
+    transports hold sockets/attempt state and are never pickled)."""
+    global _API
+    if _API is None:
+        base = os.environ.get("TMDB_API_BASE")
+        transport = (
+            HttpxTransport(base, os.environ.get("TMDB_API_KEY"))
+            if base else FixtureTransport()
+        )
+        _API = TmdbApi(transport)
+    return _API

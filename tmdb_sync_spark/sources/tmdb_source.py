@@ -12,10 +12,13 @@ reference never had. Options mirror the reference's request parameters:
 - ``start_page`` / ``max_pages``: resume offset + bound (ST2/ST3;
   app/sync_top.py:133-134, app/sync_years.py:15,184)
 
-Per-page transient failures are retried with the reference's bounded-attempt
-loop (5 attempts, app/sync_top.py:46) — simulated deterministically by the
-fixture (page % 7 picks how many attempts succeed) so the retry path is
-exercised without a network or sleeps.
+All fetches go through the injectable client seam
+(``sources/http_client.py``): the shared bounded-attempt retry loop
+(5 attempts, app/sync_top.py:46) runs over either the deterministic
+fixture transport (default — discover pages where page % 7 == 0 only
+respond after 1 + page % 3 attempts, so the retry path is exercised
+without a network or sleeps) or a pooled httpx transport (TMDB_API_BASE
+opt-in) — same code path either way.
 
 At 100 TB posture: one partition per small page range keeps every task
 bounded-memory; no driver-side materialization ever happens (rows stream
@@ -32,6 +35,7 @@ from pyspark.sql.datasource import (
 )
 
 from tmdb_sync_spark.sources import fixture
+from tmdb_sync_spark.sources.http_client import get_api
 
 SCHEMA = (
     "id BIGINT, content_type STRING, title STRING, name STRING, "
@@ -41,7 +45,6 @@ SCHEMA = (
 _COLS = ("id", "content_type", "title", "name", "release_date",
          "popularity", "vote_average", "vote_count", "genre_ids", "page")
 PAGES_PER_PARTITION = 4
-MAX_ATTEMPTS = 5   # app/sync_top.py:46
 
 
 class _PageRange(InputPartition):
@@ -49,21 +52,14 @@ class _PageRange(InputPartition):
         self.first, self.last = first, last
 
 
-class _TransientHttpError(RuntimeError):
-    pass
-
-
-def _fetch_page_with_retry(page: int, items_fn) -> list[dict]:
-    """The reference's bounded retry loop (app/sync_top.py:44-121), with the
-    fixture standing in for httpx: pages where page % 7 == 0 need
-    1 + page % 3 attempts before 'responding'."""
-    needed = 1 + page % 3 if page % 7 == 0 else 1
-    for attempt in range(1, MAX_ATTEMPTS + 1):
-        if attempt >= needed:
-            return items_fn(page)
-        # linear backoff would sleep(attempt) here (app/sync_top.py:117);
-        # the fixture fails deterministically so no wait is needed.
-    raise _TransientHttpError(f"page {page} failed after {MAX_ATTEMPTS}")
+def _page_results(api, mode: str, page: int, *, year: int,
+                  content_type: str, category: str) -> list[dict]:
+    """One discover page through the shared retry/backoff client."""
+    if mode == "top":
+        return api.discover_top(page)["results"]
+    if mode == "category":
+        return api.category(category, page, content_type)["results"]
+    return api.discover_year(year, page, content_type)["results"]
 
 
 class TmdbDiscoverReader(DataSourceReader):
@@ -91,30 +87,17 @@ class TmdbDiscoverReader(DataSourceReader):
         ]
 
     def read(self, part: _PageRange):
-        total = self._total_items()
-
-        def items(page: int) -> list[dict]:
-            lo = (page - 1) * fixture.PAGE_SIZE
-            hi = min(lo + fixture.PAGE_SIZE, total)
-            if self.mode == "top":
-                return [fixture.top_movie(r) for r in range(lo, hi)]
-            if self.mode == "category":
-                return [
-                    fixture.category_item(self.category, r, self.content_type)
-                    for r in range(lo, hi)
-                ]
-            return [
-                fixture.year_item(self.year, r, self.content_type)
-                for r in range(lo, hi)
-            ]
-
         # One Arrow RecordBatch per page range: columnar transfer into the
         # JVM instead of per-row pickling (~10× on wide scans).
         import pyarrow as pa
 
+        api = get_api()   # per-executor-process client (pooled connection)
         rows: list[dict] = []
         for page in range(part.first, part.last + 1):
-            rows.extend(_fetch_page_with_retry(page, items))
+            rows.extend(_page_results(
+                api, self.mode, page, year=self.year,
+                content_type=self.content_type, category=self.category,
+            ))
         if rows:
             yield pa.RecordBatch.from_pylist(
                 [{c: r[c] for c in _COLS} for r in rows],
@@ -153,21 +136,14 @@ class TmdbDiscoverStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"page": self.start_page - 1}
 
-    def _items(self, page: int) -> list[dict]:
-        r = self.batch
-        total = r._total_items()
-        lo, hi = (page - 1) * fixture.PAGE_SIZE, min(page * fixture.PAGE_SIZE, total)
-        if r.mode == "top":
-            return [fixture.top_movie(i) for i in range(lo, hi)]
-        if r.mode == "category":
-            return [fixture.category_item(r.category, i, r.content_type)
-                    for i in range(lo, hi)]
-        return [fixture.year_item(r.year, i, r.content_type)
-                for i in range(lo, hi)]
-
     def _read_pages(self, first: int, last: int):
+        api = get_api()
+        r = self.batch
         for page in range(first, last + 1):
-            for row in _fetch_page_with_retry(page, self._items):
+            for row in _page_results(
+                api, r.mode, page, year=r.year,
+                content_type=r.content_type, category=r.category,
+            ):
                 yield tuple(row[c] for c in _COLS)
 
     def read(self, start: dict):
