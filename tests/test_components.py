@@ -1,0 +1,35 @@
+"""min_label_components: fixpoint correctness on graphs whose diameter
+far exceeds the old 20-round cap (round-1 advisor finding), and
+log-bounded round count via pointer jumping."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.functions.dedup import min_label_components
+
+
+def test_long_chain_converges_to_exact_components(spark):
+    # one 300-node path (diameter 299) + one 50-node star + an isolated pair
+    chain = [(i, i + 1) for i in range(1000, 1299)]
+    star = [(5000, 5000 + k) for k in range(1, 50)]
+    pair = [(9000, 9001)]
+    edges = spark.createDataFrame(chain + star + pair, "u BIGINT, w BIGINT")
+
+    labels = min_label_components(edges)
+    got = {r["v"]: r["label"] for r in labels.collect()}
+
+    assert all(got[v] == 1000 for v in range(1000, 1300))
+    assert all(got[v] == 5000 for v in [5000] + [5000 + k for k in range(1, 50)])
+    assert got[9000] == 9000 and got[9001] == 9000
+    assert len(got) == 300 + 50 + 2
+
+
+def test_rounds_logarithmic_not_linear(spark):
+    # a 120-node path: plain min-propagation needs ~119 rounds; with
+    # pointer jumping the fixpoint must land well under the old 20 cap.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "u BIGINT, w BIGINT"
+    )
+    labels = min_label_components(edges, max_rounds=15)
+    assert labels.where(F.col("label") != 0).count() == 0
