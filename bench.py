@@ -37,6 +37,7 @@ HEADLINE = [
     "knn_cosine_topk",
     "ann_ivf_topk",
     "tx_text_features",
+    "pipeline_curation",
     "mm_media_pipeline",
     "s1_discover_source",
     "s7_backdrop_pipeline",

@@ -30,10 +30,12 @@ from tmdb_sync_spark.registry import register
 N_HASHES = 8  # minhash signature length
 N_BANDS = 4   # bands of 2 hashes -> candidate recall at jaccard ~0.5+
 
-_SHINGLE_SQL = r"""
-    WITH toks AS (
+def shingle_sql(src: str = "documents") -> str:
+    """DuckDB CTEs ``toks``/``sh`` computing 3-word shingles of ``src``."""
+    return rf"""
+    toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents
+        FROM {src}
     ),
     sh AS (
         SELECT doc_id,
@@ -44,6 +46,9 @@ _SHINGLE_SQL = r"""
         FROM toks
     )
 """
+
+
+_SHINGLE_SQL = "WITH " + shingle_sql("documents")
 
 
 def _shingles(col: Column) -> Column:
@@ -64,8 +69,8 @@ def _shingles(col: Column) -> Column:
     ).otherwise(F.array(F.array_join(t, " ")))
 
 
-def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + h0..h7 minhash signature columns.
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """doc_id + h0..h7 minhash signature columns for (doc_id, text) rows.
 
     Shape: explode shingles → one md5 per (shingle, seed) → partial+final
     ``min`` aggregation back to one row per doc. The tempting pure-HOF
@@ -76,7 +81,6 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, and the min-agg combines map-side, so the
     shuffle carries only 8×32-char minima per doc.
     """
-    docs = parallel_table(spark, sf_dir, "documents")
     exploded = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
     )
@@ -92,8 +96,8 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIG_SQL = _SHINGLE_SQL + """
-    , sigs AS (
+SIGS_CTE = """
+    sigs AS (
         SELECT doc_id,
 """ + ",\n".join(
     f"               list_aggregate(list_transform(shingles, s -> md5('{i}|' || s)), 'min') AS h{i}"
@@ -102,6 +106,8 @@ _SIG_SQL = _SHINGLE_SQL + """
         FROM sh
     )
 """
+
+_SIG_SQL = _SHINGLE_SQL + ", " + SIGS_CTE
 
 
 @register(
@@ -169,7 +175,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the caller's action completing — bench/tests unpersist via
     # ``spark.catalog.clearCache()``; long-lived sessions should prefer
     # the temp-table form.
-    sig = _minhash_sig(spark, sf_dir).persist()
+    sig = minhash_signature(parallel_table(spark, sf_dir, "documents")).persist()
 
     # One exploded band table + ONE equi-join — instead of a join per
     # band — so candidate generation is a single shuffle on the band key.

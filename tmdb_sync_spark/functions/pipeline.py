@@ -1,0 +1,155 @@
+"""End-to-end training-data curation pipeline (SURVEY.md Phase 5 capstone).
+
+The canonical 100 TB pretraining-corpus flow, composed from this engine's
+operator library in ONE lazy plan:
+
+    raw corpus
+      → quality filter        (deterministic heuristic, map-side)
+      → exact dedup           (md5 hash-group, keep min doc_id)
+      → near-dup removal      (MinHash banding → candidate equi-join →
+                               signature-overlap filter → greedy keep-first)
+      → per-language summary  (exact counters)
+
+Scale shape: the only shuffles are the exact-dedup hash group, the
+minhash min-agg, the banded candidate equi-join, and the final summary —
+each keyed on uniform hashes or bounded keys. No cross joins, no driver
+materialization; the near-dup drop is a broadcast-able anti-join on the
+(small) drop set.
+
+Near-dup policy: a document is dropped when it shares ≥ ``NEAR_DUP_MIN``
+of ``N_HASHES`` minhashes with a smaller-id document among band-join
+candidates — the greedy keep-first rule (transitive closure is available
+via ``min_label_components`` when cluster-exact policy is required; kept
+greedy here so the oracle stays a pure anti-join).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.functions.dedup import (
+    N_BANDS,
+    N_HASHES,
+    SIGS_CTE,
+    minhash_signature,
+    shingle_sql,
+)
+from tmdb_sync_spark.functions.text import (
+    QUALITY_SQL,
+    n_tokens_expr,
+    quality_score_expr,
+)
+from tmdb_sync_spark.io import parallel_table
+from tmdb_sync_spark.registry import register
+
+QUALITY_MIN = 0.8     # keeps only full-score docs (corpus has {0.7, 1.0})
+NEAR_DUP_MIN = 6      # of N_HASHES equal minhashes ⇒ near-duplicate
+
+_BAND_COND = " OR ".join(
+    f"(a.h{2 * j} = b.h{2 * j} AND a.h{2 * j + 1} = b.h{2 * j + 1})"
+    for j in range(N_BANDS)
+)
+_N_EQUAL = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(N_HASHES))
+
+
+@register(
+    "pipeline_curation",
+    oracle=f"""
+    WITH quality AS (
+        SELECT doc_id, text, lang,
+               {QUALITY_SQL} AS q,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+        FROM documents
+    ),
+    kept_q AS (SELECT * FROM quality WHERE q >= {QUALITY_MIN}),
+    kept_exact AS (
+        SELECT doc_id, text, lang, q, ntok FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM kept_q) WHERE rn = 1
+    ),
+    {shingle_sql("kept_exact")},
+    {SIGS_CTE},
+    drops AS (
+        SELECT DISTINCT b.doc_id
+        FROM sigs a
+        JOIN sigs b ON a.doc_id < b.doc_id AND ({_BAND_COND})
+        WHERE ({_N_EQUAL}) >= {NEAR_DUP_MIN}
+    ),
+    final AS (
+        SELECT k.* FROM kept_exact k
+        WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = k.doc_id)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(q AS DECIMAL(4,1))) AS DOUBLE) AS sum_quality
+    FROM final
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter → exact-dedup → near-dup-drop → summarize, one plan."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id", "text", "lang",
+        quality_score_expr(F.col("text")).alias("q"),
+        n_tokens_expr(F.col("text")).alias("ntok"),
+    ).where(F.col("q") >= QUALITY_MIN)
+
+    # exact dedup: one shuffle on the (uniform) md5 key, min_by keeps the
+    # smallest doc_id — identical to dd_exact's canonical-id policy
+    row = F.struct("doc_id", "text", "lang", "q", "ntok")
+    kept_exact = (
+        quality.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min_by(row, "doc_id").alias("r"))
+        .select("r.*")
+    )
+
+    # near-dup candidates: banded minhash equi-join (dd_minhash_lsh shape),
+    # then the overlap filter picks real near-dups
+    sig = minhash_signature(kept_exact.select("doc_id", "text")).persist()
+    band_cols = F.array(
+        *[
+            F.concat(F.lit(f"{j}:"), F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_cols).alias("band_key"))
+    a, c = bands.alias("a"), bands.alias("c")
+    pairs = (
+        a.join(c, "band_key")
+        .where(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    n_equal = reduce(
+        lambda x, y: x + y,
+        [(F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int")
+         for i in range(N_HASHES)],
+    )
+    drops = (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .where(n_equal >= NEAR_DUP_MIN)
+        .select(F.col("doc_b").alias("drop_id"))
+        .distinct()
+    )
+    final = kept_exact.join(
+        drops, kept_exact.doc_id == drops.drop_id, "left_anti"
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.sum(F.col("q").cast("decimal(4,1)")).cast("double")
+             .alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )

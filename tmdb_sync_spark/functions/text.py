@@ -29,6 +29,39 @@ def _tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def n_tokens_expr(text: Column) -> Column:
+    return F.size(_tokens(text))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """The deterministic length / stopword-ratio / punct quality heuristic
+    (shared by ``tx_text_features`` and the curation pipeline — one
+    definition so both engines and both queries agree exactly)."""
+    t = _tokens(text)
+    n_tokens = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: F.lower(x).isin(*STOPWORDS)))
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")
+    )
+    stop_ratio = n_stop / n_tokens
+    return (
+        F.when(n_tokens >= 10, 0.5).otherwise(0.0)
+        + F.when(stop_ratio.between(0.05, 0.6), 0.3).otherwise(0.0)
+        + F.when(n_punct * 5 < F.length(F.trim(text)), 0.2).otherwise(0.0)
+    )
+
+
+# DuckDB twin of quality_score_expr over a relation exposing ``text``.
+QUALITY_SQL = (
+    "(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 10 THEN 0.5 ELSE 0.0 END"
+    f" + CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+    f" x -> list_contains({_STOP_SQL}, lower(x)))) AS INT)"
+    " / len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END"
+    " + CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 5"
+    " < length(trim(text)) THEN 0.2 ELSE 0.0 END)"
+)
+
+
 _MARKERS = {
     "en": ("the", "and", "of", "is", "a"),
     "de": ("der", "die", "und", "das", "ist"),
