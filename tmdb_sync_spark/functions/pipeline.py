@@ -102,12 +102,17 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("q") >= QUALITY_MIN)
 
     # exact dedup: one shuffle on the (uniform) md5 key, min_by keeps the
-    # smallest doc_id — identical to dd_exact's canonical-id policy
+    # smallest doc_id — identical to dd_exact's canonical-id policy.
+    # persist(): this filtered corpus feeds BOTH the signature branch and
+    # the final anti-join — uncached, the quality scan + hash group would
+    # run once per consumer. At 100 TB the equivalent is checkpointing
+    # the filtered corpus to a staging table between pipeline stages.
     row = F.struct("doc_id", "text", "lang", "q", "ntok")
     kept_exact = (
         quality.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
         .agg(F.min_by(row, "doc_id").alias("r"))
         .select("r.*")
+        .persist()
     )
 
     # near-dup candidates: banded minhash equi-join (dd_minhash_lsh shape),
