@@ -137,14 +137,20 @@ class TmdbDiscoverStreamReader(SimpleDataSourceStreamReader):
         return {"page": self.start_page - 1}
 
     def _read_pages(self, first: int, last: int):
+        # materialized list, not a generator: the engine's prefetch cache
+        # copy.copy()s the returned iterator when a later trigger replans
+        # the same offset range, and generators aren't copyable. A batch
+        # is ≤ pages_per_batch × PAGE_SIZE rows — bounded by construction.
         api = get_api()
         r = self.batch
+        rows = []
         for page in range(first, last + 1):
             for row in _page_results(
                 api, r.mode, page, year=r.year,
                 content_type=r.content_type, category=r.category,
             ):
-                yield tuple(row[c] for c in _COLS)
+                rows.append(tuple(row[c] for c in _COLS))
+        return iter(rows)
 
     def read(self, start: dict):
         first = start["page"] + 1
