@@ -60,7 +60,7 @@ def main() -> None:
     QUERIES["a1_sync_coverage"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    for warm in ("s1_discover_source", "mm_binary_features"):
+    for warm in ("s1_discover_source", "mm_media_pipeline"):
         if warm in QUERIES:
             QUERIES[warm](spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -32,4 +32,5 @@ def test_rounds_logarithmic_not_linear(spark):
         [(i, i + 1) for i in range(120)], "u BIGINT, w BIGINT"
     )
     labels = min_label_components(edges, max_rounds=15)
+    assert labels.count() == 121
     assert labels.where(F.col("label") != 0).count() == 0

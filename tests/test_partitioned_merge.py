@@ -79,6 +79,40 @@ def test_untouched_partitions_not_rewritten(spark, sf_dir):
     assert got == expected
 
 
+def test_null_partition_value_merges_not_lost(spark):
+    """NULL partition values (year = try_cast of a malformed date) must
+    merge like any other partition — In() is null-propagating, so a naive
+    isin(touched) filter would hide existing NULL-partition state and the
+    staged __HIVE_DEFAULT_PARTITION__ dir would be silently dropped."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pm_null_")
+    target = f"{d}/t"
+    base = spark.createDataFrame(
+        [(1, 1996, 10.0), (2, 1997, 20.0), (3, None, 30.0), (4, None, 40.0)],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    write_partitioned(base, target, "y")
+
+    # update one NULL-partition row and one 1996 row; insert a new NULL row
+    source = spark.createDataFrame(
+        [(3, None, 31.0), (1, 1996, 11.0), (5, None, 50.0)],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    res = merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="y",
+        count_actions=True,
+    )
+    assert res["counts"] == {"update": 2, "insert": 1, "noop": 1}
+
+    post = {r["k"]: (r["y"], r["price"])
+            for r in spark.read.parquet(target).collect()}
+    assert post == {
+        1: (1996, 11.0), 2: (1997, 20.0),
+        3: (None, 31.0), 4: (None, 40.0), 5: (None, 50.0),
+    }
+
+
 def test_ingest_loop_prunes_partitions(spark):
     """The live ingestion loop (run_sync_top) must rewrite only the year
     partitions present in the batch — the O(total state) full rewrite was

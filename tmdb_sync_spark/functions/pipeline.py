@@ -148,7 +148,7 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = kept_exact.join(
         drops, kept_exact.doc_id == drops.drop_id, "left_anti"
     )
-    return (
+    summary = (
         final.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -158,3 +158,14 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    # The summary is one row per language — execute it now so both
+    # intermediate caches can be RELEASED before returning (repeated
+    # invocations in a long-lived session must not accumulate storage).
+    # This is the one query whose result is aggregate-tiny by
+    # construction; per-document outputs stay lazy everywhere else.
+    try:
+        rows = summary.collect()
+    finally:
+        sig.unpersist()
+        kept_exact.unpersist()
+    return spark.createDataFrame(rows, summary.schema)

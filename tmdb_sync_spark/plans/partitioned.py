@@ -43,19 +43,27 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
 
 
+HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"   # Spark's NULL partition dir
+
+
 def _swap_partition(target_dir: str, staging: str, pdir: str) -> None:
     """Replace one partition dir with its staged version.
 
-    Rename the old dir aside FIRST, then move staging in, then delete the
-    old copy — a crash between steps leaves either the old or the new
-    partition fully in place, never neither (the naive rmtree-then-move
-    order loses the partition if interrupted). Not fully crash-atomic
-    (two renames), matching local-FS/HDFS semantics; on object stores
-    this is the job committer's / table format's job.
+    Rename the old dir aside FIRST (dot-prefixed, so Spark's partition
+    discovery ignores it even if left behind), then move staging in, then
+    delete the old copy. Versus the naive rmtree-then-move: an
+    interruption can no longer silently destroy the only copy — every
+    window leaves either the partition in place or a recoverable
+    dot-prefixed copy on disk, and a leftover never corrupts partition
+    type inference. Not crash-ATOMIC (two renames; the window between
+    them leaves the partition undiscovered until recovered) — true
+    atomicity on local FS/object stores is the job committer's / table
+    format's job.
     """
     dst = os.path.join(target_dir, pdir)
     src = os.path.join(staging, pdir)
-    old = dst + ".old"
+    # '.' prefix → invisible to Spark file listing AND partition inference
+    old = os.path.join(target_dir, "." + pdir + ".old")
     if not os.path.isdir(src):
         return
     if os.path.isdir(old):          # leftover from an interrupted swap
@@ -92,9 +100,15 @@ def merge_into_partitioned(
     touched = [
         r[0] for r in source.select(partition_col).distinct().collect()
     ]
-    target = spark.read.parquet(target_dir).where(
-        F.col(partition_col).isin(touched)
-    )
+    # NULL partition values are real (e.g. year = try_cast of a malformed
+    # date): In() is null-propagating, so isin([... None]) would silently
+    # hide existing NULL-partition state from the merge — handle NULL as
+    # its own touched partition (Spark stores it as __HIVE_DEFAULT_PARTITION__).
+    non_null = [v for v in touched if v is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if None in touched:
+        cond = cond | F.col(partition_col).isNull()
+    target = spark.read.parquet(target_dir).where(cond)
     merged = merge_into(
         target, source, keys,
         matched_update=matched_update,
@@ -117,7 +131,8 @@ def merge_into_partitioned(
     else:
         merged.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
     for v in touched:
-        _swap_partition(target_dir, staging, f"{partition_col}={v}")
+        part_val = HIVE_NULL_PART if v is None else v
+        _swap_partition(target_dir, staging, f"{partition_col}={part_val}")
     shutil.rmtree(staging, ignore_errors=True)
     # Spark's session-wide FileStatusCache would otherwise serve the old
     # listing (deleted part files) to subsequent reads of this path.

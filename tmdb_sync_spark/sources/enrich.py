@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from tmdb_sync_spark.sources.http_client import get_api
 
@@ -79,8 +80,8 @@ def fetch_frames(ids_df: DataFrame) -> DataFrame:
                  "aspect_ratio": b["aspect_ratio"],
                  "vote_average": b["vote_average"], "width": b["width"],
                  "j": j}
-                for i in pdf["id"]
-                for j, b in enumerate(api.backdrops(int(i)))
+                for i, ct in zip(pdf["id"], pdf["content_type"])
+                for j, b in enumerate(api.backdrops(int(i), ct))
             ]
             yield pd.DataFrame(
                 rows,
@@ -88,4 +89,12 @@ def fetch_frames(ids_df: DataFrame) -> DataFrame:
                          "width", "j"],
             )
 
-    return ids_df.select("id").mapInPandas(batch, FRAME_SCHEMA)
+    # content_type must reach the images endpoint (/movie/… vs /tv/…,
+    # app/tmdb_client.py:169-282) — the fixture ignores it, a real
+    # transport must not.
+    cols = ids_df.select(
+        "id",
+        (F.col("content_type") if "content_type" in ids_df.columns
+         else F.lit("movie")).alias("content_type"),
+    )
+    return cols.mapInPandas(batch, FRAME_SCHEMA)
