@@ -34,6 +34,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from tmdb_sync_spark.io import table
 from tmdb_sync_spark.registry import register
+from tmdb_sync_spark.util import scratch_dir
 
 _SUM = 'CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)'
 
@@ -59,25 +60,6 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCRATCH: list[str] = []
-
-
-def _scratch_dir(prefix: str) -> str:
-    """mkdtemp + removal at interpreter exit — repeated query invocations
-    in a long-lived session must not accumulate /tmp output+checkpoint
-    dirs (one pair per streaming run)."""
-    import atexit
-    import shutil
-
-    d = tempfile.mkdtemp(prefix=prefix)
-    if not _SCRATCH:
-        atexit.register(
-            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH]
-        )
-    _SCRATCH.append(d)
-    return d
-
-
 def _run_to_parquet(agg: DataFrame, mode: str) -> str:
     """Execute a finite streaming query into a parquet dir via foreachBatch.
 
@@ -85,8 +67,8 @@ def _run_to_parquet(agg: DataFrame, mode: str) -> str:
     writes), unlike the memory sink which collects into the driver; the
     checkpoint dir bounds replay exactly as on an unbounded stream.
     """
-    out = _scratch_dir("st_out_")
-    ckpt = _scratch_dir("st_ckpt_")
+    out = scratch_dir("st_out_")
+    ckpt = scratch_dir("st_ckpt_")
     write_mode = "overwrite" if mode == "complete" else "append"
 
     def sink(batch_df: DataFrame, _epoch: int) -> None:
