@@ -125,16 +125,15 @@ _PM_CACHE: dict[tuple, str] = {}
 def _partitioned_merge_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build a year-partitioned orders table and MERGE a delta batch into
     it — once per (application, sf_dir); queries read the result."""
-    import tempfile
-
     from tmdb_sync_spark.plans.partitioned import (
         merge_into_partitioned,
         write_partitioned,
     )
+    from tmdb_sync_spark.util import scratch_dir
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PM_CACHE:
-        d = tempfile.mkdtemp(prefix="pm_orders_")
+        d = scratch_dir("pm_orders_")
         target = f"{d}/orders"
         orders = table(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate").cast("int")

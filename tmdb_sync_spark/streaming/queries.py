@@ -17,8 +17,6 @@ Scenario (deterministic):
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,7 +32,9 @@ def scenario_dir(spark: SparkSession) -> str:
     """Run the three-run ingest scenario once per Spark application."""
     key = spark.sparkContext.applicationId
     if key not in _SCENARIO:
-        d = tempfile.mkdtemp(prefix="tmdb_ingest_")
+        from tmdb_sync_spark.util import scratch_dir
+
+        d = scratch_dir("tmdb_ingest_")
         run_sync_top(spark, d, max_pages=5, resume=True)
         run_sync_top(spark, d, max_pages=5, resume=True)
         run_sync_top(spark, d, max_pages=3, resume=False, start_page=1)
