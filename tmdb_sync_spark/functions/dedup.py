@@ -154,6 +154,44 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def banded_pairs_with_overlap(sig: DataFrame) -> DataFrame:
+    """Candidate pairs ``(doc_a, doc_b, n_equal_hashes)`` from a minhash
+    signature frame via banded LSH.
+
+    One exploded band table + ONE equi-join — instead of a join per band —
+    so candidate generation is a single shuffle on the band key; never an
+    O(n²) cross join. Shared by ``dd_minhash_lsh`` and the curation
+    pipeline's near-dup stage.
+    """
+    band_cols = F.array(
+        *[
+            F.concat(F.lit(f"{j}:"), F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_cols).alias("band_key"))
+    a, c = bands.alias("a"), bands.alias("c")
+    pairs = (
+        a.join(c, "band_key")
+        .where(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    n_equal = reduce(
+        lambda x, y: x + y,
+        [
+            (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int")
+            for i in range(N_HASHES)
+        ],
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", n_equal.alias("n_equal_hashes"))
+    )
+
+
 @register(
     "dd_minhash_lsh",
     oracle=_SIG_SQL
@@ -195,41 +233,12 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(sig_path)
     sig = spark.read.parquet(sig_path)
 
-    # One exploded band table + ONE equi-join — instead of a join per
-    # band — so candidate generation is a single shuffle on the band key.
-    band_cols = F.array(
-        *[
-            F.concat(F.lit(f"{j}:"), F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))
-            for j in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_cols).alias("band_key"))
-    a, c = bands.alias("a"), bands.alias("c")
-    pairs = (
-        a.join(c, "band_key")
-        .where(F.col("a.doc_id") < F.col("c.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
-    )
-
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    n_equal = reduce(
-        lambda x, y: x + y,
-        [
-            (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int")
-            for i in range(N_HASHES)
-        ],
-    )
-    return (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            n_equal.alias("n_equal_hashes"),
-            (n_equal / F.lit(8.0)).alias("est_jaccard"),
-        )
+    cand = banded_pairs_with_overlap(sig)
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        "n_equal_hashes",
+        (F.col("n_equal_hashes") / F.lit(float(N_HASHES))).alias("est_jaccard"),
     )
 
 

@@ -25,8 +25,6 @@ greedy here so the oracle stays a pure anti-join).
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +32,7 @@ from tmdb_sync_spark.functions.dedup import (
     N_BANDS,
     N_HASHES,
     SIGS_CTE,
+    banded_pairs_with_overlap,
     minhash_signature,
     shingle_sql,
 )
@@ -115,33 +114,12 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    # near-dup candidates: banded minhash equi-join (dd_minhash_lsh shape),
-    # then the overlap filter picks real near-dups
+    # near-dup candidates: banded minhash equi-join (dd_minhash_lsh's
+    # shared shape), then the overlap filter picks real near-dups
     sig = minhash_signature(kept_exact.select("doc_id", "text")).persist()
-    band_cols = F.array(
-        *[
-            F.concat(F.lit(f"{j}:"), F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))
-            for j in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_cols).alias("band_key"))
-    a, c = bands.alias("a"), bands.alias("c")
-    pairs = (
-        a.join(c, "band_key")
-        .where(F.col("a.doc_id") < F.col("c.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa, sb = sig.alias("sa"), sig.alias("sb")
-    n_equal = reduce(
-        lambda x, y: x + y,
-        [(F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int")
-         for i in range(N_HASHES)],
-    )
     drops = (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
-        .where(n_equal >= NEAR_DUP_MIN)
+        banded_pairs_with_overlap(sig)
+        .where(F.col("n_equal_hashes") >= NEAR_DUP_MIN)
         .select(F.col("doc_b").alias("drop_id"))
         .distinct()
     )

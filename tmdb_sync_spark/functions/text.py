@@ -146,11 +146,7 @@ def tx_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
     stop_ratio = n_stop / n_tokens
-    quality = (
-        F.when(n_tokens >= 10, 0.5).otherwise(0.0)
-        + F.when(stop_ratio.between(0.05, 0.6), 0.3).otherwise(0.0)
-        + F.when(n_punct * 5 < F.length(F.trim(F.col("text"))), 0.2).otherwise(0.0)
-    )
+    quality = quality_score_expr(F.col("text"))
 
     def marker_count(words: tuple[str, ...]) -> Column:
         # NB: HOF lambdas must be single-parameter — PySpark binds a

@@ -64,6 +64,35 @@ def enrich_details(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batch, out_schema)
 
 
+def valid_deduped_frames(frames: DataFrame) -> DataFrame:
+    """P13+W3 over fetched frames: validity filter (1.5 ≤ ar ≤ 2.2, va ≥ 0,
+    ``app/tmdb_client.py:194-196``) then keep-first dedup by (id, path) in
+    API order (``:199-212``) — via aggregates, not windows: one shuffle on
+    (id, path) after a map-side partial combine. The surviving struct ``s``
+    carries (vote_average, width) for the downstream argmax."""
+    valid = frames.where(
+        F.col("aspect_ratio").between(1.5, 2.2) & (F.col("vote_average") >= 0)
+    )
+    return valid.groupBy("id", "path").agg(
+        F.min_by(F.struct("vote_average", "width"), "j").alias("s")
+    )
+
+
+def best_path_expr() -> "F.Column":
+    """W1 argmax aggregate over :func:`valid_deduped_frames` output: total
+    order (vote_average desc, width desc, path asc) via min_by on negated
+    numeric keys — the path tiebreak pins the argmax even when
+    (vote_average, width) pairs collide."""
+    return F.min_by(
+        "path",
+        F.struct(
+            (-F.col("s.vote_average")).alias("nva"),
+            (-F.col("s.width")).alias("nw"),
+            F.col("path"),
+        ),
+    )
+
+
 def fetch_frames(ids_df: DataFrame) -> DataFrame:
     """Exploded backdrop rows for each input ``id`` (S7 fetch step).
 

@@ -97,12 +97,18 @@ class FixtureTransport:
         self._attempts: dict = {}
 
     def request(self, endpoint: str, params: dict) -> dict:
-        key = (endpoint, tuple(sorted(params.items())))
-        n = self._attempts[key] = self._attempts.get(key, 0) + 1
-        page = int(params.get("page", 1))
-        if endpoint.startswith(("/discover/", "/movie/", "/tv/")) and \
-                "page" in params and page % 7 == 0 and n < 1 + page % 3:
-            raise TransientHttpError(f"fixture transient on {endpoint} p{page}")
+        # Attempt state is tracked ONLY for the flaky paged endpoints —
+        # per-item lookups (details/images/ru-title, one key per id) would
+        # otherwise grow the dict unboundedly in a long-lived process.
+        if "page" in params:
+            page = int(params["page"])
+            if page % 7 == 0 and endpoint.startswith(("/discover/", "/movie/", "/tv/")):
+                key = (endpoint, tuple(sorted(params.items())))
+                n = self._attempts[key] = self._attempts.get(key, 0) + 1
+                if n < 1 + page % 3:
+                    raise TransientHttpError(
+                        f"fixture transient on {endpoint} p{page}"
+                    )
 
         if endpoint == "/discover/movie" and "primary_release_date.gte" in params:
             year = int(params["primary_release_date.gte"][:4])

@@ -38,7 +38,12 @@ from tmdb_sync_spark.plans.partitioned import (
     merge_into_partitioned,
     write_partitioned,
 )
-from tmdb_sync_spark.sources.enrich import enrich_details, fetch_frames
+from tmdb_sync_spark.sources.enrich import (
+    best_path_expr,
+    enrich_details,
+    fetch_frames,
+    valid_deduped_frames,
+)
 from tmdb_sync_spark.sources.queries import discover
 from tmdb_sync_spark.streaming import state as st
 
@@ -62,28 +67,9 @@ def _build_source(feed: DataFrame) -> DataFrame:
     backdrop argmax over valid deduped frames (S7+W1), synced_at stamp (F5).
     """
     enriched = enrich_details(feed)
-    frames = fetch_frames(feed)
-    valid = frames.where(
-        F.col("aspect_ratio").between(1.5, 2.2) & (F.col("vote_average") >= 0)
-    )
-    # keep-first by path (W3), then argmax (W1) — via aggregates, not
-    # windows: one shuffle on id after a partial map-side combine.
-    dedup = valid.groupBy("id", "path").agg(
-        F.min_by(F.struct("vote_average", "width"), "j").alias("s")
-    )
-    # Total order (vote_average desc, width desc, path asc) via min_by on
-    # negated numeric keys — the path tiebreak pins the argmax even when
-    # (vote_average, width) pairs collide, so the result never depends on
-    # fixture-specific distinctness (round-1 advisor finding).
+    dedup = valid_deduped_frames(fetch_frames(feed))
     best = dedup.groupBy("id").agg(
-        F.min_by(
-            "path",
-            F.struct(
-                (-F.col("s.vote_average")).alias("nva"),
-                (-F.col("s.width")).alias("nw"),
-                F.col("path"),
-            ),
-        ).alias("cand"),
+        best_path_expr().alias("cand"),
         F.count(F.lit(1)).alias("n_valid_frames"),
     )
     return (

@@ -233,34 +233,23 @@ def w1_j4_frames_moderation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = scenario_dir(spark)
     movies = spark.read.parquet(f"{d}/movies")
-    from tmdb_sync_spark.sources.enrich import fetch_frames
+    from tmdb_sync_spark.sources.enrich import (
+        best_path_expr,
+        fetch_frames,
+        valid_deduped_frames,
+    )
 
     marked = movies.where(
         (F.col("id") % 10 == 0) & F.col("backdrop_path").isNotNull()
     ).select("id", F.col("backdrop_path").alias("bad_path"))
 
-    frames = fetch_frames(movies)
-    valid = frames.where(
-        F.col("aspect_ratio").between(1.5, 2.2) & (F.col("vote_average") >= 0)
-    )
-    dedup = valid.groupBy("id", "path").agg(
-        F.min_by(F.struct("vote_average", "width"), "j").alias("s")
-    )
+    dedup = valid_deduped_frames(fetch_frames(movies))
     kept = dedup.join(
         marked,
         (dedup.id == marked.id) & (dedup.path == marked.bad_path),
         "left_anti",
     )
-    best2 = kept.groupBy("id").agg(
-        F.min_by(
-            "path",
-            F.struct(
-                (-F.col("s.vote_average")).alias("nva"),
-                (-F.col("s.width")).alias("nw"),
-                F.col("path"),
-            ),
-        ).alias("new_backdrop")
-    )
+    best2 = kept.groupBy("id").agg(best_path_expr().alias("new_backdrop"))
     return (
         movies.select("id", F.col("backdrop_path").alias("old_backdrop"))
         .join(marked.select("id", F.lit(1).alias("m")), "id", "left")
