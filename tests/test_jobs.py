@@ -1,0 +1,41 @@
+"""ST6 async launch + status poll over the real ingest loop."""
+
+from __future__ import annotations
+
+from tmdb_sync_spark.streaming.ingest import CURSOR_KEY, run_sync_top
+from tmdb_sync_spark.streaming.jobs import JobRunner
+from tmdb_sync_spark.util import scratch_dir
+
+
+def test_launch_returns_immediately_and_status_converges(spark):
+    d = scratch_dir("jobs_test_")
+    runner = JobRunner()
+    job_id = runner.launch(
+        run_sync_top, spark, d, max_pages=3, resume=True
+    )
+    # 202 semantics: the id is available before the job finishes
+    assert runner.status(job_id)["state"] in ("running", "done")
+
+    final = runner.wait(job_id, timeout=300)
+    assert final["state"] == "done"
+    # pages 1-3 → ids 1..60, no injected failures in that range
+    assert final["result"] == {"page": 3, "inserted": 60, "updated": 0}
+
+    # durable progress: the committed cursor row agrees with the result
+    status = runner.status(
+        job_id, spark, cursors_path=f"{d}/cursors", cursor_key=CURSOR_KEY
+    )
+    assert status["cursor"]["page"] == 3
+    assert status["cursor"]["inserted"] == 60
+
+
+def test_failed_job_surfaces_error(spark):
+    runner = JobRunner()
+
+    def boom():
+        raise RuntimeError("upstream exploded")
+
+    job_id = runner.launch(boom)
+    final = runner.wait(job_id, timeout=30)
+    assert final["state"] == "failed"
+    assert "upstream exploded" in final["error"]

@@ -1,0 +1,77 @@
+"""ST6: async job launch + status poll (SURVEY §2.10).
+
+The reference's sync endpoints return 202 immediately and run the job as a
+background task on the event loop (``app/main.py:40-61,141-162``); progress
+is polled by aggregating the cursor/error tables (``app/main.py:64-138``).
+
+Spark-first shape: the driver launches the bounded ingest loop on a daemon
+thread (Spark sessions are thread-safe for job submission; each loop's
+actions get their own scheduler pool) and status polls combine in-memory
+thread state with the durable cursor table — exactly the reference's
+"progress lives in the database, liveness lives in the runtime" split, so
+a poller sees committed page progress even mid-run.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from tmdb_sync_spark.streaming import state as st
+
+
+class JobRunner:
+    """Launch-and-poll surface over driver-side background jobs."""
+
+    def __init__(self) -> None:
+        self._jobs: dict[str, dict[str, Any]] = {}
+        self._lock = threading.Lock()
+
+    def launch(self, fn: Callable[..., dict], /, *args, **kwargs) -> str:
+        """Start ``fn(*args, **kwargs)`` on a daemon thread; return the job
+        id immediately (the 202 semantics of ``app/main.py:40-61``)."""
+        job_id = uuid.uuid4().hex[:12]
+        rec: dict[str, Any] = {"state": "running", "result": None, "error": None}
+
+        def run() -> None:
+            try:
+                rec["result"] = fn(*args, **kwargs)
+                rec["state"] = "done"
+            except Exception as e:  # status poll surfaces the failure
+                rec["error"] = f"{type(e).__name__}: {e}"
+                rec["state"] = "failed"
+
+        with self._lock:
+            self._jobs[job_id] = rec
+        t = threading.Thread(target=run, daemon=True, name=f"job-{job_id}")
+        rec["thread"] = t
+        t.start()
+        return job_id
+
+    def status(
+        self,
+        job_id: str,
+        spark: SparkSession | None = None,
+        cursors_path: str | None = None,
+        cursor_key: str | None = None,
+    ) -> dict[str, Any]:
+        """Thread state + (optionally) the durable cursor row — committed
+        page/counter progress is visible mid-run, like the reference's
+        status aggregation over ``sync_cursors`` (``app/main.py:64-138``)."""
+        rec = self._jobs[job_id]
+        out = {
+            "job_id": job_id,
+            "state": rec["state"],
+            "result": rec["result"],
+            "error": rec["error"],
+        }
+        if spark is not None and cursors_path and cursor_key:
+            out["cursor"] = st.read_cursor(spark, cursors_path, cursor_key)
+        return out
+
+    def wait(self, job_id: str, timeout: float | None = None) -> dict[str, Any]:
+        self._jobs[job_id]["thread"].join(timeout)
+        return self.status(job_id)
