@@ -72,6 +72,19 @@ def test_all_queries_have_entries():
     assert not missing, f"oracles without queries: {missing}"
 
 
+def test_registry_fits_driver_window():
+    """The driver verifies only the FIRST 50 registry entries; an entry
+    past position 50 silently gets no correctness row (round-1 verdict
+    top finding). Adding a query therefore REQUIRES consolidating another
+    — this guard turns a silent coverage loss into a test failure."""
+    assert len(QUERIES) <= 50, (
+        f"registry has {len(QUERIES)} entries; entries past 50 are never "
+        "driver-verified — consolidate before adding"
+    )
+    unpaired = set(QUERIES) - set(ORACLES)
+    assert not unpaired, f"queries without oracle SQL (weaker check): {unpaired}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
