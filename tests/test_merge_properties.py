@@ -14,10 +14,17 @@ hand-picked delta:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as hs
 
 from tmdb_sync_spark.plans.merge import ACTION_COL, merge_into
+from tmdb_sync_spark.plans.partitioned import (
+    merge_into_partitioned,
+    write_partitioned,
+)
 
 keysets = hs.lists(hs.integers(min_value=0, max_value=30), max_size=12)
 
@@ -54,3 +61,74 @@ def test_merge_axioms(spark, tkeys, skeys):
             assert r[ACTION_COL] == "noop"
             assert r["val"] == k * 10
             assert r["town"] == f"t{k}"
+
+
+# (key, partition_value) maps with NULL partition values and — across the
+# target/source pair — arbitrarily CHANGED partition values per key: the
+# physical path must uphold the same axioms as the logical merge plus
+# "exactly one row per key, in the source's partition" (the cross-partition
+# key-move hazard from the round-2 verdict).
+parts = hs.one_of(hs.none(), hs.integers(min_value=0, max_value=3))
+keymaps = hs.dictionaries(
+    hs.integers(min_value=0, max_value=8), parts, max_size=6
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tmap=keymaps, smap=keymaps)
+def test_partitioned_merge_axioms(spark, tmap, smap):
+    if not tmap:        # write_partitioned of an empty frame creates no table
+        tmap = {0: 0}
+    d = tempfile.mkdtemp(prefix="pm_prop_")
+    target_dir = f"{d}/t"
+    tdf = spark.createDataFrame(
+        [(k, v, k * 10.0) for k, v in tmap.items()],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    write_partitioned(tdf, target_dir, "y")
+    sdf = spark.createDataFrame(
+        [(k, v, k * 100.0) for k, v in smap.items()],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    res = merge_into_partitioned(
+        spark, target_dir, sdf, keys=["k"], partition_col="y",
+        count_actions=True,
+    )
+
+    expected = {
+        k: (smap[k] if k in smap else tmap[k],
+            k * 100.0 if k in smap else k * 10.0)
+        for k in set(tmap) | set(smap)
+    }
+    post = [
+        (r["k"], r["y"], r["price"])
+        for r in spark.read.parquet(target_dir).collect()
+    ]
+    assert len(post) == len(expected), "one row per key, no duplicates"
+    assert {k: (y, p) for k, y, p in post} == expected
+
+    counts = res["counts"]
+    assert counts.get("insert", 0) == len(set(smap) - set(tmap))
+    assert counts.get("update", 0) == len(set(smap) & set(tmap))
+    # noop counts only rows the merge actually scanned: target rows in
+    # TOUCHED partitions (untouched partitions are never opened — that is
+    # the point of the partition-pruned plan)
+    touched = set(res["touched"])
+    assert counts.get("noop", 0) == sum(
+        1 for k, y in tmap.items() if k not in smap and y in touched
+    )
+
+    # on-disk partition dirs = exactly the post-state's distinct years
+    want_dirs = {
+        "y=__HIVE_DEFAULT_PARTITION__" if y is None else f"y={y}"
+        for _, y, _ in post
+    }
+    have_dirs = {
+        e for e in os.listdir(target_dir)
+        if e.startswith("y=") and os.path.isdir(os.path.join(target_dir, e))
+    }
+    assert have_dirs == want_dirs

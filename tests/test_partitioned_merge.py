@@ -113,6 +113,146 @@ def test_null_partition_value_merges_not_lost(spark):
     }
 
 
+def test_cross_partition_key_move_does_not_duplicate(spark):
+    """A re-synced key whose partition value changed (year corrected
+    between syncs) must end up with exactly ONE row, in the NEW partition
+    — the reference's upsert is globally keyed (app/catalog/upsert.py:99-103,
+    unique index app/mongo.py:15), so a year change is just an update."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pm_move_")
+    target = f"{d}/t"
+    base = spark.createDataFrame(
+        [(1, 1996, 10.0), (2, 1996, 20.0), (3, 1997, 30.0), (4, None, 40.0)],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    write_partitioned(base, target, "y")
+
+    # k=1 moves 1996→1998 (new partition); k=4 moves NULL→1999
+    source = spark.createDataFrame(
+        [(1, 1998, 11.0), (4, 1999, 41.0)], "k BIGINT, y INT, price DOUBLE"
+    )
+    res = merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="y",
+        count_actions=True,
+    )
+    # moved keys are updates (matched by key), never phantom inserts
+    assert res["counts"] == {"update": 2, "noop": 1}
+    assert set(res["touched"]) == {1998, 1999, 1996, None}
+
+    post = {r["k"]: (r["y"], r["price"])
+            for r in spark.read.parquet(target).collect()}
+    assert post == {
+        1: (1998, 11.0), 2: (1996, 20.0), 3: (1997, 30.0), 4: (1999, 41.0),
+    }
+    rows = spark.read.parquet(target).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in rows)
+
+
+def test_key_move_emptying_a_partition_deletes_its_dir(spark):
+    """When the ONLY rows of a partition move away, the merge's post-state
+    for that partition is empty — its directory must be deleted, not left
+    holding the stale copies."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pm_empty_")
+    target = f"{d}/t"
+    base = spark.createDataFrame(
+        [(1, 1996, 10.0), (2, 1997, 20.0)], "k BIGINT, y INT, price DOUBLE"
+    )
+    write_partitioned(base, target, "y")
+
+    source = spark.createDataFrame(
+        [(1, 1997, 11.0)], "k BIGINT, y INT, price DOUBLE"
+    )
+    merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="y"
+    )
+    assert not os.path.isdir(os.path.join(target, "y=1996"))
+    post = {r["k"]: (r["y"], r["price"])
+            for r in spark.read.parquet(target).collect()}
+    assert post == {1: (1997, 11.0), 2: (1997, 20.0)}
+
+
+def test_leftover_old_dir_recovered_before_merge(spark):
+    """Crash between rename(dst→.old) and move(src→dst) leaves the
+    partition's only copy in the invisible '.old' dir. The next merge must
+    restore it BEFORE its target read — otherwise the staged rewrite is
+    built without those rows and installs over them (data loss)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pm_recover_")
+    target = f"{d}/t"
+    base = spark.createDataFrame(
+        [(1, 1996, 10.0), (2, 1996, 20.0), (3, 1997, 30.0)],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    write_partitioned(base, target, "y")
+
+    # simulate the mid-swap crash: y=1996 exists only as '.y=1996.old'
+    os.rename(os.path.join(target, "y=1996"),
+              os.path.join(target, ".y=1996.old"))
+    spark.catalog.refreshByPath(target)
+
+    source = spark.createDataFrame(
+        [(2, 1996, 21.0)], "k BIGINT, y INT, price DOUBLE"
+    )
+    res = merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="y",
+        count_actions=True,
+    )
+    # k=2 was only visible via recovery — must classify as update
+    assert res["counts"] == {"update": 1, "noop": 1}
+    post = {r["k"]: (r["y"], r["price"])
+            for r in spark.read.parquet(target).collect()}
+    assert post == {1: (1996, 10.0), 2: (1996, 21.0), 3: (1997, 30.0)}
+    assert not os.path.isdir(os.path.join(target, ".y=1996.old"))
+
+
+def test_ingest_resync_with_changed_year_keeps_one_row(spark):
+    """End-to-end on the live movies table: the API corrects a
+    release_date between syncs (year derives from it,
+    streaming/ingest.py:81) — the re-synced row must RELOCATE, leaving
+    exactly one (id, content_type) row, as the reference's keyed upsert
+    guarantees (app/mongo.py:15 unique index)."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from tmdb_sync_spark.streaming.ingest import run_sync_top
+
+    d = tempfile.mkdtemp(prefix="ingest_move_")
+    run_sync_top(spark, d, max_pages=5, resume=True)       # ids 1..100
+    movies = f"{d}/movies"
+    base = spark.read.parquet(movies)
+    n0 = base.count()
+
+    # the corrected row: id=2's year bumped by one, as a later sync would
+    # deliver it (the fixture itself is year-stable, so craft the delta
+    # from the current row)
+    row = base.where(F.col("id") == 2)
+    old_year = row.first()["year"]
+    moved = row.withColumn("year", F.col("year") + 1).withColumn(
+        # references the already-bumped year column from the previous step
+        "release_date",
+        F.concat(F.col("year").cast("string"),
+                 F.substring("release_date", 5, 6)),
+    ).drop("created_at")
+    res = merge_into_partitioned(
+        spark, movies, moved, keys=["id", "content_type"],
+        partition_col="year",
+        not_matched_insert={"created_at": F.col("s.synced_at")},
+        count_actions=True,
+    )
+    assert res["counts"].get("insert", 0) == 0
+    assert res["counts"].get("update", 0) == 1
+
+    post = spark.read.parquet(movies)
+    assert post.count() == n0
+    mine = post.where(F.col("id") == 2).collect()
+    assert len(mine) == 1 and mine[0]["year"] == old_year + 1
+
+
 def test_ingest_loop_prunes_partitions(spark):
     """The live ingestion loop (run_sync_top) must rewrite only the year
     partitions present in the batch — the O(total state) full rewrite was

@@ -21,9 +21,19 @@ On a local/HDFS filesystem the swap is a directory move; on object stores
 this step is the job-committer's problem (or a real table format's) — the
 read/merge plan above is identical either way.
 
-Cross-partition key moves (a row whose partition value changes) are out of
-scope, as in Hive static-partition MERGE: the reference's partition key
-(`year`) is immutable for a given document id.
+Cross-partition key moves (a row whose partition value changes — e.g. a
+movie's ``year`` corrected between syncs, since ``year`` derives from the
+API-mutable ``release_date``) are handled: before the merge, source keys
+are probed against the *other* partitions via a column-pruned scan of
+``(keys, partition_col)`` broadcast-joined with the batch's distinct keys
+(no shuffle; at 100 TB parquet reads only those columns' pages). Old
+partitions holding a moved key join the touched set, the full-outer MERGE
+on keys relocates the row to its new partition, and the swap deletes a
+partition the merge emptied — so the reference's global unique-key
+invariant (``app/mongo.py:15``) holds across partition moves exactly as
+its keyed Mongo upsert does (``app/catalog/upsert.py:99-103``). Callers
+with a provably immutable partition key can pass
+``detect_moved_keys=False`` to skip the probe scan.
 """
 
 from __future__ import annotations
@@ -46,6 +56,38 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
 HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"   # Spark's NULL partition dir
 
 
+def _recover_leftovers(target_dir: str) -> None:
+    """Restore dot-prefixed ``.{pdir}.old`` dirs left by an interrupted swap.
+
+    A crash between ``rename(dst → old)`` and ``move(src → dst)`` leaves
+    the partition's ONLY copy in the invisible ``.old`` dir. Recovery must
+    run BEFORE the merge's target read (not inside the swap): if the
+    leftover were rmtree'd during the swap, the staged partition — built
+    from a target scan that could not see the hidden rows — would replace
+    them with nothing, silently losing every prior row of that partition.
+    Here: ``dst`` missing → the swap died mid-window, restore ``old`` as
+    ``dst``; ``dst`` present → the swap completed and only the final
+    cleanup was skipped, drop the stale copy.
+    """
+    if not os.path.isdir(target_dir):
+        return
+    for entry in os.listdir(target_dir):
+        if not entry.startswith("."):
+            continue
+        path = os.path.join(target_dir, entry)
+        if entry.endswith(".del"):
+            # an emptied-partition delete died mid-rmtree: the merge had
+            # already decided these rows are gone — finish the delete,
+            # NEVER restore (restoring would resurrect moved keys).
+            shutil.rmtree(path, ignore_errors=True)
+        elif entry.endswith(".old") and os.path.isdir(path):
+            dst = os.path.join(target_dir, entry[1:-len(".old")])
+            if os.path.isdir(dst):
+                shutil.rmtree(path)     # swap finished; stale backup
+            else:
+                os.rename(path, dst)    # swap died mid-window; restore
+
+
 def _swap_partition(target_dir: str, staging: str, pdir: str) -> None:
     """Replace one partition dir with its staged version.
 
@@ -54,24 +96,45 @@ def _swap_partition(target_dir: str, staging: str, pdir: str) -> None:
     delete the old copy. Versus the naive rmtree-then-move: an
     interruption can no longer silently destroy the only copy — every
     window leaves either the partition in place or a recoverable
-    dot-prefixed copy on disk, and a leftover never corrupts partition
+    dot-prefixed copy on disk (restored by :func:`_recover_leftovers` at
+    the start of the next merge), and a leftover never corrupts partition
     type inference. Not crash-ATOMIC (two renames; the window between
     them leaves the partition undiscovered until recovered) — true
     atomicity on local FS/object stores is the job committer's / table
     format's job.
+
+    A touched partition with NO staged dir was emptied by the merge (its
+    only rows were keys that moved to another partition) — the staged
+    post-state is "no rows", so the live dir is deleted.
     """
     dst = os.path.join(target_dir, pdir)
     src = os.path.join(staging, pdir)
     # '.' prefix → invisible to Spark file listing AND partition inference
     old = os.path.join(target_dir, "." + pdir + ".old")
     if not os.path.isdir(src):
+        if os.path.isdir(dst):
+            # merge emptied this partition; '.del' (not '.old') so a
+            # crash mid-delete is finished, never restored, by recovery
+            gone = os.path.join(target_dir, "." + pdir + ".del")
+            os.rename(dst, gone)
+            shutil.rmtree(gone, ignore_errors=True)
         return
-    if os.path.isdir(old):          # leftover from an interrupted swap
-        shutil.rmtree(old)
     if os.path.isdir(dst):
         os.rename(dst, old)
     shutil.move(src, dst)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _touched_cond(touched: Sequence, partition_col: str) -> Column:
+    # NULL partition values are real (e.g. year = try_cast of a malformed
+    # date): In() is null-propagating, so isin([... None]) would silently
+    # hide existing NULL-partition state from the merge — handle NULL as
+    # its own touched partition (Spark stores it as __HIVE_DEFAULT_PARTITION__).
+    non_null = [v for v in touched if v is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if None in touched:
+        cond = cond | F.col(partition_col).isNull()
+    return cond
 
 
 def merge_into_partitioned(
@@ -83,6 +146,7 @@ def merge_into_partitioned(
     matched_update: Mapping[str, Column] | None = None,
     not_matched_insert: Mapping[str, Column] | None = None,
     count_actions: bool = False,
+    detect_moved_keys: bool = True,
 ) -> dict:
     """MERGE ``source`` into the partitioned table at ``target_dir``,
     rewriting only touched partitions.
@@ -95,20 +159,42 @@ def merge_into_partitioned(
     once and both the counters and the staging write read the cache;
     every job in here scans touched partitions only.
 
+    ``detect_moved_keys`` (default on) probes the non-touched partitions
+    for source keys whose partition value changed (module docstring): a
+    column-pruned ``(keys, partition_col)`` scan broadcast-joined with the
+    batch's distinct keys. Old partitions holding a moved key are merged
+    (and rewritten) too, so the key's stale row is relocated, not
+    duplicated — a moved key classifies as ``update``, exactly like the
+    reference's keyed upsert. Pass ``False`` only when the partition
+    value is provably immutable per key.
+
     Returns ``{"touched": [...], "counts": {action: n} | None}``.
     """
+    _recover_leftovers(target_dir)
+    # recovery may have changed the dir listing; drop any cached file index
+    spark.catalog.refreshByPath(target_dir)
     touched = [
         r[0] for r in source.select(partition_col).distinct().collect()
     ]
-    # NULL partition values are real (e.g. year = try_cast of a malformed
-    # date): In() is null-propagating, so isin([... None]) would silently
-    # hide existing NULL-partition state from the merge — handle NULL as
-    # its own touched partition (Spark stores it as __HIVE_DEFAULT_PARTITION__).
-    non_null = [v for v in touched if v is not None]
-    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
-    if None in touched:
-        cond = cond | F.col(partition_col).isNull()
-    target = spark.read.parquet(target_dir).where(cond)
+    if detect_moved_keys:
+        cond = _touched_cond(touched, partition_col)
+        # complement must keep NULL-partition rows when NULL isn't touched
+        # (~NULL is NULL and would drop them from the probe)
+        others = (
+            spark.read.parquet(target_dir)
+            .where(~F.coalesce(cond, F.lit(False)))
+            .select(*keys, partition_col)
+        )
+        batch_keys = source.select(*keys).distinct()
+        moved = [
+            r[0]
+            for r in others.join(F.broadcast(batch_keys), list(keys), "inner")
+                           .select(partition_col).distinct().collect()
+        ]
+        touched += [v for v in moved if v not in touched]
+    target = spark.read.parquet(target_dir).where(
+        _touched_cond(touched, partition_col)
+    )
     merged = merge_into(
         target, source, keys,
         matched_update=matched_update,
