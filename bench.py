@@ -72,9 +72,13 @@ def main() -> None:
     #   plan complexity are visible;
     # - warm: second run, steady-state (the headline number — at
     #   production data volumes compute dominates compile).
-    # The cache is cleared between runs so queries that persist
-    # intermediates (dd_minhash_lsh's signature) cannot carry cached
-    # blocks from run 1 into run 2 and skew round-over-round comparison.
+    # Both caches are cleared between runs — executor storage AND the
+    # keyed scratch-parquet materializations (dd_minhash_lsh's signature,
+    # pipeline_curation's stages) — so run 2 recomputes staged
+    # intermediates instead of reading run 1's parquet; warm timings stay
+    # honest and round-over-round comparable.
+    from tmdb_sync_spark.util import reset_materialization_cache
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
@@ -84,6 +88,7 @@ def main() -> None:
         runs = []
         for _ in range(2):
             spark.catalog.clearCache()
+            reset_materialization_cache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)

@@ -39,3 +39,34 @@ def test_failed_job_surfaces_error(spark):
     final = runner.wait(job_id, timeout=30)
     assert final["state"] == "failed"
     assert "upstream exploded" in final["error"]
+
+
+def test_unknown_job_id_is_not_found_not_an_exception(spark):
+    """The reference's status endpoint returns 404/empty for unknown ids
+    (app/main.py:64-138) — a poller must get a status shape, not a
+    KeyError."""
+    runner = JobRunner()
+    assert runner.status("deadbeef")["state"] == "not_found"
+    assert runner.wait("deadbeef", timeout=1)["state"] == "not_found"
+
+
+def test_terminal_records_are_bounded(spark):
+    """A long-lived runner must not grow without bound: once the record
+    count exceeds max_records, the oldest TERMINAL jobs are dropped;
+    running jobs are never evicted."""
+    import threading
+
+    runner = JobRunner(max_records=5)
+    gate = threading.Event()
+    running = runner.launch(gate.wait, 60)
+    done = [runner.launch(lambda: None) for _ in range(8)]
+    for jid in done:
+        runner.wait(jid, timeout=30)
+    # one more launch triggers pruning past the cap
+    last = runner.launch(lambda: None)
+    runner.wait(last, timeout=30)
+    assert len(runner._jobs) <= 5
+    assert runner.status(running)["state"] == "running"   # never evicted
+    assert runner.status(done[0])["state"] == "not_found"  # oldest dropped
+    gate.set()
+    assert runner.wait(running, timeout=30)["state"] == "done"

@@ -222,16 +222,15 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it ONCE into a scratch parquet table and read that back
     # — the temp-table form used at 100 TB (a bucketed staging table).
     # Unlike persist(), nothing is retained in executor storage after the
-    # action, so repeated invocations in a long-lived session leak no
-    # cache (round-1 advisor finding), and unlike recomputation, the
-    # md5-heavy shingling runs exactly once per call.
-    from tmdb_sync_spark.util import scratch_dir
+    # action; keyed on sf_dir so repeated invocations in a long-lived
+    # session reuse one dir instead of accumulating /tmp state.
+    from tmdb_sync_spark.util import materialize_once
 
-    sig_path = scratch_dir("mh_sig_")
-    minhash_signature(
-        parallel_table(spark, sf_dir, "documents")
-    ).write.mode("overwrite").parquet(sig_path)
-    sig = spark.read.parquet(sig_path)
+    sig = materialize_once(
+        minhash_signature(parallel_table(spark, sf_dir, "documents")),
+        cache_key=("mh_sig", sf_dir),
+        prefix="mh_sig_",
+    )
 
     cand = banded_pairs_with_overlap(sig)
     return cand.select(

@@ -102,21 +102,33 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact dedup: one shuffle on the (uniform) md5 key, min_by keeps the
     # smallest doc_id — identical to dd_exact's canonical-id policy.
-    # persist(): this filtered corpus feeds BOTH the signature branch and
-    # the final anti-join — uncached, the quality scan + hash group would
-    # run once per consumer. At 100 TB the equivalent is checkpointing
-    # the filtered corpus to a staging table between pipeline stages.
+    # Staging tables, not persist(): the filtered corpus feeds BOTH the
+    # signature branch and the final anti-join, and the signature fans
+    # out into three branches of one downstream action — a lazily-filled
+    # executor cache can race (concurrent branches each recompute the
+    # md5-heavy shingling before the cache fills) and holds the whole
+    # kept corpus in executor storage, a real cost cliff at 100 TB.
+    # materialize_once runs each stage exactly once into a scratch
+    # parquet table (keyed on sf_dir — bounded /tmp across invocations)
+    # and every consumer reads the files; nothing lives in storage memory.
+    from tmdb_sync_spark.util import materialize_once
+
     row = F.struct("doc_id", "text", "lang", "q", "ntok")
-    kept_exact = (
+    kept_exact = materialize_once(
         quality.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
         .agg(F.min_by(row, "doc_id").alias("r"))
-        .select("r.*")
-        .persist()
+        .select("r.*"),
+        cache_key=("cur_kept", sf_dir),
+        prefix="cur_kept_",
     )
 
     # near-dup candidates: banded minhash equi-join (dd_minhash_lsh's
     # shared shape), then the overlap filter picks real near-dups
-    sig = minhash_signature(kept_exact.select("doc_id", "text")).persist()
+    sig = materialize_once(
+        minhash_signature(kept_exact.select("doc_id", "text")),
+        cache_key=("cur_sig", sf_dir),
+        prefix="cur_sig_",
+    )
     drops = (
         banded_pairs_with_overlap(sig)
         .where(F.col("n_equal_hashes") >= NEAR_DUP_MIN)
@@ -126,7 +138,7 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = kept_exact.join(
         drops, kept_exact.doc_id == drops.drop_id, "left_anti"
     )
-    summary = (
+    return (
         final.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -136,14 +148,3 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
-    # The summary is one row per language — execute it now so both
-    # intermediate caches can be RELEASED before returning (repeated
-    # invocations in a long-lived session must not accumulate storage).
-    # This is the one query whose result is aggregate-tiny by
-    # construction; per-document outputs stay lazy everywhere else.
-    try:
-        rows = summary.collect()
-    finally:
-        sig.unpersist()
-        kept_exact.unpersist()
-    return spark.createDataFrame(rows, summary.schema)

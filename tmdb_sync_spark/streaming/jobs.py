@@ -24,11 +24,28 @@ from tmdb_sync_spark.streaming import state as st
 
 
 class JobRunner:
-    """Launch-and-poll surface over driver-side background jobs."""
+    """Launch-and-poll surface over driver-side background jobs.
 
-    def __init__(self) -> None:
-        self._jobs: dict[str, dict[str, Any]] = {}
+    Unknown job ids get the reference's not-found status shape
+    (``app/main.py:64-138`` returns 404/empty, never a 500), and
+    terminal records are bounded: once more than ``max_records`` jobs
+    have finished, the oldest terminal records are dropped — a
+    long-lived runner cannot grow without bound. Running jobs are never
+    evicted."""
+
+    def __init__(self, max_records: int = 256) -> None:
+        self._jobs: dict[str, dict[str, Any]] = {}   # insertion-ordered
         self._lock = threading.Lock()
+        self._max_records = max_records
+
+    def _prune(self) -> None:
+        # caller holds the lock; dict order = launch order (oldest first)
+        terminal = [
+            jid for jid, r in self._jobs.items() if r["state"] != "running"
+        ]
+        excess = len(self._jobs) - self._max_records
+        for jid in terminal[:max(excess, 0)]:
+            del self._jobs[jid]
 
     def launch(self, fn: Callable[..., dict], /, *args, **kwargs) -> str:
         """Start ``fn(*args, **kwargs)`` on a daemon thread; return the job
@@ -46,6 +63,7 @@ class JobRunner:
 
         with self._lock:
             self._jobs[job_id] = rec
+            self._prune()
         t = threading.Thread(target=run, daemon=True, name=f"job-{job_id}")
         rec["thread"] = t
         t.start()
@@ -61,7 +79,11 @@ class JobRunner:
         """Thread state + (optionally) the durable cursor row — committed
         page/counter progress is visible mid-run, like the reference's
         status aggregation over ``sync_cursors`` (``app/main.py:64-138``)."""
-        rec = self._jobs[job_id]
+        with self._lock:
+            rec = self._jobs.get(job_id)
+        if rec is None:
+            return {"job_id": job_id, "state": "not_found",
+                    "result": None, "error": None}
         out = {
             "job_id": job_id,
             "state": rec["state"],
@@ -73,5 +95,8 @@ class JobRunner:
         return out
 
     def wait(self, job_id: str, timeout: float | None = None) -> dict[str, Any]:
-        self._jobs[job_id]["thread"].join(timeout)
+        with self._lock:
+            rec = self._jobs.get(job_id)
+        if rec is not None:
+            rec["thread"].join(timeout)
         return self.status(job_id)

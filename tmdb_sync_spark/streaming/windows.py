@@ -260,8 +260,9 @@ def st_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     A genuinely stream-executed per-user running profile: readStream file
     source → groupBy(user_id) → arbitrary Python state (count / extrema /
     first-last timestamps) kept in the state store across micro-batches →
-    memory sink under availableNow. The oracle is the batch GROUP BY —
-    stream/batch equivalence for a hand-rolled stateful operator.
+    distributed parquet sink via ``foreachBatch`` (``_run_to_parquet``)
+    under availableNow. The oracle is the batch GROUP BY — stream/batch
+    equivalence for a hand-rolled stateful operator.
 
     Scale notes: state is one tiny tuple per user partitioned by the
     group key; only extrema/counters cross batches (order-independent —

@@ -6,6 +6,8 @@ import atexit
 import shutil
 import tempfile
 
+from pyspark.sql import DataFrame
+
 _SCRATCH: list[str] = []
 
 
@@ -23,3 +25,38 @@ def scratch_dir(prefix: str) -> str:
         )
     _SCRATCH.append(d)
     return d
+
+
+_MAT_CACHE: dict[tuple, str] = {}
+
+
+def materialize_once(df: DataFrame, cache_key: tuple, prefix: str) -> DataFrame:
+    """Write ``df`` to a scratch parquet dir once per (application,
+    cache_key) and hand back a reader over it — the staging-table pattern.
+
+    Versus ``persist()``: nothing is retained in executor storage, so a
+    fanned-out intermediate (a minhash signature read by three join
+    branches) is computed exactly once with no lazily-filled-cache race
+    and no storage-memory pressure at 100 TB — the cluster equivalent is
+    a bucketed staging table between pipeline stages. Versus a fresh
+    scratch dir per invocation: repeated calls in a long-lived session
+    reuse ONE materialization instead of accumulating unbounded /tmp
+    state (``cache_key`` must therefore capture every input the frame
+    depends on — static test tables keyed by sf_dir qualify).
+    """
+    spark = df.sparkSession
+    key = (spark.sparkContext.applicationId, *cache_key)
+    path = _MAT_CACHE.get(key)
+    if path is None:
+        path = scratch_dir(prefix)
+        df.write.mode("overwrite").parquet(path)
+        _MAT_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+def reset_materialization_cache() -> None:
+    """Forget (but don't delete) cached materializations — bench.py calls
+    this next to ``clearCache()`` so timed runs recompute staged
+    intermediates instead of reading the previous run's parquet, keeping
+    cold/warm timings honest. Dirs are still removed at interpreter exit."""
+    _MAT_CACHE.clear()
