@@ -13,6 +13,7 @@ from tmdb_sync_spark.sources.http_client import (
     HttpStatusError,
     TmdbApi,
     TransientHttpError,
+    UrllibTransport,
     error_record,
     request_with_retry,
 )
@@ -66,3 +67,111 @@ def test_api_matches_fixture_formulas():
     assert y["results"][0]["id"] == 1999 * 10_000 + 1
     c = api.category("popular", 1, "movie")
     assert c["results"][0]["id"] == 90_000_000 + 2 * 100_000 + 1
+
+
+# ---------------------------------------------------------------------------
+# Real-socket transport against a live stdlib http.server: the production
+# path of the seam (reference policy app/tmdb_client.py:14, app/sync_top.py:46)
+# executed end-to-end — 200 parse, 404 taxonomy, retryable-5xx recovery
+# through request_with_retry with the sleep(attempt) backoff hook, and
+# connection-level failure as a transient.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def live_server():
+    import http.server
+    import json
+    import threading
+
+    hits: dict[str, int] = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):   # keep pytest output clean
+            pass
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            hits[path] = hits.get(path, 0) + 1
+            if path == "/flaky" and hits[path] <= 2:
+                self.send_response(503)      # retryable; recovers on hit 3
+                self.end_headers()
+                return
+            if path == "/missing":
+                self.send_response(404)
+                self.end_headers()
+                self.wfile.write(b"no such endpoint")
+                return
+            body = json.dumps(
+                {"path": path, "hit": hits[path], "query": self.path}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", hits
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_urllib_transport_200_and_params(live_server):
+    base, _ = live_server
+    t = UrllibTransport(base, api_key="k123")
+    out = t.request("/ok", {"page": 3})
+    assert out["path"] == "/ok" and out["hit"] == 1
+    # query string carries params AND the injected api key
+    assert "page=3" in out["query"] and "api_key=k123" in out["query"]
+
+
+def test_urllib_transport_404_taxonomy(live_server):
+    base, _ = live_server
+    t = UrllibTransport(base)
+    with pytest.raises(HttpStatusError) as ei:
+        t.request("/missing", {})
+    assert ei.value.status_code == 404
+    rec = error_record("/missing", ei.value)
+    assert rec["category"] == "http" and rec["status_code"] == 404
+
+
+def test_urllib_transport_5xx_retries_with_backoff(live_server):
+    base, hits = live_server
+    t = UrllibTransport(base)
+    waits: list[int] = []
+    out = request_with_retry(
+        t, "/flaky", {}, max_attempts=5, backoff=waits.append
+    )
+    assert out["hit"] == 3 and hits["/flaky"] == 3   # two 503s then 200
+    assert waits == [1, 2]   # linear backoff hook called per failed attempt
+    # the default hook on the real transport is time.sleep(attempt)
+    import time
+    assert UrllibTransport.backoff is time.sleep
+
+
+def test_urllib_transport_connection_failure_is_transient():
+    import socket
+
+    # grab a port with nothing listening on it
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    t = UrllibTransport(f"http://127.0.0.1:{port}")
+    with pytest.raises(TransientHttpError):
+        t.request("/ok", {})
+
+
+def test_api_over_live_socket_end_to_end(live_server):
+    """TmdbApi drives the real transport through request_with_retry — the
+    exact call path a TMDB_API_BASE deployment runs (get_api selects the
+    stdlib transport when httpx is absent)."""
+    base, hits = live_server
+    api = TmdbApi(UrllibTransport(base))
+    out = api.details(42)
+    assert out["path"] == "/movie/42"
+    assert hits["/movie/42"] == 1

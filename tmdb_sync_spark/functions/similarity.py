@@ -138,12 +138,29 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot = _dot(F.col("qv"), F.col("cv"))
     sim = dot / (F.sqrt(F.col("qnrm")) * F.sqrt(F.col("cnrm")))
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"),
+                F.spark_partition_id().alias("pid"))
+    )
+    # Two-phase top-k: ranking everything in ONE Window.partitionBy(query_id)
+    # caps final-stage parallelism at the query count (10 tasks sorting the
+    # whole corpus at 10^9 candidates). Phase 1 ranks per (query, input
+    # partition) — parallelism n_queries × n_scan_partitions, each task
+    # sorting only its slice — and keeps K rows per group, a superset of the
+    # global top-k. Phase 2 ranks the surviving K × n_partitions rows per
+    # query: the per-query stage now funnels a few hundred rows, not the
+    # corpus. Ties break on neighbor_id both times, so the result (and the
+    # oracle hash) is identical to the one-shot window.
+    w_part = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        cands.crossJoin(F.broadcast(queries))
-        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        scored.withColumn("prank", F.row_number().over(w_part))
+        .where(F.col("prank") <= TOP_K)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")

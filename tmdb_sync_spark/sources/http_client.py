@@ -18,6 +18,9 @@ Here that policy lives ONCE, in :func:`request_with_retry` /
   ``page % 7 == 0`` only respond on attempt ``1 + page % 3``.
 - :class:`HttpxTransport` — a pooled real client (import-gated; httpx is
   absent from this container) with the reference's timeout policy.
+- :class:`UrllibTransport` — the same real-socket policy on the stdlib,
+  used when httpx is unavailable; tested in-sandbox against a live local
+  ``http.server`` (200 / 404 / retryable-5xx / connection failure).
 
 Executors construct the transport lazily per process via :func:`get_api`
 (transports hold sockets/state and must not be pickled into tasks);
@@ -187,6 +190,47 @@ class HttpxTransport:
         return resp.json()
 
 
+class UrllibTransport:
+    """Stdlib real-socket transport — the same status taxonomy and retry
+    contract as :class:`HttpxTransport` with zero dependencies, so the
+    production path of the seam is executable (and tested against a live
+    local ``http.server``) even where httpx is absent. Timeout policy
+    follows the reference's 30 s total (``app/tmdb_client.py:14``; urllib
+    has no separate connect timeout)."""
+
+    backoff = staticmethod(time.sleep)   # linear, app/sync_top.py:117
+
+    def __init__(self, base_url: str, api_key: str | None = None,
+                 timeout: float = 30.0) -> None:
+        self._base = base_url.rstrip("/")
+        self._api_key = api_key
+        self._timeout = timeout
+
+    def request(self, endpoint: str, params: dict) -> dict:
+        import json
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        if self._api_key:
+            params = {**params, "api_key": self._api_key}
+        url = self._base + endpoint
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        try:
+            with urllib.request.urlopen(url, timeout=self._timeout) as resp:
+                status, body = resp.status, resp.read()
+        except urllib.error.HTTPError as e:   # non-2xx arrives as an exception
+            status, body = e.code, e.read()
+        except Exception as e:   # DNS/conn/timeout → retryable
+            raise TransientHttpError(str(e)) from e
+        if status in (429, 500, 502, 503, 504):
+            raise TransientHttpError(f"HTTP {status}")
+        if status != 200:
+            raise HttpStatusError(status, body.decode("utf-8", "replace"))
+        return json.loads(body)
+
+
 class TmdbApi:
     """The fetch surface of the reference's client, one method per
     endpoint family, all funnelled through :func:`request_with_retry`."""
@@ -248,9 +292,12 @@ def get_api() -> TmdbApi:
     global _API
     if _API is None:
         base = os.environ.get("TMDB_API_BASE")
-        transport = (
-            HttpxTransport(base, os.environ.get("TMDB_API_KEY"))
-            if base else FixtureTransport()
-        )
+        if base:
+            try:
+                transport = HttpxTransport(base, os.environ.get("TMDB_API_KEY"))
+            except ImportError:   # no httpx → stdlib transport, same policy
+                transport = UrllibTransport(base, os.environ.get("TMDB_API_KEY"))
+        else:
+            transport = FixtureTransport()
         _API = TmdbApi(transport)
     return _API

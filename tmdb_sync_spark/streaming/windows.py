@@ -4,17 +4,19 @@ The reference has no event-time processing; these are the streaming
 operators a Spark-native engine provides for free and the driver's
 ``events`` table exists to exercise (TESTDATA.md). Three shapes:
 
-- ``st_tumbling_window`` — a REAL Structured Streaming run:
-  ``readStream`` file source over the parquet, 1-hour watermark, tumbling
-  window aggregate, ``availableNow`` trigger, ``foreachBatch`` overwrite
-  into a parquet sink. The oracle is the batch-equivalent SQL — proving
-  stream/batch unification.
+All three are REAL Structured Streaming runs — ``readStream`` file
+source over the parquet, watermark, windowed aggregate, ``availableNow``
+trigger, ``foreachBatch`` into a parquet sink — with batch-equivalent
+SQL as the oracle, proving stream/batch unification:
+
+- ``st_tumbling_window`` — 1-hour tumbling windows.
 - ``st_sliding_window`` — overlapping windows (10 min, slide 5 min); the
   oracle reproduces Spark's window semantics by unioning the two covering
-  slide buckets per event.
-- ``st_session_window`` — gap-based sessionization (30 min); the oracle is
-  the classic gaps-and-islands rewrite (lag → new-session flag →
-  cumulative-sum session id).
+  slide buckets per event. Streams a per-user pre-aggregate (distinct
+  counts aren't streamable) and rolls up over the sink.
+- ``st_session_window`` — gap-based sessionization (30 min) merged in the
+  state store; the oracle is the classic gaps-and-islands rewrite
+  (lag → new-session flag → cumulative-sum session id).
 
 Scale notes: tumbling/sliding aggs are partial-agg + one Exchange on
 (window, key); sessions shuffle on user_id then sort within partitions —
@@ -141,18 +143,34 @@ def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window (10 min / slide 5 min): each event lands in exactly
-    two windows; Spark materializes that expansion inside the window
-    operator, the oracle does it with an explicit two-bucket union."""
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
-                   "event_type")
+    """Sliding window (10 min / slide 5 min) as a REAL streaming run.
+
+    Each event lands in exactly two windows; Spark materializes that
+    expansion inside the window operator, the oracle does it with an
+    explicit two-bucket union. ``COUNT(DISTINCT)`` is unsupported in a
+    streaming aggregation, so the stream pre-aggregates per
+    ``(window, event_type, user_id)`` — the standard scalable distinct
+    rewrite; per-user partials also shrink the state rows that cross
+    micro-batches — and the finishing roll-up over the parquet sink
+    counts one row per distinct user. Decimal partial sums re-sum
+    exactly, so two-level == one-level aggregation bit-for-bit.
+    """
+    pre = (
+        _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                 "event_type", "user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-             .alias("sum_value"),
-            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+    )
+    per_user = spark.read.parquet(_run_to_parquet(pre, "complete"))
+    return (
+        per_user.groupBy("w", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_users"),
         )
         .select(F.col("w.start").alias("window_start"),
                 "event_type", "n_events", "sum_value", "n_users")
@@ -186,10 +204,14 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-minute inactivity gap) per user."""
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+    """Gap-based sessionization (30-minute inactivity gap) per user, as a
+    REAL streaming run: readStream → watermark → ``session_window``
+    merge in the state store → foreachBatch parquet sink. Session state
+    shuffles on user_id and merges overlapping windows incrementally —
+    the streaming shape the batch gaps-and-islands oracle specifies."""
+    agg = (
+        _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
@@ -200,6 +222,7 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("w.end").alias("session_end"),
                 "n_events", "sum_value")
     )
+    return spark.read.parquet(_run_to_parquet(agg, "complete"))
 
 
 STATE_OUT_SCHEMA = (
