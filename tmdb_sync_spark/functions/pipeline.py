@@ -123,9 +123,16 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # near-dup candidates: banded minhash equi-join (dd_minhash_lsh's
-    # shared shape), then the overlap filter picks real near-dups
+    # shared shape), then the overlap filter picks real near-dups.
+    # repartition first: the staged table's files coalesce into very few
+    # input splits (maxPartitionBytes), which would serialize the
+    # md5-heavy shingling onto one core — spread the CPU-bound stage
+    # across the cluster before it, not after.
     sig = materialize_once(
-        minhash_signature(kept_exact.select("doc_id", "text")),
+        minhash_signature(
+            kept_exact.select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+        ),
         cache_key=("cur_sig", sf_dir),
         prefix="cur_sig_",
     )
