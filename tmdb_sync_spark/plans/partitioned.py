@@ -179,18 +179,21 @@ def merge_into_partitioned(
     if detect_moved_keys:
         cond = _touched_cond(touched, partition_col)
         # complement must keep NULL-partition rows when NULL isn't touched
-        # (~NULL is NULL and would drop them from the probe)
+        # (~NULL is NULL and would drop them from the probe).
+        # One shuffle-free job: scan → broadcast LEFT SEMI (immune to
+        # duplicate batch keys) → collect the matches, which are bounded
+        # by the batch's key count; partition values dedupe driver-side.
         others = (
             spark.read.parquet(target_dir)
             .where(~F.coalesce(cond, F.lit(False)))
             .select(*keys, partition_col)
         )
-        batch_keys = source.select(*keys).distinct()
-        moved = [
+        moved = {
             r[0]
-            for r in others.join(F.broadcast(batch_keys), list(keys), "inner")
-                           .select(partition_col).distinct().collect()
-        ]
+            for r in others.join(
+                F.broadcast(source.select(*keys)), list(keys), "left_semi"
+            ).select(partition_col).collect()
+        }
         touched += [v for v in moved if v not in touched]
     target = spark.read.parquet(target_dir).where(
         _touched_cond(touched, partition_col)
