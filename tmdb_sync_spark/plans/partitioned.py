@@ -176,7 +176,9 @@ def merge_into_partitioned(
     touched = [
         r[0] for r in source.select(partition_col).distinct().collect()
     ]
-    if detect_moved_keys:
+    # an empty source touches nothing and can move nothing — skip the
+    # probe, whose complement would otherwise be the whole table
+    if detect_moved_keys and touched:
         cond = _touched_cond(touched, partition_col)
         # complement must keep NULL-partition rows when NULL isn't touched
         # (~NULL is NULL and would drop them from the probe).
