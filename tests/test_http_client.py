@@ -175,3 +175,18 @@ def test_api_over_live_socket_end_to_end(live_server):
     out = api.details(42)
     assert out["path"] == "/movie/42"
     assert hits["/movie/42"] == 1
+
+
+def test_get_api_env_selects_real_transport(live_server, monkeypatch):
+    """TMDB_API_BASE opts the process into a real-socket transport via
+    get_api without touching any other code — and falls back from httpx
+    (absent here) to the stdlib transport."""
+    import tmdb_sync_spark.sources.http_client as hc
+
+    base, hits = live_server
+    monkeypatch.setenv("TMDB_API_BASE", base)
+    monkeypatch.setattr(hc, "_API", None)   # reset the process singleton
+    api = hc.get_api()
+    assert isinstance(api.transport, UrllibTransport)
+    assert api.details(7)["path"] == "/movie/7" and hits["/movie/7"] == 1
+    monkeypatch.setattr(hc, "_API", None)   # don't leak into other tests
