@@ -34,6 +34,15 @@ invariant (``app/mongo.py:15``) holds across partition moves exactly as
 its keyed Mongo upsert does (``app/catalog/upsert.py:99-103``). Callers
 with a provably immutable partition key can pass
 ``detect_moved_keys=False`` to skip the probe scan.
+
+Why a probe scan and not a sidecar key→partition index: parquet reads
+column chunks, so the probe already reads only the key + partition
+columns — the same bytes a dedicated ``(keys, partition_col)`` index
+table would hold — while an index adds a second write per merge and a
+consistency protocol for it. The probe is one shuffle-free job
+(broadcast left-semi of the batch keys); a real table format's manifest
+stats (Delta/Iceberg) are the production upgrade, not a hand-rolled
+index.
 """
 
 from __future__ import annotations
