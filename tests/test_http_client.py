@@ -123,10 +123,13 @@ def live_server():
 def test_urllib_transport_200_and_params(live_server):
     base, _ = live_server
     t = UrllibTransport(base, api_key="k123")
-    out = t.request("/ok", {"page": 3})
+    out = t.request("/ok", {"page": 3, "include_adult": False})
     assert out["path"] == "/ok" and out["hit"] == 1
     # query string carries params AND the injected api key
     assert "page=3" in out["query"] and "api_key=k123" in out["query"]
+    # booleans encode lowercase like httpx (TMDB's documented contract),
+    # not urlencode's str() capitalization
+    assert "include_adult=false" in out["query"]
 
 
 def test_urllib_transport_404_taxonomy(live_server):

@@ -70,3 +70,23 @@ def test_terminal_records_are_bounded(spark):
     assert runner.status(done[0])["state"] == "not_found"  # oldest dropped
     gate.set()
     assert runner.wait(running, timeout=30)["state"] == "done"
+
+
+def test_unread_results_survive_eviction_of_read_ones(spark):
+    """A launcher that hasn't polled its finished job yet must not lose
+    the result to a flood of later, already-polled jobs — polled terminal
+    records evict first."""
+    import time
+
+    runner = JobRunner(max_records=4)
+    mine = runner.launch(lambda: {"answer": 42})
+    # let it finish WITHOUT polling (wait() would mark it read)
+    for _ in range(100):
+        with runner._lock:
+            if runner._jobs[mine]["state"] != "running":
+                break
+        time.sleep(0.05)
+    for _ in range(8):                      # flood with polled jobs
+        runner.wait(runner.launch(lambda: None), timeout=30)
+    final = runner.wait(mine, timeout=30)
+    assert final["state"] == "done" and final["result"] == {"answer": 42}

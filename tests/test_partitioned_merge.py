@@ -149,6 +149,39 @@ def test_cross_partition_key_move_does_not_duplicate(spark):
     assert all(r["count"] == 1 for r in rows)
 
 
+def test_key_move_swaps_old_partition_before_new(spark, monkeypatch):
+    """Delete-in-old must install before insert-in-new: if the process
+    dies between the two swaps, the moved key is temporarily absent
+    (replaying the idempotent merge repairs it) — never present twice."""
+    import tempfile
+
+    import tmdb_sync_spark.plans.partitioned as pp
+
+    d = tempfile.mkdtemp(prefix="pm_order_")
+    target = f"{d}/t"
+    base = spark.createDataFrame(
+        [(1, 1996, 10.0), (2, 1996, 20.0), (3, 1997, 30.0)],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    write_partitioned(base, target, "y")
+
+    seen: list[str] = []
+    real_swap = pp._swap_partition
+
+    def recording_swap(target_dir, staging, pdir):
+        seen.append(pdir)
+        real_swap(target_dir, staging, pdir)
+
+    monkeypatch.setattr(pp, "_swap_partition", recording_swap)
+    source = spark.createDataFrame(
+        [(1, 1998, 11.0)], "k BIGINT, y INT, price DOUBLE"
+    )
+    merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="y"
+    )
+    assert seen.index("y=1996") < seen.index("y=1998")
+
+
 def test_key_move_emptying_a_partition_deletes_its_dir(spark):
     """When the ONLY rows of a partition move away, the merge's post-state
     for that partition is empty — its directory must be deleted, not left

@@ -58,7 +58,15 @@ from pyspark.sql import functions as F
 from tmdb_sync_spark.plans.merge import ACTION_COL, merge_into
 
 
-def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str,
+    cluster_by: Sequence[str] = (),
+) -> None:
+    """Write a hive-partitioned table; ``cluster_by`` locally sorts each
+    task's output so parquet row-group key stats are tight from the first
+    write (the same clustering the merge's staging writes apply)."""
+    if cluster_by:
+        df = df.sortWithinPartitions(partition_col, *cluster_by)
     df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
 
 
@@ -182,11 +190,19 @@ def merge_into_partitioned(
     _recover_leftovers(target_dir)
     # recovery may have changed the dir listing; drop any cached file index
     spark.catalog.refreshByPath(target_dir)
-    touched = [
-        r[0] for r in source.select(partition_col).distinct().collect()
-    ]
+    # ONE job gathers the batch's partition values AND its key range
+    # (collect_set drops NULLs, so NULL-partition presence rides along as
+    # a flag; the key range feeds the probe's row-group pruning below)
+    stats = source.agg(
+        F.collect_set(partition_col).alias("parts"),
+        F.max(F.col(partition_col).isNull()).alias("has_null"),
+        F.min(keys[0]).alias("kmin"),
+        F.max(keys[0]).alias("kmax"),
+    ).first()
+    touched = list(stats["parts"]) + ([None] if stats["has_null"] else [])
     # an empty source touches nothing and can move nothing — skip the
     # probe, whose complement would otherwise be the whole table
+    moved: set = set()
     if detect_moved_keys and touched:
         cond = _touched_cond(touched, partition_col)
         # complement must keep NULL-partition rows when NULL isn't touched
@@ -194,9 +210,14 @@ def merge_into_partitioned(
         # One shuffle-free job: scan → broadcast LEFT SEMI (immune to
         # duplicate batch keys) → collect the matches, which are bounded
         # by the batch's key count; partition values dedupe driver-side.
+        # The batch-key range predicate is a superset filter that parquet
+        # row-group min/max stats can act on — staged partitions are
+        # written key-clustered below precisely so this scan skips most
+        # row groups of a large table.
         others = (
             spark.read.parquet(target_dir)
             .where(~F.coalesce(cond, F.lit(False)))
+            .where(F.col(keys[0]).between(stats["kmin"], stats["kmax"]))
             .select(*keys, partition_col)
         )
         moved = {
@@ -224,13 +245,27 @@ def merge_into_partitioned(
             for r in merged.groupBy(ACTION_COL)
                            .agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        merged.drop(ACTION_COL).write.partitionBy(partition_col).mode(
-            "overwrite"
-        ).parquet(staging)
-        merged.unpersist()
+        to_write = merged.drop(ACTION_COL)
     else:
-        merged.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
-    for v in touched:
+        to_write = merged
+    # key-clustered staging: a local sort per task makes parquet row-group
+    # min/max stats on the key tight, so future moved-key probes (and any
+    # key-range read) skip most row groups of untouched data
+    to_write.sortWithinPartitions(partition_col, *keys).write.partitionBy(
+        partition_col
+    ).mode("overwrite").parquet(staging)
+    if count_actions:
+        merged.unpersist()
+    # Swap partitions that LOSE a moved key before the ones that receive
+    # it: a crash mid-loop then leaves the moved key temporarily absent
+    # (stale copy already deleted, new copy not yet installed) — repaired
+    # by replaying the idempotent merge — rather than permanently
+    # duplicated across two partition dirs, which no later merge could
+    # detect as anything but two matching rows.
+    order = [v for v in touched if v in moved] + [
+        v for v in touched if v not in moved
+    ]
+    for v in order:
         part_val = HIVE_NULL_PART if v is None else v
         _swap_partition(target_dir, staging, f"{partition_col}={part_val}")
     shutil.rmtree(staging, ignore_errors=True)

@@ -214,6 +214,13 @@ class UrllibTransport:
 
         if self._api_key:
             params = {**params, "api_key": self._api_key}
+        # urlencode str()s booleans as 'True'/'False'; httpx (and TMDB's
+        # documented contract) use lowercase — normalize so both real
+        # transports send identical queries
+        params = {
+            k: (str(v).lower() if isinstance(v, bool) else v)
+            for k, v in params.items()
+        }
         url = self._base + endpoint
         if params:
             url += "?" + urllib.parse.urlencode(params)

@@ -133,7 +133,10 @@ def run_sync_top(
                 # every row is an insert, created_at = synced_at
                 # ($setOnInsert on the insert branch, app/catalog/upsert.py:91)
                 boot = ok.withColumn("created_at", F.col("synced_at"))
-                write_partitioned(boot, movies_path, "year")
+                write_partitioned(
+                    boot, movies_path, "year",
+                    cluster_by=("id", "content_type"),
+                )
                 inserted += ok.count()
             else:
                 res = merge_into_partitioned(

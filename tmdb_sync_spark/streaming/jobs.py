@@ -28,10 +28,11 @@ class JobRunner:
 
     Unknown job ids get the reference's not-found status shape
     (``app/main.py:64-138`` returns 404/empty, never a 500), and
-    terminal records are bounded: once more than ``max_records`` jobs
-    have finished, the oldest terminal records are dropped — a
-    long-lived runner cannot grow without bound. Running jobs are never
-    evicted."""
+    terminal records are bounded: past ``max_records``, the oldest
+    terminal records whose outcome has been POLLED are evicted first, so
+    a launcher that hasn't read its result yet doesn't lose it to a
+    flood of later jobs; unread terminal records go only under sustained
+    overflow, and running jobs are never evicted."""
 
     def __init__(self, max_records: int = 256) -> None:
         self._jobs: dict[str, dict[str, Any]] = {}   # insertion-ordered
@@ -40,18 +41,25 @@ class JobRunner:
 
     def _prune(self) -> None:
         # caller holds the lock; dict order = launch order (oldest first)
-        terminal = [
-            jid for jid, r in self._jobs.items() if r["state"] != "running"
+        read = [
+            jid for jid, r in self._jobs.items()
+            if r["state"] != "running" and r["read"]
+        ]
+        unread = [
+            jid for jid, r in self._jobs.items()
+            if r["state"] != "running" and not r["read"]
         ]
         excess = len(self._jobs) - self._max_records
-        for jid in terminal[:max(excess, 0)]:
+        for jid in (read + unread)[:max(excess, 0)]:
             del self._jobs[jid]
 
     def launch(self, fn: Callable[..., dict], /, *args, **kwargs) -> str:
         """Start ``fn(*args, **kwargs)`` on a daemon thread; return the job
         id immediately (the 202 semantics of ``app/main.py:40-61``)."""
         job_id = uuid.uuid4().hex[:12]
-        rec: dict[str, Any] = {"state": "running", "result": None, "error": None}
+        rec: dict[str, Any] = {
+            "state": "running", "result": None, "error": None, "read": False,
+        }
 
         def run() -> None:
             try:
@@ -90,6 +98,8 @@ class JobRunner:
             "result": rec["result"],
             "error": rec["error"],
         }
+        if rec["state"] != "running":
+            rec["read"] = True   # outcome delivered → eligible for eviction
         if spark is not None and cursors_path and cursor_key:
             out["cursor"] = st.read_cursor(spark, cursors_path, cursor_key)
         return out

@@ -170,7 +170,9 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").alias("n_events"),
             F.sum("sv").cast("double").alias("sum_value"),
-            F.count(F.lit(1)).alias("n_users"),
+            # count the user COLUMN, not rows: a NULL-user pre-aggregate
+            # group must not count, matching COUNT(DISTINCT user_id)
+            F.count("user_id").alias("n_users"),
         )
         .select(F.col("w.start").alias("window_start"),
                 "event_type", "n_events", "sum_value", "n_users")
