@@ -102,6 +102,11 @@ def live_server():
                 self.end_headers()
                 self.wfile.write(b"no such endpoint")
                 return
+            if path == "/moved":
+                self.send_response(302)
+                self.send_header("Location", "/ok")
+                self.end_headers()
+                return
             body = json.dumps(
                 {"path": path, "hit": hits[path], "query": self.path}
             ).encode()
@@ -154,6 +159,18 @@ def test_urllib_transport_5xx_retries_with_backoff(live_server):
     # the default hook on the real transport is time.sleep(attempt)
     import time
     assert UrllibTransport.backoff is time.sleep
+
+
+def test_urllib_transport_does_not_follow_redirects(live_server):
+    """httpx's default surfaces 3xx as a status error; the stdlib
+    transport must behave identically or the env-selected fallback would
+    change observable sync behavior on a redirecting base URL."""
+    base, hits = live_server
+    t = UrllibTransport(base)
+    with pytest.raises(HttpStatusError) as ei:
+        t.request("/moved", {})
+    assert ei.value.status_code == 302
+    assert "/ok" not in hits   # the redirect target was never fetched
 
 
 def test_urllib_transport_connection_failure_is_transient():

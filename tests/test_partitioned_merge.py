@@ -207,6 +207,68 @@ def test_key_move_emptying_a_partition_deletes_its_dir(spark):
     assert post == {1: (1997, 11.0), 2: (1997, 20.0)}
 
 
+def test_replay_repairs_crash_duplicated_key(spark):
+    """A crash between the two swaps of a key-move batch can leave a key
+    present in BOTH its old and new partition. Replaying a merge that
+    touches the key must normalize back to one row (the pre-merge key
+    dedup), not emit two matched copies."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pm_dup_")
+    target = f"{d}/t"
+    # simulate the crash artifact directly: k=1 exists in y=1996 AND y=1997
+    corrupt = spark.createDataFrame(
+        [(1, 1996, 10.0), (1, 1997, 11.0), (2, 1997, 20.0)],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    write_partitioned(corrupt, target, "y")
+
+    source = spark.createDataFrame(
+        [(1, 1997, 12.0)], "k BIGINT, y INT, price DOUBLE"
+    )
+    res = merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="y",
+        count_actions=True,
+    )
+    assert res["counts"] == {"update": 1, "noop": 1}
+    post = sorted(
+        (r["k"], r["y"], r["price"])
+        for r in spark.read.parquet(target).collect()
+    )
+    assert post == [(1, 1997, 12.0), (2, 1997, 20.0)]
+
+
+def test_string_partition_values_with_special_chars(spark):
+    """String partition values that Spark hive-escapes in dir names
+    ('a/b' → 'a%2Fb') must still swap correctly — a raw f-string path
+    would miss the staged dir and silently drop the partition's rows."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pm_esc_")
+    target = f"{d}/t"
+    base = spark.createDataFrame(
+        [(1, "a/b", 10.0), (2, "x:y", 20.0), (3, "plain", 30.0)],
+        "k BIGINT, cat STRING, price DOUBLE",
+    )
+    write_partitioned(base, target, "cat")
+    assert os.path.isdir(os.path.join(target, "cat=a%2Fb"))
+
+    source = spark.createDataFrame(
+        [(1, "a/b", 11.0), (2, "x:y", 21.0)],
+        "k BIGINT, cat STRING, price DOUBLE",
+    )
+    res = merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="cat",
+        count_actions=True,
+    )
+    assert res["counts"] == {"update": 2}
+    post = {r["k"]: (r["cat"], r["price"])
+            for r in spark.read.parquet(target).collect()}
+    assert post == {
+        1: ("a/b", 11.0), 2: ("x:y", 21.0), 3: ("plain", 30.0),
+    }
+
+
 def test_leftover_old_dir_recovered_before_merge(spark):
     """Crash between rename(dst→.old) and move(src→dst) leaves the
     partition's only copy in the invisible '.old' dir. The next merge must

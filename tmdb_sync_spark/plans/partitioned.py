@@ -72,6 +72,18 @@ def write_partitioned(
 
 HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"   # Spark's NULL partition dir
 
+# Characters Spark/Hive %-escape in partition dir names
+# (ExternalCatalogUtils.escapePathName): ASCII control chars plus the set
+# below. Building swap paths with the same escaping keeps the directory
+# protocol correct for string partition values like 'a/b' or 'x:y'.
+_ESCAPED = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+
+def _escape_part_val(v) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPED else c for c in str(v)
+    )
+
 
 def _recover_leftovers(target_dir: str) -> None:
     """Restore dot-prefixed ``.{pdir}.old`` dirs left by an interrupted swap.
@@ -230,6 +242,26 @@ def merge_into_partitioned(
     target = spark.read.parquet(target_dir).where(
         _touched_cond(touched, partition_col)
     )
+    # Self-healing replay: a crash between two partition swaps of a
+    # key-move batch can leave a key duplicated across partition dirs
+    # (the new copy installed, the stale one not yet removed). Normalize
+    # the scanned target to ONE row per key before the merge — a
+    # deterministic min_by over a (isNull, partition-as-string) rank;
+    # crash artifacts are byte-copies of one document lineage, so any
+    # deterministic pick restores the invariant, and for keys in the
+    # batch the source overwrites the mutable columns anyway. The agg
+    # shuffles on the same keys the merge join needs, so Catalyst reuses
+    # the exchange rather than adding one.
+    pref = F.struct(
+        F.col(partition_col).isNull().cast("int").alias("pn"),
+        F.coalesce(F.col(partition_col).cast("string"), F.lit("")).alias("pv"),
+    )
+    row_struct = F.struct(*[F.col(c) for c in target.columns])
+    target = (
+        target.groupBy(*keys)
+        .agg(F.min_by(row_struct, pref).alias("_r"))
+        .select("_r.*")
+    )
     merged = merge_into(
         target, source, keys,
         matched_update=matched_update,
@@ -266,7 +298,7 @@ def merge_into_partitioned(
         v for v in touched if v not in moved
     ]
     for v in order:
-        part_val = HIVE_NULL_PART if v is None else v
+        part_val = HIVE_NULL_PART if v is None else _escape_part_val(v)
         _swap_partition(target_dir, staging, f"{partition_col}={part_val}")
     shutil.rmtree(staging, ignore_errors=True)
     # Spark's session-wide FileStatusCache would otherwise serve the old

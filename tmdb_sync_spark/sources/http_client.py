@@ -194,29 +194,40 @@ class UrllibTransport:
     """Stdlib real-socket transport — the same status taxonomy and retry
     contract as :class:`HttpxTransport` with zero dependencies, so the
     production path of the seam is executable (and tested against a live
-    local ``http.server``) even where httpx is absent. Timeout policy
-    follows the reference's 30 s total (``app/tmdb_client.py:14``; urllib
-    has no separate connect timeout)."""
+    local ``http.server``) even where httpx is absent.
+
+    Contract parity with the httpx path, deliberately enforced:
+    - the reference's 30 s TOTAL deadline (``app/tmdb_client.py:14``):
+      urllib's ``timeout`` is per socket OPERATION, so a slow-drip server
+      would never trip it — the body is read in chunks against a
+      monotonic deadline instead;
+    - redirects are NOT followed (httpx default): a 3xx surfaces as
+      :class:`HttpStatusError`, identical over both transports;
+    - booleans encode lowercase like httpx / TMDB's contract.
+    """
 
     backoff = staticmethod(time.sleep)   # linear, app/sync_top.py:117
 
     def __init__(self, base_url: str, api_key: str | None = None,
                  timeout: float = 30.0) -> None:
+        import urllib.request
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, *a, **k):   # 3xx → HTTPError
+                return None
+
         self._base = base_url.rstrip("/")
         self._api_key = api_key
         self._timeout = timeout
+        self._opener = urllib.request.build_opener(_NoRedirect())
 
     def request(self, endpoint: str, params: dict) -> dict:
         import json
         import urllib.error
         import urllib.parse
-        import urllib.request
 
         if self._api_key:
             params = {**params, "api_key": self._api_key}
-        # urlencode str()s booleans as 'True'/'False'; httpx (and TMDB's
-        # documented contract) use lowercase — normalize so both real
-        # transports send identical queries
         params = {
             k: (str(v).lower() if isinstance(v, bool) else v)
             for k, v in params.items()
@@ -224,9 +235,25 @@ class UrllibTransport:
         url = self._base + endpoint
         if params:
             url += "?" + urllib.parse.urlencode(params)
+        deadline = time.monotonic() + self._timeout
+
+        def read_all(resp) -> bytes:
+            chunks = []
+            while True:
+                if time.monotonic() > deadline:
+                    raise TransientHttpError(
+                        f"total deadline {self._timeout}s exceeded"
+                    )
+                chunk = resp.read(65536)
+                if not chunk:
+                    return b"".join(chunks)
+                chunks.append(chunk)
+
         try:
-            with urllib.request.urlopen(url, timeout=self._timeout) as resp:
-                status, body = resp.status, resp.read()
+            with self._opener.open(url, timeout=self._timeout) as resp:
+                status, body = resp.status, read_all(resp)
+        except TransientHttpError:
+            raise
         except urllib.error.HTTPError as e:   # non-2xx arrives as an exception
             status, body = e.code, e.read()
         except Exception as e:   # DNS/conn/timeout → retryable

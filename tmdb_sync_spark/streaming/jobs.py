@@ -98,7 +98,10 @@ class JobRunner:
             "result": rec["result"],
             "error": rec["error"],
         }
-        if rec["state"] != "running":
+        # mark read only if the RESPONSE carried a terminal outcome — the
+        # job may have finished between snapshotting out['state'] and
+        # here, and that result was NOT delivered to this caller
+        if out["state"] != "running":
             rec["read"] = True   # outcome delivered → eligible for eviction
         if spark is not None and cursors_path and cursor_key:
             out["cursor"] = st.read_cursor(spark, cursors_path, cursor_key)

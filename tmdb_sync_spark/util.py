@@ -5,6 +5,7 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame
 
@@ -28,6 +29,7 @@ def scratch_dir(prefix: str) -> str:
 
 
 _MAT_CACHE: dict[tuple, str] = {}
+_MAT_LOCK = threading.Lock()
 
 
 def materialize_once(df: DataFrame, cache_key: tuple, prefix: str) -> DataFrame:
@@ -41,16 +43,24 @@ def materialize_once(df: DataFrame, cache_key: tuple, prefix: str) -> DataFrame:
     a bucketed staging table between pipeline stages. Versus a fresh
     scratch dir per invocation: repeated calls in a long-lived session
     reuse ONE materialization instead of accumulating unbounded /tmp
-    state (``cache_key`` must therefore capture every input the frame
-    depends on — static test tables keyed by sf_dir qualify).
+    state.
+
+    ``cache_key`` IS the invalidation contract: it must capture every
+    input the frame depends on. The immutable driver test tables keyed
+    by sf_dir qualify; a path whose CONTENT can be rewritten mid-session
+    does not — derive the key from a version/mtime in that case, or call
+    :func:`reset_materialization_cache` after rewriting. The lock makes
+    concurrent first calls from driver threads materialize once instead
+    of racing to write.
     """
     spark = df.sparkSession
     key = (spark.sparkContext.applicationId, *cache_key)
-    path = _MAT_CACHE.get(key)
-    if path is None:
-        path = scratch_dir(prefix)
-        df.write.mode("overwrite").parquet(path)
-        _MAT_CACHE[key] = path
+    with _MAT_LOCK:
+        path = _MAT_CACHE.get(key)
+        if path is None:
+            path = scratch_dir(prefix)
+            df.write.mode("overwrite").parquet(path)
+            _MAT_CACHE[key] = path
     return spark.read.parquet(path)
 
 
