@@ -304,6 +304,134 @@ def test_leftover_old_dir_recovered_before_merge(spark):
     assert not os.path.isdir(os.path.join(target, ".y=1996.old"))
 
 
+def _banded_table(spark, d):
+    """Years 2000-2003, key bands disjoint per year: year y holds keys
+    [100*(y-2000), +99] — the id↔partition correlation a real catalog
+    table has (TMDB ids grow with release year)."""
+    target = f"{d}/t"
+    rows = [
+        (100 * (y - 2000) + i, y, float(i))
+        for y in (2000, 2001, 2002, 2003)
+        for i in range(100)
+    ]
+    base = spark.createDataFrame(rows, "k BIGINT, y INT, price DOUBLE")
+    write_partitioned(base, target, "y", cluster_by=("k",),
+                      manifest_key="k")
+    return target
+
+
+def test_manifest_prunes_probe_to_zero_partitions(spark):
+    """A batch of keys uniformly spread WITHIN its partition's key band
+    must not open any file of the other partitions — the r3 global
+    BETWEEN-range probe read them all; the per-partition manifest prunes
+    them before any read, skipping the probe job entirely."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pm_manifest_")
+    target = _banded_table(spark, d)
+    # every 7th key of 2001's band — uniform across that band
+    source = spark.createDataFrame(
+        [(k, 2001, k + 0.5) for k in range(100, 200, 7)],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    res = merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="y",
+        count_actions=True,
+    )
+    assert res["probe_partitions"] == []     # no probe read at all
+    assert res["counts"] == {"update": len(range(100, 200, 7)), "noop": 100 - len(range(100, 200, 7))}
+    post = {r["k"]: r["price"]
+            for r in spark.read.parquet(target).where("y = 2001").collect()}
+    for k in range(100, 200, 7):
+        assert post[k] == k + 0.5
+
+
+def test_manifest_probe_reads_only_intersecting_partition(spark):
+    """A key that moved partitions is still found — and the probe reads
+    ONLY the partition whose key range can hold it, not every other
+    partition."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pm_manifest2_")
+    target = _banded_table(spark, d)
+    # key 50 lives in y=2000; the batch says it now belongs to 2001
+    source = spark.createDataFrame(
+        [(50, 2001, 999.0)], "k BIGINT, y INT, price DOUBLE"
+    )
+    res = merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="y",
+        count_actions=True,
+    )
+    assert res["probe_partitions"] == ["y=2000"]   # 2002/2003 excluded
+    # old partition joins the merge: its 99 unmoved rows are noops,
+    # plus the 100 rows of the batch's own partition
+    assert res["counts"] == {"update": 1, "noop": 199}
+    assert set(res["touched"]) == {2001, 2000}
+    rows = spark.read.parquet(target).where("k = 50").collect()
+    assert len(rows) == 1 and rows[0]["y"] == 2001 and rows[0]["price"] == 999.0
+
+
+def test_manifest_missing_rebuilds_from_footers(spark):
+    """Deleting the manifest (crash, external copy) degrades to a footer
+    harvest, never to a missed moved key."""
+    import tempfile
+
+    from tmdb_sync_spark.plans import manifest as km
+
+    d = tempfile.mkdtemp(prefix="pm_manifest3_")
+    target = _banded_table(spark, d)
+    os.remove(os.path.join(target, km.MANIFEST_NAME))
+    source = spark.createDataFrame(
+        [(250, 2000, 1.5)], "k BIGINT, y INT, price DOUBLE"
+    )
+    res = merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="y",
+        count_actions=True,
+    )
+    assert res["probe_partitions"] == ["y=2002"]
+    assert res["counts"] == {"update": 1, "noop": 199}
+    rows = spark.read.parquet(target).where("k = 250").collect()
+    assert len(rows) == 1 and rows[0]["y"] == 2000
+    # and the manifest was re-established for the next merge
+    assert os.path.exists(os.path.join(target, km.MANIFEST_NAME))
+
+
+def test_boolean_partition_values_swap_correctly(spark):
+    """Spark renders boolean partition values as 'true'/'false' in dir
+    names; Python str() says 'True'. A rendering divergence makes the
+    swap find neither src nor dst and silently drop staged changes
+    (ADVICE r3 #1)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pm_bool_")
+    target = f"{d}/t"
+    base = spark.createDataFrame(
+        [(1, True, 10.0), (2, False, 20.0), (3, None, 30.0)],
+        "k BIGINT, flag BOOLEAN, price DOUBLE",
+    )
+    write_partitioned(base, target, "flag")
+    assert os.path.isdir(os.path.join(target, "flag=true"))
+
+    source = spark.createDataFrame(
+        [(1, True, 11.0), (2, False, 21.0), (4, None, 40.0)],
+        "k BIGINT, flag BOOLEAN, price DOUBLE",
+    )
+    res = merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="flag",
+        count_actions=True,
+    )
+    assert res["counts"] == {"update": 2, "insert": 1, "noop": 1}
+    # partition-type inference reads bool dir values back as the strings
+    # 'true'/'false' (Spark infers only numeric/date/string partition
+    # types) — the point here is that the staged changes LANDED
+    post = {r["k"]: (r["flag"], r["price"])
+            for r in spark.read.parquet(target).collect()}
+    assert post == {
+        1: ("true", 11.0), 2: ("false", 21.0),
+        3: (None, 30.0), 4: (None, 40.0),
+    }
+
+
 def test_ingest_resync_with_changed_year_keeps_one_row(spark):
     """End-to-end on the live movies table: the API corrects a
     release_date between syncs (year derives from it,

@@ -138,7 +138,8 @@ def _partitioned_merge_dir(spark: SparkSession, sf_dir: str) -> str:
         orders = table(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate").cast("int")
         )
-        write_partitioned(orders, target, "o_year")
+        write_partitioned(orders, target, "o_year",
+                          manifest_key="o_orderkey")
         base = spark.read.parquet(target)
         updates = (
             base.where(

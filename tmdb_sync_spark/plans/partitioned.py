@@ -24,25 +24,25 @@ read/merge plan above is identical either way.
 Cross-partition key moves (a row whose partition value changes — e.g. a
 movie's ``year`` corrected between syncs, since ``year`` derives from the
 API-mutable ``release_date``) are handled: before the merge, source keys
-are probed against the *other* partitions via a column-pruned scan of
-``(keys, partition_col)`` broadcast-joined with the batch's distinct keys
-(no shuffle; at 100 TB parquet reads only those columns' pages). Old
-partitions holding a moved key join the touched set, the full-outer MERGE
-on keys relocates the row to its new partition, and the swap deletes a
-partition the merge emptied — so the reference's global unique-key
-invariant (``app/mongo.py:15``) holds across partition moves exactly as
-its keyed Mongo upsert does (``app/catalog/upsert.py:99-103``). Callers
-with a provably immutable partition key can pass
-``detect_moved_keys=False`` to skip the probe scan.
-
-Why a probe scan and not a sidecar key→partition index: parquet reads
-column chunks, so the probe already reads only the key + partition
-columns — the same bytes a dedicated ``(keys, partition_col)`` index
-table would hold — while an index adds a second write per merge and a
-consistency protocol for it. The probe is one shuffle-free job
-(broadcast left-semi of the batch keys); a real table format's manifest
-stats (Delta/Iceberg) are the production upgrade, not a hand-rolled
-index.
+are probed against the *other* partitions. The probe is pruned at THREE
+levels before any data page is read: (1) the per-partition key min/max
+manifest (``plans.manifest`` — parquet footer stats maintained by the
+merge itself, the hand-rolled equivalent of Delta/Iceberg file stats)
+drops every partition whose key range cannot intersect the batch's
+per-partition key spans — when nothing survives, the probe job never
+runs; (2) the surviving partitions are read by PATH (file-index level,
+untouched dirs never listed); (3) a batch key-range predicate lets
+parquet row-group stats skip most row groups of what remains (staged
+writes are key-clustered below precisely for this). What's left is one
+shuffle-free job: a column-pruned ``(keys, partition_col)`` scan
+broadcast-LEFT-SEMI-joined with the batch keys. Old partitions holding a
+moved key join the touched set, the full-outer MERGE on keys relocates
+the row to its new partition, and the swap deletes a partition the merge
+emptied — so the reference's global unique-key invariant
+(``app/mongo.py:15``) holds across partition moves exactly as its keyed
+Mongo upsert does (``app/catalog/upsert.py:99-103``). Callers with a
+provably immutable partition key can pass ``detect_moved_keys=False`` to
+skip the probe entirely.
 """
 
 from __future__ import annotations
@@ -55,22 +55,27 @@ import shutil
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tmdb_sync_spark.plans import manifest as km
+from tmdb_sync_spark.plans.manifest import HIVE_NULL_PART
 from tmdb_sync_spark.plans.merge import ACTION_COL, merge_into
 
 
 def write_partitioned(
     df: DataFrame, path: str, partition_col: str,
     cluster_by: Sequence[str] = (),
+    manifest_key: str | None = None,
 ) -> None:
     """Write a hive-partitioned table; ``cluster_by`` locally sorts each
     task's output so parquet row-group key stats are tight from the first
-    write (the same clustering the merge's staging writes apply)."""
+    write (the same clustering the merge's staging writes apply).
+    ``manifest_key`` seeds the per-partition key-range manifest from the
+    fresh footers so the first merge needn't harvest it lazily."""
     if cluster_by:
         df = df.sortWithinPartitions(partition_col, *cluster_by)
     df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
-
-
-HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"   # Spark's NULL partition dir
+    if manifest_key:
+        km.save(path, manifest_key, partition_col,
+                km.load(path, manifest_key, partition_col))
 
 # Characters Spark/Hive %-escape in partition dir names
 # (ExternalCatalogUtils.escapePathName): ASCII control chars plus the set
@@ -79,10 +84,26 @@ HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"   # Spark's NULL partition dir
 _ESCAPED = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
 
 
+def _render_part_val(v) -> str:
+    # Match Spark's partition-value rendering (Cast-to-string), not
+    # Python's str(): booleans are 'true'/'false' in dir names. A
+    # divergence here would make _swap_partition find neither src nor dst
+    # and silently drop the partition's staged changes; the swap loop also
+    # reconciles against the staging dir listing as a backstop.
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _escape_part_val(v) -> str:
     return "".join(
-        f"%{ord(c):02X}" if c in _ESCAPED else c for c in str(v)
+        f"%{ord(c):02X}" if c in _ESCAPED else c for c in _render_part_val(v)
     )
+
+
+def _pdir_name(partition_col: str, v) -> str:
+    part_val = HIVE_NULL_PART if v is None else _escape_part_val(v)
+    return f"{partition_col}={part_val}"
 
 
 def _recover_leftovers(target_dir: str) -> None:
@@ -189,56 +210,64 @@ def merge_into_partitioned(
     every job in here scans touched partitions only.
 
     ``detect_moved_keys`` (default on) probes the non-touched partitions
-    for source keys whose partition value changed (module docstring): a
-    column-pruned ``(keys, partition_col)`` scan broadcast-joined with the
-    batch's distinct keys. Old partitions holding a moved key are merged
-    (and rewritten) too, so the key's stale row is relocated, not
-    duplicated — a moved key classifies as ``update``, exactly like the
-    reference's keyed upsert. Pass ``False`` only when the partition
-    value is provably immutable per key.
+    for source keys whose partition value changed (module docstring):
+    manifest range pruning → path-restricted read → row-group range
+    predicate → one broadcast-LEFT-SEMI job. Old partitions holding a
+    moved key are merged (and rewritten) too, so the key's stale row is
+    relocated, not duplicated — a moved key classifies as ``update``,
+    exactly like the reference's keyed upsert. Pass ``False`` only when
+    the partition value is provably immutable per key.
 
-    Returns ``{"touched": [...], "counts": {action: n} | None}``.
+    Returns ``{"touched": [...], "counts": {action: n} | None,
+    "probe_partitions": [pdir, ...]}`` — the partitions the probe
+    actually had to read (empty = the manifest pruned everything).
     """
     _recover_leftovers(target_dir)
     # recovery may have changed the dir listing; drop any cached file index
     spark.catalog.refreshByPath(target_dir)
-    # ONE job gathers the batch's partition values AND its key range
-    # (collect_set drops NULLs, so NULL-partition presence rides along as
-    # a flag; the key range feeds the probe's row-group pruning below)
-    stats = source.agg(
-        F.collect_set(partition_col).alias("parts"),
-        F.max(F.col(partition_col).isNull()).alias("has_null"),
+    # ONE job gathers the batch's partition values AND, per partition, the
+    # batch's key span — the spans drive manifest pruning below (a NULL
+    # group carries NULL-partition presence directly)
+    stats = source.groupBy(partition_col).agg(
         F.min(keys[0]).alias("kmin"),
         F.max(keys[0]).alias("kmax"),
-    ).first()
-    touched = list(stats["parts"]) + ([None] if stats["has_null"] else [])
+    ).collect()
+    touched = [r[partition_col] for r in stats]
+    spans = [(r["kmin"], r["kmax"]) for r in stats if r["kmin"] is not None]
     # an empty source touches nothing and can move nothing — skip the
     # probe, whose complement would otherwise be the whole table
     moved: set = set()
-    if detect_moved_keys and touched:
-        cond = _touched_cond(touched, partition_col)
-        # complement must keep NULL-partition rows when NULL isn't touched
-        # (~NULL is NULL and would drop them from the probe).
-        # One shuffle-free job: scan → broadcast LEFT SEMI (immune to
-        # duplicate batch keys) → collect the matches, which are bounded
-        # by the batch's key count; partition values dedupe driver-side.
-        # The batch-key range predicate is a superset filter that parquet
-        # row-group min/max stats can act on — staged partitions are
-        # written key-clustered below precisely so this scan skips most
-        # row groups of a large table.
-        others = (
-            spark.read.parquet(target_dir)
-            .where(~F.coalesce(cond, F.lit(False)))
-            .where(F.col(keys[0]).between(stats["kmin"], stats["kmax"]))
-            .select(*keys, partition_col)
-        )
-        moved = {
-            r[0]
-            for r in others.join(
-                F.broadcast(source.select(*keys)), list(keys), "left_semi"
-            ).select(partition_col).collect()
-        }
-        touched += [v for v in moved if v not in touched]
+    probe_parts: list[str] = []
+    manifest: dict | None = None
+    if detect_moved_keys and touched and spans:
+        manifest = km.load(target_dir, keys[0], partition_col)
+        touched_dirs = {_pdir_name(partition_col, v) for v in touched}
+        # manifest pruning: only partitions whose key range can intersect
+        # a batch span are read — by PATH, so excluded partitions are
+        # never even listed; when nothing intersects, no job runs at all
+        probe_parts = km.candidates(manifest, touched_dirs, spans)
+        if probe_parts:
+            kmin = min(lo for lo, _ in spans)
+            kmax = max(hi for _, hi in spans)
+            # One shuffle-free job: scan → broadcast LEFT SEMI (immune to
+            # duplicate batch keys) → collect the matches, bounded by the
+            # batch's key count; partition values dedupe driver-side. The
+            # batch-key range predicate acts on parquet row-group min/max
+            # stats — staged partitions are written key-clustered below
+            # precisely so this scan skips most row groups.
+            others = (
+                spark.read.option("basePath", target_dir)
+                .parquet(*[os.path.join(target_dir, p) for p in probe_parts])
+                .where(F.col(keys[0]).between(F.lit(kmin), F.lit(kmax)))
+                .select(*keys, partition_col)
+            )
+            moved = {
+                r[0]
+                for r in others.join(
+                    F.broadcast(source.select(*keys)), list(keys), "left_semi"
+                ).select(partition_col).collect()
+            }
+            touched += [v for v in moved if v not in touched]
     target = spark.read.parquet(target_dir).where(
         _touched_cond(touched, partition_col)
     )
@@ -297,11 +326,48 @@ def merge_into_partitioned(
     order = [v for v in touched if v in moved] + [
         v for v in touched if v not in moved
     ]
-    for v in order:
-        part_val = HIVE_NULL_PART if v is None else _escape_part_val(v)
-        _swap_partition(target_dir, staging, f"{partition_col}={part_val}")
+    swap_names = [_pdir_name(partition_col, v) for v in order]
+    # Reconciliation backstop (ADVICE r3 #1): any staged dir whose name our
+    # rendering did not predict is still swapped — staged changes must
+    # never be silently dropped by a value-rendering divergence.
+    staged_names = [
+        e for e in (sorted(os.listdir(staging)) if os.path.isdir(staging) else [])
+        if e.startswith(f"{partition_col}=")
+    ]
+    swap_names += [n for n in staged_names if n not in swap_names]
+    maintain = manifest is not None or (
+        detect_moved_keys or os.path.exists(
+            os.path.join(target_dir, km.MANIFEST_NAME))
+    )
+    if maintain:
+        if manifest is None:
+            manifest = km.load(target_dir, keys[0], partition_col)
+        staged_ranges = {
+            n: km.footer_range(os.path.join(staging, n), keys[0])
+            for n in staged_names
+        }
+        # pre-swap safety write: union(old, staged) per swapped partition
+        # — a superset range is always safe; a crash anywhere in the swap
+        # window leaves the manifest over-inclusive, never wrong
+        pre = dict(manifest)
+        for n in swap_names:
+            if n in staged_ranges:
+                pre[n] = (
+                    km.union_range(manifest[n], staged_ranges[n])
+                    if n in manifest else staged_ranges[n]
+                )
+        km.save(target_dir, keys[0], partition_col, pre)
+    for n in swap_names:
+        _swap_partition(target_dir, staging, n)
+    if maintain:
+        # post-swap exact write: installed partitions get their staged
+        # ranges, emptied (deleted) partitions drop out
+        post = {p: r for p, r in pre.items() if p not in swap_names}
+        post.update(staged_ranges)
+        km.save(target_dir, keys[0], partition_col, post)
     shutil.rmtree(staging, ignore_errors=True)
     # Spark's session-wide FileStatusCache would otherwise serve the old
     # listing (deleted part files) to subsequent reads of this path.
     spark.catalog.refreshByPath(target_dir)
-    return {"touched": touched, "counts": counts}
+    return {"touched": touched, "counts": counts,
+            "probe_partitions": probe_parts}

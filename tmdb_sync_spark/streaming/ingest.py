@@ -136,6 +136,7 @@ def run_sync_top(
                 write_partitioned(
                     boot, movies_path, "year",
                     cluster_by=("id", "content_type"),
+                    manifest_key="id",
                 )
                 inserted += ok.count()
             else:
