@@ -92,6 +92,15 @@ def _run_to_parquet(agg: DataFrame, mode: str) -> str:
     state_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    # The trailing no-data micro-batch exists to advance the watermark so
+    # APPEND-mode sinks can flush closed windows. Every query routed
+    # through here emits in complete mode (full state each trigger) or via
+    # applyInPandasWithState with NoTimeout (emission only on data), so
+    # that extra batch re-loads and re-commits every state store for
+    # nothing — measured ~0.2 s/query at sf0.1. Restored after the run.
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             agg.writeStream.foreachBatch(sink)
@@ -103,6 +112,8 @@ def _run_to_parquet(agg: DataFrame, mode: str) -> str:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
     return out
 
 
