@@ -72,6 +72,47 @@ def test_terminal_records_are_bounded(spark):
     assert runner.wait(running, timeout=30)["state"] == "done"
 
 
+def test_wait_on_already_evicted_id_is_not_found(spark):
+    """wait() on a record that was pruned BEFORE the call gets the same
+    not-found shape as status() — never a KeyError / AttributeError."""
+    runner = JobRunner(max_records=2)
+    first = runner.launch(lambda: None)
+    runner.wait(first, timeout=30)
+    for _ in range(4):                      # push `first` out of the window
+        runner.wait(runner.launch(lambda: None), timeout=30)
+    assert runner.status(first)["state"] == "not_found"
+    assert runner.wait(first, timeout=1)["state"] == "not_found"
+
+
+def test_wait_delivers_outcome_pruned_mid_wait(spark):
+    """If the record is evicted between wait()'s join and its snapshot,
+    the outcome still belongs to the waiting caller (wait snapshots the
+    record it joined, not a re-lookup)."""
+    import threading
+
+    runner = JobRunner(max_records=4)
+    gate = threading.Event()
+    jid = runner.launch(lambda: (gate.wait(30), {"answer": 7})[1])
+    with runner._lock:
+        rec = runner._jobs[jid]
+        real = rec["thread"]
+
+    class EvictingJoin:
+        # stand-in thread whose join() completes the job, then prunes the
+        # record before wait() can snapshot it — the exact race window
+        def join(self, timeout=None):
+            gate.set()
+            real.join(timeout)
+            with runner._lock:
+                runner._jobs.pop(jid, None)
+
+    with runner._lock:
+        rec["thread"] = EvictingJoin()
+    out = runner.wait(jid, timeout=30)
+    assert out["state"] == "done" and out["result"] == {"answer": 7}
+    assert runner.status(jid)["state"] == "not_found"
+
+
 def test_unread_results_survive_eviction_of_read_ones(spark):
     """A launcher that hasn't polled its finished job yet must not lose
     the result to a flood of later, already-polled jobs — polled terminal

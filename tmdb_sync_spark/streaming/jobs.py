@@ -53,6 +53,8 @@ class JobRunner:
         for jid in (read + unread)[:max(excess, 0)]:
             del self._jobs[jid]
 
+    _NOT_FOUND = {"state": "not_found", "result": None, "error": None}
+
     def launch(self, fn: Callable[..., dict], /, *args, **kwargs) -> str:
         """Start ``fn(*args, **kwargs)`` on a daemon thread; return the job
         id immediately (the 202 semantics of ``app/main.py:40-61``)."""
@@ -63,11 +65,16 @@ class JobRunner:
 
         def run() -> None:
             try:
-                rec["result"] = fn(*args, **kwargs)
-                rec["state"] = "done"
+                result = fn(*args, **kwargs)
+                with self._lock:
+                    rec["result"] = result
+                    rec["state"] = "done"
+                    rec.pop("thread", None)   # release the Thread object
             except Exception as e:  # status poll surfaces the failure
-                rec["error"] = f"{type(e).__name__}: {e}"
-                rec["state"] = "failed"
+                with self._lock:
+                    rec["error"] = f"{type(e).__name__}: {e}"
+                    rec["state"] = "failed"
+                    rec.pop("thread", None)
 
         with self._lock:
             self._jobs[job_id] = rec
@@ -76,6 +83,19 @@ class JobRunner:
         rec["thread"] = t
         t.start()
         return job_id
+
+    def _snapshot(self, job_id: str, rec: dict[str, Any]) -> dict[str, Any]:
+        # caller holds the lock: field reads and the read-flag write are
+        # one atomic unit (the class advertises lock-based thread safety)
+        out = {
+            "job_id": job_id,
+            "state": rec["state"],
+            "result": rec["result"],
+            "error": rec["error"],
+        }
+        if out["state"] != "running":
+            rec["read"] = True   # outcome delivered → eligible for eviction
+        return out
 
     def status(
         self,
@@ -89,20 +109,10 @@ class JobRunner:
         status aggregation over ``sync_cursors`` (``app/main.py:64-138``)."""
         with self._lock:
             rec = self._jobs.get(job_id)
-        if rec is None:
-            return {"job_id": job_id, "state": "not_found",
-                    "result": None, "error": None}
-        out = {
-            "job_id": job_id,
-            "state": rec["state"],
-            "result": rec["result"],
-            "error": rec["error"],
-        }
-        # mark read only if the RESPONSE carried a terminal outcome — the
-        # job may have finished between snapshotting out['state'] and
-        # here, and that result was NOT delivered to this caller
-        if out["state"] != "running":
-            rec["read"] = True   # outcome delivered → eligible for eviction
+            if rec is None:
+                out = {"job_id": job_id, **self._NOT_FOUND}
+            else:
+                out = self._snapshot(job_id, rec)
         if spark is not None and cursors_path and cursor_key:
             out["cursor"] = st.read_cursor(spark, cursors_path, cursor_key)
         return out
@@ -110,6 +120,13 @@ class JobRunner:
     def wait(self, job_id: str, timeout: float | None = None) -> dict[str, Any]:
         with self._lock:
             rec = self._jobs.get(job_id)
-        if rec is not None:
-            rec["thread"].join(timeout)
-        return self.status(job_id)
+            thread = rec.get("thread") if rec is not None else None
+        if rec is None:
+            return {"job_id": job_id, **self._NOT_FOUND}
+        if thread is not None:
+            thread.join(timeout)
+        # snapshot the record we joined, NOT a re-lookup: the job may have
+        # been pruned from _jobs between join() and here, but its outcome
+        # still belongs to this caller
+        with self._lock:
+            return self._snapshot(job_id, rec)
