@@ -107,6 +107,22 @@ def live_server():
                 self.send_header("Location", "/ok")
                 self.end_headers()
                 return
+            if path == "/drip404":
+                # 404 whose BODY drips slowly: each chunk arrives well
+                # inside the per-operation socket timeout, but the total
+                # transfer outlasts any sub-second deadline
+                import time as _time
+
+                self.send_response(404)
+                self.end_headers()
+                try:
+                    for _ in range(50):
+                        self.wfile.write(b"x" * 10)
+                        self.wfile.flush()
+                        _time.sleep(0.05)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                return
             body = json.dumps(
                 {"path": path, "hit": hits[path], "query": self.path}
             ).encode()
@@ -184,6 +200,140 @@ def test_urllib_transport_connection_failure_is_transient():
     t = UrllibTransport(f"http://127.0.0.1:{port}")
     with pytest.raises(TransientHttpError):
         t.request("/ok", {})
+
+
+def test_urllib_slow_drip_error_body_obeys_total_deadline(live_server):
+    """ADVICE round-3: the 30 s TOTAL deadline must also bound non-200
+    bodies — a slow-drip 404 used to hold the request indefinitely via
+    e.read() outside the deadline-checked reader."""
+    import time
+
+    base, _ = live_server
+    t = UrllibTransport(base, timeout=0.3)
+    start = time.monotonic()
+    with pytest.raises(TransientHttpError, match="total deadline"):
+        t.request("/drip404", {})
+    # tripped by the deadline, not by waiting out the full 2.5 s drip
+    assert time.monotonic() - start < 1.5
+
+
+# ---------------------------------------------------------------------------
+# HttpxTransport through an injected fake httpx module: the container has
+# no httpx, so a sys.modules stub (urllib-backed, response shape and
+# bool-encoding faithful to httpx) drives the REAL HttpxTransport code —
+# timeout construction, status taxonomy, retry recovery — over the same
+# live server as the stdlib transport (reference app/tmdb_client.py:14,55).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def fake_httpx(monkeypatch):
+    import json as _json
+    import sys
+    import types
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    created: dict = {}
+    mod = types.ModuleType("httpx")
+
+    class Timeout:
+        def __init__(self, timeout, connect=None):
+            self.timeout, self.connect = timeout, connect
+
+    class _Response:
+        def __init__(self, status_code, body):
+            self.status_code, self._body = status_code, body
+
+        @property
+        def text(self):
+            return self._body.decode("utf-8", "replace")
+
+        def json(self):
+            return _json.loads(self._body)
+
+    class Client:
+        def __init__(self, base_url="", timeout=None):
+            created["base_url"], created["timeout"] = base_url, timeout
+            self._base = base_url.rstrip("/")
+
+        def get(self, endpoint, params=None):
+            url = self._base + endpoint
+            if params:
+                q = {k: (str(v).lower() if isinstance(v, bool) else v)
+                     for k, v in params.items()}   # httpx's bool encoding
+                url += "?" + urllib.parse.urlencode(q)
+            try:
+                with urllib.request.urlopen(url, timeout=10) as resp:
+                    return _Response(resp.status, resp.read())
+            except urllib.error.HTTPError as e:
+                return _Response(e.code, e.read())
+            # connection errors propagate raw, like httpx.ConnectError
+
+    mod.Client, mod.Timeout = Client, Timeout
+    monkeypatch.setitem(sys.modules, "httpx", mod)
+    return created
+
+
+def test_httpx_transport_policy_over_fake_module(live_server, fake_httpx):
+    from tmdb_sync_spark.sources.http_client import HttpxTransport
+
+    base, hits = live_server
+    t = HttpxTransport(base, api_key="k9")
+    # the reference's timeout policy is constructed (app/tmdb_client.py:14)
+    to = fake_httpx["timeout"]
+    assert (to.timeout, to.connect) == (30.0, 10.0)
+    assert fake_httpx["base_url"] == base
+
+    out = t.request("/ok", {"page": 2, "include_adult": False})
+    assert out["path"] == "/ok"
+    assert "api_key=k9" in out["query"]
+    assert "include_adult=false" in out["query"]
+
+    with pytest.raises(HttpStatusError) as ei:   # 404 → http taxonomy
+        t.request("/missing", {})
+    assert ei.value.status_code == 404
+    assert "no such endpoint" in str(ei.value)
+
+    waits: list[int] = []                        # 5xx → transient → retried
+    out = request_with_retry(
+        t, "/flaky", {}, max_attempts=5, backoff=waits.append
+    )
+    assert out["hit"] == 3 and hits["/flaky"] == 3
+    assert waits == [1, 2]
+    import time
+    from tmdb_sync_spark.sources.http_client import HttpxTransport as HT
+    assert HT.backoff is time.sleep              # app/sync_top.py:117
+
+
+def test_httpx_transport_connection_failure_is_transient(fake_httpx):
+    import socket
+
+    from tmdb_sync_spark.sources.http_client import HttpxTransport
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    t = HttpxTransport(f"http://127.0.0.1:{port}")
+    with pytest.raises(TransientHttpError):
+        t.request("/ok", {})
+
+
+def test_get_api_prefers_httpx_when_importable(live_server, fake_httpx,
+                                               monkeypatch):
+    """get_api's transport selection: httpx when the import succeeds,
+    stdlib otherwise (the fallback case is covered above)."""
+    import tmdb_sync_spark.sources.http_client as hc
+
+    base, hits = live_server
+    monkeypatch.setenv("TMDB_API_BASE", base)
+    monkeypatch.setattr(hc, "_API", None)
+    api = hc.get_api()
+    assert isinstance(api.transport, hc.HttpxTransport)
+    assert api.details(9)["path"] == "/movie/9" and hits["/movie/9"] == 1
+    monkeypatch.setattr(hc, "_API", None)   # don't leak into other tests
 
 
 def test_api_over_live_socket_end_to_end(live_server):

@@ -238,24 +238,39 @@ class UrllibTransport:
         deadline = time.monotonic() + self._timeout
 
         def read_all(resp) -> bytes:
+            # read1 = at most ONE raw recv per call, so the deadline check
+            # interleaves with a dripping sender; plain read(n) would block
+            # until n bytes or EOF and never observe the clock
+            read1 = getattr(resp, "read1", None) or resp.read
             chunks = []
             while True:
                 if time.monotonic() > deadline:
                     raise TransientHttpError(
                         f"total deadline {self._timeout}s exceeded"
                     )
-                chunk = resp.read(65536)
+                chunk = read1(65536)
                 if not chunk:
                     return b"".join(chunks)
                 chunks.append(chunk)
 
+        # per-operation socket timeout clamped to the REMAINING total
+        # budget, so connect/header time counts against the same 30 s
+        # deadline as the body read (httpx Timeout semantics)
+        op_timeout = max(0.001, min(self._timeout,
+                                    deadline - time.monotonic()))
         try:
-            with self._opener.open(url, timeout=self._timeout) as resp:
+            with self._opener.open(url, timeout=op_timeout) as resp:
                 status, body = resp.status, read_all(resp)
         except TransientHttpError:
             raise
         except urllib.error.HTTPError as e:   # non-2xx arrives as an exception
-            status, body = e.code, e.read()
+            status = e.code
+            try:
+                body = read_all(e)   # error bodies obey the same deadline —
+            except TransientHttpError:   # a slow-drip 404 can't hold us
+                raise
+            except Exception as e2:      # socket drop mid-error-body
+                raise TransientHttpError(str(e2)) from e2
         except Exception as e:   # DNS/conn/timeout → retryable
             raise TransientHttpError(str(e)) from e
         if status in (429, 500, 502, 503, 504):
