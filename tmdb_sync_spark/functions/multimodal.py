@@ -6,37 +6,105 @@ over ``mapInPandas`` — the one place Python is allowed in this engine
 (registry rule: Python only at source/decode boundaries, reference
 precedent: the frames image-metadata pipeline ``app/tmdb_client.py:169-282``).
 
-The real decode (PIL/ffmpeg) is STUBBED — those libraries are not in this
-container — behind ``_decode_stub``, which derives deterministic fake
-dimensions from the payload bytes. Everything around the stub is real and
-tested: binary encoding, Arrow batch transfer, output schema, and the
-DuckDB oracle computing the same features from ``octet_length``.
+One codec is REAL: BMP headers are parsed with stdlib ``struct``
+(``_decode_bmp`` — magic check, little-endian dims at offsets 18/22,
+top-down negative-height handling), dispatched on the ``BM`` magic.
+Formats whose decoders genuinely need PIL/ffmpeg (absent from this
+container) fall through to ``_decode_stub``, which derives deterministic
+fake dimensions from the payload bytes. Everything around the decoders is
+real and tested: binary encoding, Arrow batch transfer, output schema,
+and the DuckDB oracle predicting the same features per branch.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from tmdb_sync_spark.io import table
 from tmdb_sync_spark.registry import register
+
+MEDIA_SCHEMA = "doc_id bigint, payload binary"
 
 FEATURE_SCHEMA = (
     "doc_id bigint, byte_len bigint, width int, height int, "
     "n_frames int, media_format string"
 )
 
+BMP_WRAP_EVERY = 7       # every 7th doc arrives as a real BMP container
+BMP_HEADER_LEN = 54      # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def _encode_bmp(width: int, height: int, body: bytes) -> bytes:
+    """A genuine BMP container: BITMAPFILEHEADER + BITMAPINFOHEADER
+    (24bpp, the classic 54-byte layout) followed by ``body`` as the pixel
+    area. Header fields are real — file size, pixel offset, dims — so any
+    BMP-aware reader parses the same width/height the decoder extracts."""
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", BMP_HEADER_LEN + len(body), 0, 0, BMP_HEADER_LEN
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    return file_header + info_header + body
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, str]:
+    """Real stdlib BMP header parse: little-endian int32 width/height at
+    offsets 18/22 of the classic layout; negative height means top-down
+    row order, dimensions are its magnitude. Still images are one frame."""
+    width, height = struct.unpack_from("<ii", payload, 18)
+    return width, abs(height), 1, "bmp"
+
+
+def _is_bmp(payload: bytes) -> bool:
+    # magic + the two fixed header fields (pixel offset 54, info size 40):
+    # a text payload that merely starts with 'BM' cannot match both
+    return (
+        len(payload) >= BMP_HEADER_LEN
+        and payload[:2] == b"BM"
+        and struct.unpack_from("<I", payload, 10)[0] == BMP_HEADER_LEN
+        and struct.unpack_from("<I", payload, 14)[0] == 40
+    )
+
 
 def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
-    """Deterministic fake decoder: width/height/frame-count from byte
-    length. Replace with PIL/av decode in a full environment — the
+    """Deterministic fake decoder for formats whose real parse needs
+    PIL/av (absent here): width/height/frame-count from byte length. The
     signature (bytes in, typed metadata out) is the contract."""
     n = len(payload)
     return n % 64, (n // 64) % 64, n % 5, "fakeimg"
+
+
+def _decode(payload: bytes) -> tuple[int, int, int, str]:
+    if _is_bmp(payload):
+        return _decode_bmp(payload)
+    return _decode_stub(payload)
+
+
+def encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel standing in for the media lake's blob source:
+    every ``BMP_WRAP_EVERY``-th document's bytes arrive inside a real BMP
+    container (dims derived from doc_id, so the oracle can predict them);
+    the rest stay raw. Models the mixed-container reality of a crawl."""
+    for pdf in batches:
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            body = text.encode("utf-8")
+            if int(doc_id) % BMP_WRAP_EVERY == 0:
+                payloads.append(_encode_bmp(
+                    int(doc_id) % 64 + 1, int(doc_id) % 48 + 1, body
+                ))
+            else:
+                payloads.append(body)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
 
 
 def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -44,7 +112,7 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     Vectorized per batch; no per-row Python beyond the decode call itself
     (which in production is the C-backed image library)."""
     for pdf in batches:
-        feats = [_decode_stub(p) for p in pdf["payload"]]
+        feats = [_decode(p) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -102,11 +170,25 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle=f"""
     WITH feats AS (
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-               CAST(octet_length(encode(text)) % 64 AS INT) AS width,
-               CAST((octet_length(encode(text)) // 64) % 64 AS INT) AS height,
-               CAST(octet_length(encode(text)) % 5 AS INT) AS n_frames,
-               'fakeimg' AS media_format
+               CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0
+                    THEN CAST(octet_length(encode(text)) + {BMP_HEADER_LEN}
+                              AS BIGINT)
+                    ELSE CAST(octet_length(encode(text)) AS BIGINT)
+               END AS byte_len,
+               CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0
+                    THEN CAST(doc_id % 64 + 1 AS INT)
+                    ELSE CAST(octet_length(encode(text)) % 64 AS INT)
+               END AS width,
+               CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0
+                    THEN CAST(doc_id % 48 + 1 AS INT)
+                    ELSE CAST((octet_length(encode(text)) // 64) % 64 AS INT)
+               END AS height,
+               CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0 THEN 1
+                    ELSE CAST(octet_length(encode(text)) % 5 AS INT)
+               END AS n_frames,
+               CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0 THEN 'bmp'
+                    ELSE 'fakeimg'
+               END AS media_format
         FROM documents
     )
     SELECT f.doc_id,
@@ -121,24 +203,24 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """,
 )
 def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary decode → feature extraction → frame sampling, one pipeline.
+    """Binary encode → decode → feature extraction → frame sampling.
 
-    ``documents.text`` stands in for the media bytes (utf-8 encoded to a
-    real ``binary`` column). Chains the two mapInPandas stages — decode
-    (typed metadata out of opaque bytes) then frame-sample (row-expanding
-    with the doc-level features carried through) — the canonical
-    video-curation shape: media scan → narrow binary projection → decode →
-    stride-sample frames → per-frame features downstream. Both stages
+    ``documents.text`` stands in for the media bytes; every 7th doc is
+    containerized as a REAL BMP (``encode_media``) whose header the
+    decode stage genuinely parses with ``struct`` — other payloads take
+    the declared stub path. Chains three mapInPandas stages — blob
+    source, decode (typed metadata out of opaque bytes), frame-sample
+    (row-expanding, doc-level features carried through) — the canonical
+    video-curation shape: media scan → narrow binary projection → decode
+    → stride-sample frames → per-frame features downstream. The stages
     pipeline within the same task set (no shuffle between them:
     ``.explain`` shows a single WholeStageCodegen→Python chain); Python
     cost is amortized per ~10k-row Arrow batch. (On the single-file test
     tables the scan is one partition; production media lakes arrive
-    pre-split, and the decode stub is too cheap here to amortize spinning
-    up 32 Python workers.)
+    pre-split, and decode here is too cheap to amortize spinning up 32
+    Python workers.)
     """
-    docs = table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = docs.mapInPandas(encode_media, MEDIA_SCHEMA)
     feats = payloads.mapInPandas(decode_features, FEATURE_SCHEMA)
     return feats.mapInPandas(sample_frames, SAMPLE_SCHEMA)
