@@ -15,6 +15,7 @@ hand-picked delta:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from hypothesis import HealthCheck, given, settings
@@ -132,3 +133,98 @@ def test_partitioned_merge_axioms(spark, tmap, smap):
         if e.startswith("y=") and os.path.isdir(os.path.join(target_dir, e))
     }
     assert have_dirs == want_dirs
+
+
+class _InjectedCrash(Exception):
+    """Simulated process death at an arbitrary filesystem step."""
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tmap=keymaps,
+    smap=keymaps,
+    crash_after=hs.integers(min_value=0, max_value=14),
+)
+def test_crash_at_any_fs_step_replays_to_invariant(
+    spark, tmap, smap, crash_after
+):
+    """Generalized crash sweep over the swap protocol: die before the
+    (crash_after+1)-th filesystem mutation of a RANDOM key-move batch —
+    manifest replace, dir rename-aside, staged-dir install, stale-copy
+    delete, staging cleanup, any of them — then replay the idempotent
+    merge and require the exact axioms state: one row per key, source's
+    partition, no resurrected or duplicated moved keys. Extends the three
+    hand-picked crash points of test_partitioned_merge with the whole
+    space (an example with crash_after past the protocol's step count
+    covers the no-crash path)."""
+    if not tmap:
+        tmap = {0: 0}
+    d = tempfile.mkdtemp(prefix="pm_crash_")
+    target_dir = f"{d}/t"
+    tdf = spark.createDataFrame(
+        [(k, v, k * 10.0) for k, v in tmap.items()],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    write_partitioned(tdf, target_dir, "y")
+    sdf = spark.createDataFrame(
+        [(k, v, k * 100.0) for k, v in smap.items()],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+
+    state = {"armed": True, "n": 0}
+    real = {
+        "rename": os.rename, "replace": os.replace,
+        "move": shutil.move, "rmtree": shutil.rmtree,
+    }
+
+    def guard(*paths):
+        # only fs steps of THIS test's table count as crash points
+        if state["armed"] and any(str(p).startswith(d) for p in paths):
+            state["n"] += 1
+            if state["n"] > crash_after:
+                raise _InjectedCrash(f"fs step {state['n']}")
+
+    def make(name):
+        fn = real[name]
+
+        def wrapped(p, *a, **k):
+            guard(p, *(a[:1]))
+            return fn(p, *a, **k)
+
+        return wrapped
+
+    try:
+        os.rename, os.replace = make("rename"), make("replace")
+        shutil.move, shutil.rmtree = make("move"), make("rmtree")
+        crashed = False
+        try:
+            merge_into_partitioned(
+                spark, target_dir, sdf, keys=["k"], partition_col="y"
+            )
+        except _InjectedCrash:
+            crashed = True
+        state["armed"] = False
+        if crashed:   # the process died; the next sync replays the batch
+            merge_into_partitioned(
+                spark, target_dir, sdf, keys=["k"], partition_col="y"
+            )
+    finally:
+        state["armed"] = False
+        os.rename, os.replace = real["rename"], real["replace"]
+        shutil.move, shutil.rmtree = real["move"], real["rmtree"]
+
+    expected = {
+        k: (smap[k] if k in smap else tmap[k],
+            k * 100.0 if k in smap else k * 10.0)
+        for k in set(tmap) | set(smap)
+    }
+    post = [
+        (r["k"], r["y"], r["price"])
+        for r in spark.read.parquet(target_dir).collect()
+    ]
+    assert len(post) == len(expected), "one row per key, no duplicates"
+    assert {k: (y, p) for k, y, p in post} == expected

@@ -1,0 +1,132 @@
+"""materialize_once concurrency semantics (staging-table helper)."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+import tmdb_sync_spark.util as util
+
+
+@pytest.fixture(autouse=True)
+def _clean_cache():
+    util.reset_materialization_cache()
+    yield
+    util.reset_materialization_cache()
+
+
+def test_same_key_concurrent_first_calls_write_once(spark, monkeypatch):
+    writes: list[str] = []
+    real = util._write_parquet
+
+    def counting(df, path):
+        writes.append(path)
+        real(df, path)
+
+    monkeypatch.setattr(util, "_write_parquet", counting)
+    df = spark.range(10)
+    results = []
+
+    def call():
+        results.append(
+            util.materialize_once(df, ("same-key-test",), "util_test_").count()
+        )
+
+    threads = [threading.Thread(target=call) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert results == [10] * 6
+    assert len(writes) == 1   # one materialization, five waiters
+
+
+def test_unrelated_keys_do_not_serialize(spark, monkeypatch):
+    """A slow first-call write of key A must not block key B's (they used
+    to serialize behind one global lock held across the Spark write)."""
+    gate = threading.Event()
+    real = util._write_parquet
+
+    def gated(df, path):
+        if "slow" in path:
+            assert gate.wait(60)
+        real(df, path)
+
+    monkeypatch.setattr(util, "_write_parquet", gated)
+    df = spark.range(5)
+    a_done = threading.Event()
+
+    def slow_a():
+        util.materialize_once(df, ("key-a",), "util_test_slow_")
+        a_done.set()
+
+    t = threading.Thread(target=slow_a)
+    t.start()
+    # while A's owner is stuck inside its write, B completes end-to-end
+    assert util.materialize_once(df, ("key-b",), "util_test_").count() == 5
+    assert not a_done.is_set()
+    gate.set()
+    t.join(60)
+    assert a_done.is_set()
+
+
+def test_failed_write_propagates_to_waiters_and_allows_retry(
+    spark, monkeypatch
+):
+    entered = threading.Event()
+    release = threading.Event()
+    real = util._write_parquet
+
+    def failing(df, path):
+        entered.set()
+        assert release.wait(60)
+        raise OSError("disk full")
+
+    monkeypatch.setattr(util, "_write_parquet", failing)
+    df = spark.range(3)
+    errors: list[BaseException] = []
+
+    def owner():
+        try:
+            util.materialize_once(df, ("key-f",), "util_test_")
+        except BaseException as e:
+            errors.append(e)
+
+    t_owner = threading.Thread(target=owner)
+    t_owner.start()
+    assert entered.wait(60)
+
+    # instrument the placeholder so we KNOW the waiter is parked on it
+    # before letting the owner fail (otherwise the waiter could arrive
+    # after the failed key is forgotten and become a second owner)
+    key = (spark.sparkContext.applicationId, "key-f")
+    entry = util._MAT_CACHE[key]
+    waiting = threading.Event()
+
+    class SignalingEvent(threading.Event):
+        def wait(self, timeout=None):
+            waiting.set()
+            return super().wait(timeout)
+
+    sig = SignalingEvent()
+    entry.done = sig
+
+    def waiter():
+        try:
+            util.materialize_once(df, ("key-f",), "util_test_")
+        except BaseException as e:
+            errors.append(e)
+
+    t_wait = threading.Thread(target=waiter)
+    t_wait.start()
+    assert waiting.wait(60)
+    release.set()
+    t_owner.join(60)
+    t_wait.join(60)
+    assert len(errors) == 2
+    assert any(isinstance(e, OSError) for e in errors)          # the owner
+    assert any(isinstance(e, RuntimeError) for e in errors)     # the waiter
+    # the failure was forgotten: a later call retries and succeeds
+    monkeypatch.setattr(util, "_write_parquet", real)
+    assert util.materialize_once(df, ("key-f",), "util_test_").count() == 3

@@ -28,8 +28,26 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
-_MAT_CACHE: dict[tuple, str] = {}
-_MAT_LOCK = threading.Lock()
+class _Materialization:
+    """Per-key placeholder: the registering thread writes, later callers
+    wait on ``done`` — so first-call materializations of UNRELATED keys
+    run concurrently instead of serializing behind one global lock."""
+
+    __slots__ = ("done", "path", "error")
+
+    def __init__(self) -> None:
+        self.done = threading.Event()
+        self.path: str | None = None
+        self.error: BaseException | None = None
+
+
+_MAT_CACHE: dict[tuple, _Materialization] = {}
+_MAT_LOCK = threading.Lock()   # guards the dict only, never held over I/O
+
+
+def _write_parquet(df: DataFrame, path: str) -> None:
+    # seam for tests to gate/observe the write without touching Spark
+    df.write.mode("overwrite").parquet(path)
 
 
 def materialize_once(df: DataFrame, cache_key: tuple, prefix: str) -> DataFrame:
@@ -49,19 +67,38 @@ def materialize_once(df: DataFrame, cache_key: tuple, prefix: str) -> DataFrame:
     input the frame depends on. The immutable driver test tables keyed
     by sf_dir qualify; a path whose CONTENT can be rewritten mid-session
     does not — derive the key from a version/mtime in that case, or call
-    :func:`reset_materialization_cache` after rewriting. The lock makes
-    concurrent first calls from driver threads materialize once instead
-    of racing to write.
+    :func:`reset_materialization_cache` after rewriting. Concurrent first
+    calls for the SAME key materialize once (later callers wait on the
+    owner's placeholder); a failed write is forgotten so a later call can
+    retry.
     """
     spark = df.sparkSession
     key = (spark.sparkContext.applicationId, *cache_key)
     with _MAT_LOCK:
-        path = _MAT_CACHE.get(key)
-        if path is None:
+        entry = _MAT_CACHE.get(key)
+        owner = entry is None
+        if owner:
+            entry = _MAT_CACHE[key] = _Materialization()
+    if owner:
+        try:
             path = scratch_dir(prefix)
-            df.write.mode("overwrite").parquet(path)
-            _MAT_CACHE[key] = path
-    return spark.read.parquet(path)
+            _write_parquet(df, path)
+            entry.path = path
+        except BaseException as e:
+            entry.error = e
+            with _MAT_LOCK:
+                if _MAT_CACHE.get(key) is entry:
+                    del _MAT_CACHE[key]
+            raise
+        finally:
+            entry.done.set()   # waiters wake to a path or an error
+    else:
+        entry.done.wait()
+        if entry.error is not None:
+            raise RuntimeError(
+                f"materialization of {key} failed in the owning thread"
+            ) from entry.error
+    return spark.read.parquet(entry.path)
 
 
 def reset_materialization_cache() -> None:
