@@ -35,7 +35,10 @@ def main() -> None:
         "overwrite").save()
 
     def run_config(label: str, parts: str, provider: str | None) -> None:
-        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        # _run_to_parquet pins the streaming shuffle partitions from this
+        # env var around every start() — setting the session conf here
+        # would be silently overridden (so set the env, as a caller would)
+        os.environ["SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"] = parts
         if provider:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass",
                            provider)
@@ -50,7 +53,7 @@ def main() -> None:
             out[name] = [round(r, 3) for r in runs]
         print(json.dumps({"config": label, "timings_cold_warm": out}),
               flush=True)
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        os.environ.pop("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", None)
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     run_config("A_32parts_hdfs", "32", None)

@@ -396,6 +396,27 @@ def test_manifest_missing_rebuilds_from_footers(spark):
     assert os.path.exists(os.path.join(target, km.MANIFEST_NAME))
 
 
+def test_manifest_corrupt_shapes_degrade_not_crash(spark):
+    """Valid JSON that is not a valid manifest (null, a list, a string,
+    a non-dict parts) must degrade to a footer harvest exactly like a
+    parse failure — load()'s documented 'never an error' contract."""
+    import tempfile
+
+    from tmdb_sync_spark.plans import manifest as km
+
+    d = tempfile.mkdtemp(prefix="pm_manifest4_")
+    target = _banded_table(spark, d)
+    path = os.path.join(target, km.MANIFEST_NAME)
+    for garbage in ("null", "[]", '"x"', "7",
+                    '{"key": "k", "partition_col": "y", "parts": []}',
+                    "{not json"):
+        with open(path, "w") as fh:
+            fh.write(garbage)
+        m = km.load(target, "k", "y")
+        assert set(m) == {"y=2000", "y=2001", "y=2002", "y=2003"}
+        assert all(r is not None for r in m.values()), garbage
+
+
 def test_boolean_partition_values_swap_correctly(spark):
     """Spark renders boolean partition values as 'true'/'false' in dir
     names; Python str() says 'True'. A rendering divergence makes the

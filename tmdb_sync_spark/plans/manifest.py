@@ -36,8 +36,7 @@ import os
 MANIFEST_NAME = "_key_manifest.json"
 HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"   # Spark's NULL partition dir
 
-# range: (kmin, kmax) tuple, or None = unknown (always a probe candidate)
-Range = "tuple | None"
+# ranges are (kmin, kmax) tuples, or None = unknown (always a candidate)
 
 
 def _is_part_dir(entry: str, partition_col: str) -> bool:
@@ -87,12 +86,19 @@ def load(target_dir: str, key: str, partition_col: str) -> dict:
     try:
         with open(os.path.join(target_dir, MANIFEST_NAME)) as fh:
             doc = json.load(fh)
-        if doc.get("key") == key and doc.get("partition_col") == partition_col:
+        # valid JSON is not necessarily a valid manifest (`null`, a list,
+        # a non-dict "parts") — shape failures degrade like parse failures
+        if (
+            isinstance(doc, dict)
+            and doc.get("key") == key
+            and doc.get("partition_col") == partition_col
+            and isinstance(doc.get("parts", {}), dict)
+        ):
             entries = {
                 p: (None if r is None else (r[0], r[1]))
                 for p, r in doc.get("parts", {}).items()
             }
-    except (OSError, ValueError, TypeError, IndexError):
+    except (OSError, ValueError, TypeError, IndexError, AttributeError):
         entries = {}
     out: dict = {}
     if not os.path.isdir(target_dir):

@@ -335,9 +335,10 @@ def merge_into_partitioned(
         if e.startswith(f"{partition_col}=")
     ]
     swap_names += [n for n in staged_names if n not in swap_names]
-    maintain = manifest is not None or (
-        detect_moved_keys or os.path.exists(
-            os.path.join(target_dir, km.MANIFEST_NAME))
+    # maintain whenever probing is on (manifest may be None for an empty
+    # batch) or a manifest already exists from a probing caller
+    maintain = detect_moved_keys or os.path.exists(
+        os.path.join(target_dir, km.MANIFEST_NAME)
     )
     if maintain:
         if manifest is None:

@@ -197,10 +197,12 @@ class UrllibTransport:
     local ``http.server``) even where httpx is absent.
 
     Contract parity with the httpx path, deliberately enforced:
-    - the reference's 30 s TOTAL deadline (``app/tmdb_client.py:14``):
-      urllib's ``timeout`` is per socket OPERATION, so a slow-drip server
-      would never trip it — the body is read in chunks against a
-      monotonic deadline instead;
+    - the reference's 30 s timeout (``app/tmdb_client.py:14``): connect
+      and header exchange are bounded per socket operation (httpx's own
+      read-timeout semantics — neither stack bounds a header-dripping
+      server in aggregate), and the BODY — success or error — is
+      additionally read in chunks against a monotonic TOTAL deadline,
+      which is stricter than httpx's per-op policy;
     - redirects are NOT followed (httpx default): a 3xx surfaces as
       :class:`HttpStatusError`, identical over both transports;
     - booleans encode lowercase like httpx / TMDB's contract.
@@ -253,9 +255,11 @@ class UrllibTransport:
                     return b"".join(chunks)
                 chunks.append(chunk)
 
-        # per-operation socket timeout clamped to the REMAINING total
-        # budget, so connect/header time counts against the same 30 s
-        # deadline as the body read (httpx Timeout semantics)
+        # per-operation socket timeout, clamped to the remaining budget at
+        # request start. This bounds connect/header EACH-OP (httpx's own
+        # semantics — a header-dripping server is bounded per recv, not in
+        # aggregate); only the body read below gets the strict total
+        # deadline
         op_timeout = max(0.001, min(self._timeout,
                                     deadline - time.monotonic()))
         try:

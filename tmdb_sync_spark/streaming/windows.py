@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,6 +64,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# serializes the session-conf set/restore window below across driver
+# threads (JobRunner launches queries concurrently)
+_CONF_LOCK = threading.Lock()
+
+
 def _run_to_parquet(agg: DataFrame, mode: str) -> str:
     """Execute a finite streaming query into a parquet dir via foreachBatch.
 
@@ -78,8 +84,12 @@ def _run_to_parquet(agg: DataFrame, mode: str) -> str:
     batch-side default (32 here; thousands on a 100 TB cluster). Measured
     in-session at sf0.1: 32→8 cuts each window query ~30% with identical
     results. The partition count is pinned into the checkpoint at first
-    batch, so it's set before ``start()`` and restored after — batch
-    queries in the same session are unaffected.
+    batch, so it's set before ``start()`` and restored after, under a
+    lock so overlapping driver-thread streaming runs can't interleave
+    their save/restore and pin the session at the streaming value. (A
+    BATCH query planned by another thread during the window still sees
+    the streaming conf — inherent to session-global confs; these finite
+    runs keep the window to seconds.)
     """
     out = scratch_dir("st_out_")
     ckpt = scratch_dir("st_ckpt_")
@@ -90,30 +100,32 @@ def _run_to_parquet(agg: DataFrame, mode: str) -> str:
 
     spark = agg.sparkSession
     state_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
-    # The trailing no-data micro-batch exists to advance the watermark so
-    # APPEND-mode sinks can flush closed windows. Every query routed
-    # through here emits in complete mode (full state each trigger) or via
-    # applyInPandasWithState with NoTimeout (emission only on data), so
-    # that extra batch re-loads and re-commits every state store for
-    # nothing — measured ~0.2 s/query at sf0.1. Restored after the run.
-    prev_nodata = spark.conf.get(
-        "spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try:
-        q = (
-            agg.writeStream.foreachBatch(sink)
-            .outputMode(mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    with _CONF_LOCK:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+        # The trailing no-data micro-batch exists to advance the watermark
+        # so APPEND-mode sinks can flush closed windows. Every query routed
+        # through here emits in complete mode (full state each trigger) or
+        # via applyInPandasWithState with NoTimeout (emission only on
+        # data), so that extra batch re-loads and re-commits every state
+        # store for nothing — measured ~0.2 s/query at sf0.1.
+        prev_nodata = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled")
         spark.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        try:
+            q = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
     return out
 
 
