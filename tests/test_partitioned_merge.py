@@ -396,6 +396,57 @@ def test_manifest_missing_rebuilds_from_footers(spark):
     assert os.path.exists(os.path.join(target, km.MANIFEST_NAME))
 
 
+def test_replay_after_crash_emptied_last_partition(spark):
+    """Crash window found by the hypothesis sweep: a single-partition
+    table whose only key moves to a NEW partition dies after the old
+    partition's delete but before the new one's install — the table is
+    left with ZERO visible partitions. Replay must degrade to an
+    all-insert load, not fail schema inference."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pm_empty_")
+    target = f"{d}/t"
+    base = spark.createDataFrame([(1, 2000, 10.0)],
+                                 "k BIGINT, y INT, price DOUBLE")
+    write_partitioned(base, target, "y")
+    # simulate the crash artifact: old partition renamed aside for delete,
+    # new partition never installed (recovery will finish the delete)
+    os.rename(os.path.join(target, "y=2000"),
+              os.path.join(target, ".y=2000.del"))
+    spark.catalog.refreshByPath(target)
+
+    source = spark.createDataFrame([(1, 2001, 11.0)],
+                                   "k BIGINT, y INT, price DOUBLE")
+    res = merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="y",
+        count_actions=True,
+    )
+    assert res["counts"] == {"insert": 1}
+    post = spark.read.parquet(target).collect()
+    assert [(r["k"], r["y"], r["price"]) for r in post] == [(1, 2001, 11.0)]
+
+
+def test_merge_bootstraps_missing_table(spark):
+    """MERGE into a directory that does not exist yet is an initial load
+    (every row inserts) — the same degradation path as the crash-emptied
+    table."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pm_boot_")
+    target = f"{d}/t"
+    source = spark.createDataFrame(
+        [(1, 2000, 10.0), (2, None, 20.0)], "k BIGINT, y INT, price DOUBLE"
+    )
+    res = merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="y",
+        count_actions=True,
+    )
+    assert res["counts"] == {"insert": 2}
+    post = {r["k"]: (r["y"], r["price"])
+            for r in spark.read.parquet(target).collect()}
+    assert post == {1: (2000, 10.0), 2: (None, 20.0)}
+
+
 def test_manifest_corrupt_shapes_degrade_not_crash(spark):
     """Valid JSON that is not a valid manifest (null, a list, a string,
     a non-dict parts) must degrade to a footer harvest exactly like a

@@ -52,6 +52,7 @@ from collections.abc import Mapping, Sequence
 import os
 import shutil
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -268,9 +269,18 @@ def merge_into_partitioned(
                 ).select(partition_col).collect()
             }
             touched += [v for v in moved if v not in touched]
-    target = spark.read.parquet(target_dir).where(
-        _touched_cond(touched, partition_col)
-    )
+    try:
+        target = spark.read.parquet(target_dir)
+    except AnalysisException:
+        # No readable table: nothing was ever written, or a crash landed in
+        # the one window where the batch's only old partition was already
+        # deleted and the new one not yet installed (recovery finishes the
+        # delete, leaving zero visible partitions). Either way the true
+        # post-state is "source rows only" — degrade to an all-insert
+        # initial load over the source's schema instead of failing replay.
+        os.makedirs(target_dir, exist_ok=True)
+        target = spark.createDataFrame([], source.schema)
+    target = target.where(_touched_cond(touched, partition_col))
     # Self-healing replay: a crash between two partition swaps of a
     # key-move batch can leave a key duplicated across partition dirs
     # (the new copy installed, the stale one not yet removed). Normalize
