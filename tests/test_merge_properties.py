@@ -147,7 +147,11 @@ class _InjectedCrash(Exception):
 @given(
     tmap=keymaps,
     smap=keymaps,
-    crash_after=hs.integers(min_value=0, max_value=14),
+    # a 6-key multi-partition move batch takes ~20 fs steps (pre-manifest
+    # replace, per-partition rename/move/rmtree, post-manifest replace,
+    # staging cleanup) — the cap must reach past the LAST of them so the
+    # tail steps and the no-crash path both get examples
+    crash_after=hs.integers(min_value=0, max_value=22),
 )
 def test_crash_at_any_fs_step_replays_to_invariant(
     spark, tmap, smap, crash_after
