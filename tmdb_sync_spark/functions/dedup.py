@@ -51,8 +51,22 @@ def shingle_sql(src: str = "documents") -> str:
 _SHINGLE_SQL = "WITH " + shingle_sql("documents")
 
 
-def _shingles(col: Column) -> Column:
-    t = F.split(F.trim(col), r"\s+")
+def _tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _shingles_from(t: Column) -> Column:
+    """3-word shingles from an already-MATERIALIZED token-array column.
+
+    ``t`` must be an attribute reference (a projected column), never the
+    raw ``split(...)`` expression: expressions inside array-HOF lambdas
+    are evaluated interpreted, once per element — an embedded regex split
+    here re-tokenizes the document for every ``element_at`` call (3× per
+    shingle), measured ~20× slower than this two-step form. The
+    enclosing two projections stay separate because Catalyst's
+    CollapseProject refuses to inline a non-cheap alias referenced more
+    than once.
+    """
     return F.when(
         F.size(t) >= 3,
         F.array_distinct(
@@ -67,6 +81,16 @@ def _shingles(col: Column) -> Column:
             )
         ),
     ).otherwise(F.array(F.array_join(t, " ")))
+
+
+def shingled(docs: DataFrame, *keep: str) -> DataFrame:
+    """``doc_id`` + ``keep`` columns + materialized ``shingles`` array."""
+    toks = docs.select(
+        "doc_id", *keep, _tokens_col(F.col("text")).alias("_toks")
+    )
+    return toks.select(
+        "doc_id", *keep, _shingles_from(F.col("_toks")).alias("shingles")
+    )
 
 
 def minhash_signature(docs: DataFrame) -> DataFrame:
@@ -84,8 +108,15 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
     evaluates interpreted — measured ~8× slower than the explode form,
     which runs inside whole-stage codegen with map-side combine.
     """
-    exploded = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
+    # explode_OUTER, deliberately: for a plain explode over an attribute,
+    # InferFiltersFromGenerate adds `size(shingles)>0 AND isnotnull(...)`,
+    # and predicate pushdown re-substitutes the full interpreted shingle
+    # expression into that filter BELOW the repartition — tripling the
+    # HOF work and pinning it to the single scan partition. The outer
+    # variant is exempt from the rule and identical here: both branches
+    # of _shingles_from yield a non-empty array.
+    exploded = shingled(docs).select(
+        "doc_id", F.explode_outer("shingles").alias("s")
     )
     d0 = F.md5(F.col("s").cast("binary"))
     d1 = F.md5(F.concat(F.lit("x|"), F.col("s")).cast("binary"))
@@ -293,12 +324,18 @@ def dd_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     them shares the tokenization scan.
     """
     docs = parallel_table(spark, sf_dir, "documents")
-    hs = F.transform(
-        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")),
-        lambda x: F.md5(x.cast("binary")),
+    toks = docs.select(
+        "doc_id", _tokens_col(F.col("text")).alias("_toks")
     )
-    tokens = docs.select(
-        "doc_id", hs.alias("hs"), _shingles(F.col("text")).alias("shingles")
+    # hs/shingles read the materialized token array (attribute ref), so
+    # the regex split runs once per row, not once per lambda element.
+    tokens = toks.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.col("_toks")),
+            lambda x: F.md5(x.cast("binary")),
+        ).alias("hs"),
+        _shingles_from(F.col("_toks")).alias("shingles"),
     )
     def majority_bit(i: int) -> Column:
         pos = i + 1
@@ -308,7 +345,10 @@ def dd_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.size(
                     F.filter(
                         F.col("hs"),
-                        lambda h: F.substring(h, pos, 1).rlike("[89a-f]"),
+                        # hex digit with its high bit set: '8','9','a'-'f'
+                        # are exactly the lowercase-hex chars >= '8' — a
+                        # byte compare, not a per-element regex match
+                        lambda h: F.substring(h, pos, 1) >= "8",
                     )
                 )
                 >= F.size("hs"),
@@ -354,7 +394,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, so its cost is |candidates|, never O(n²).
     """
     docs = parallel_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    sh = shingled(docs)
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(
         F.filter(

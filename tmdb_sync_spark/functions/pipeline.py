@@ -38,7 +38,6 @@ from tmdb_sync_spark.functions.dedup import (
 )
 from tmdb_sync_spark.functions.text import (
     QUALITY_SQL,
-    n_tokens_expr,
     quality_score_expr,
 )
 from tmdb_sync_spark.io import parallel_table
@@ -93,11 +92,15 @@ _N_EQUAL = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(N_HASHES))
 )
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter → exact-dedup → near-dup-drop → summarize, one plan."""
-    docs = parallel_table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents").withColumn(
+        # tokens materialized once; the quality expr's stopword filter
+        # reads the attribute instead of re-splitting per element
+        "_toks", F.split(F.trim(F.col("text")), r"\s+")
+    )
     quality = docs.select(
         "doc_id", "text", "lang",
-        quality_score_expr(F.col("text")).alias("q"),
-        n_tokens_expr(F.col("text")).alias("ntok"),
+        quality_score_expr(F.col("text"), tokens=F.col("_toks")).alias("q"),
+        F.size("_toks").alias("ntok"),
     ).where(F.col("q") >= QUALITY_MIN)
 
     # exact dedup: one shuffle on the (uniform) md5 key, min_by keeps the

@@ -33,11 +33,16 @@ def n_tokens_expr(text: Column) -> Column:
     return F.size(_tokens(text))
 
 
-def quality_score_expr(text: Column) -> Column:
+def quality_score_expr(text: Column, tokens: Column | None = None) -> Column:
     """The deterministic length / stopword-ratio / punct quality heuristic
     (shared by ``tx_text_features`` and the curation pipeline — one
-    definition so both engines and both queries agree exactly)."""
-    t = _tokens(text)
+    definition so both engines and both queries agree exactly).
+
+    Pass ``tokens`` (a MATERIALIZED token-array column) whenever the
+    caller already projects one: with the default, the ``split`` lands
+    inside the stopword ``filter`` lambda and is re-evaluated interpreted
+    per element (see ``dedup._shingles_from``)."""
+    t = _tokens(text) if tokens is None else tokens
     n_tokens = F.size(t)
     n_stop = F.size(F.filter(t, lambda x: F.lower(x).isin(*STOPWORDS)))
     n_punct = F.length(text) - F.length(
@@ -131,8 +136,14 @@ def tx_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fusing the two stages shares one tokenization scan — at 100 TB the
     text is read and split once for every per-row feature downstream.
     """
-    docs = parallel_table(spark, sf_dir, "documents")
-    t = _tokens(F.col("text"))
+    docs = parallel_table(spark, sf_dir, "documents").withColumn(
+        # materialize the token array BEFORE any HOF references it: an
+        # embedded split re-tokenizes per lambda element (interpreted);
+        # an attribute ref is a row-local array read. CollapseProject
+        # keeps this projection separate (non-cheap alias, many refs).
+        "_toks", _tokens(F.col("text"))
+    )
+    t = F.col("_toks")
     n_tokens = F.size(t)
     token_chars = F.aggregate(
         F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
@@ -146,7 +157,7 @@ def tx_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
     stop_ratio = n_stop / n_tokens
-    quality = quality_score_expr(F.col("text"))
+    quality = quality_score_expr(F.col("text"), tokens=t)
 
     def marker_count(words: tuple[str, ...]) -> Column:
         # NB: HOF lambdas must be single-parameter — PySpark binds a
@@ -211,8 +222,12 @@ def tx_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB where the gram space is huge but heavy hitters dominate.
     Ties broken by bigram text so both engines cut the same top-20.
     """
-    docs = parallel_table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = parallel_table(spark, sf_dir, "documents").withColumn(
+        # materialized first — element_at inside the lambda must read an
+        # attribute, not re-run the split per bigram (see tx_text_features)
+        "_toks", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    )
+    t = F.col("_toks")
     grams = docs.where(F.size(t) >= 2).select(
         F.explode(
             F.transform(
