@@ -65,6 +65,40 @@ def test_dedup_aggregates_partially(spark, sf_dir):
     assert "partial_max_by" in head or "partial" in head
 
 
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# every one is a broadcast of a tiny/1-row frame (count scalars, query
+# vectors, generated dims) — never data×data. Kept as an explicit
+# allowlist so a new unconstrained nested-loop join fails the sweep.
+_BNLJ_OK = {
+    "a6_a7_p11_recent_counts",    # 1-row total joined to 1-row filtered
+    "a4_a5_report_stats",         # 1-row grand-total broadcast
+    "j3_fill_missing_years",      # generated year dim × 1-row bounds
+    "knn_cosine_topk",            # broadcast tiny query-vector set
+    "ann_signlsh_topk",           # broadcast query vectors to buckets
+    "ann_ivf_topk",               # broadcast centroids + query vectors
+    "dd_embedding_cosine",        # broadcast 1-row norm scalars
+    "st4_a8_cursor_errors",       # 1-row cursor joined to counters
+    "st1_st3_ingest_resume",      # same cursor-row shape
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_scale_killers_anywhere(spark, sf_dir, name):
+    """Registry-wide sweep: no unconstrained cartesian join and no
+    row-at-a-time Python UDF (BatchEvalPython) in ANY registered query's
+    physical plan — the two plan shapes that cannot survive 100 TB.
+    Arrow-batched mapInPandas/applyInPandas (MapInPandas/FlatMapGroups...)
+    remain allowed: those are the sanctioned source/decode boundaries.
+    """
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} has a cartesian join"
+    assert "BatchEvalPython" not in plan, f"{name} has a row-level Python UDF"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in _BNLJ_OK, (
+            f"{name} gained an unreviewed BroadcastNestedLoopJoin"
+        )
+
+
 def test_merge_target_scan_partition_pruned(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "j1_partitioned_merge")
     # reads the already-merged partitioned table; the query itself is an
