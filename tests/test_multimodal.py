@@ -1,6 +1,6 @@
-"""Multimodal decode plumbing: the real BMP codec and the stub dispatch
-(SURVEY Phase 5; reference precedent for image metadata extraction at
-app/tmdb_client.py:169-282)."""
+"""Multimodal decode plumbing: the real BMP and WAV codecs and the stub
+dispatch (SURVEY Phase 5; reference precedent for image metadata
+extraction at app/tmdb_client.py:169-282)."""
 
 from __future__ import annotations
 
@@ -8,10 +8,15 @@ import struct
 
 from tmdb_sync_spark.functions.multimodal import (
     BMP_HEADER_LEN,
+    WAV_HEADER_LEN,
     _decode,
     _decode_bmp,
+    _decode_wav,
     _encode_bmp,
+    _encode_wav,
     _is_bmp,
+    _is_wav,
+    _wav_params,
 )
 
 
@@ -37,12 +42,51 @@ def test_non_bmp_payloads_take_the_stub_path():
     # header-field checks and falls through to the declared stub
     fake = b"BMW is a car maker, not a bitmap, but this is long enough" * 2
     assert not _is_bmp(fake)
-    w, h, n, fmt = _decode(fake)
+    w, h, n, fmt, _, _ = _decode(fake)
     assert fmt == "fakeimg" and (w, h, n) == (
         len(fake) % 64, (len(fake) // 64) % 64, len(fake) % 5
     )
     # short payloads can't be BMPs at all
     assert not _is_bmp(b"BM")
+
+
+def test_wav_roundtrip_parses_real_chunks():
+    body = b"\x01\x02" * 100            # 200 bytes
+    payload = _encode_wav(10, body)     # doc 10: 1 channel, 16000 Hz
+    assert _is_wav(payload)
+    n_channels, sample_rate = _wav_params(10)
+    assert (n_channels, sample_rate) == (1, 16000)
+    # header fields are honest: RIFF size spans the whole file
+    assert struct.unpack_from("<I", payload, 4)[0] == len(payload) - 8
+    assert len(payload) == WAV_HEADER_LEN + 200
+    assert _decode_wav(payload) == (16000, 1, 100)   # 200 bytes / 2 ba
+
+
+def test_wav_truncates_to_whole_sample_frames():
+    # doc 11: 2 channels -> block_align 4; 201 bytes keeps 200 (50 frames)
+    payload = _encode_wav(11, b"x" * 201)   # 11 % 4 = 3 -> 20000 Hz
+    assert _decode_wav(payload) == (20000, 2, 50)
+    assert len(payload) == WAV_HEADER_LEN + 200
+
+
+def test_wav_chunk_walk_handles_reordered_and_padded_chunks():
+    # data BEFORE fmt, plus an unknown odd-sized chunk with pad byte —
+    # a reader that assumes the canonical 44-byte layout would fail
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16)
+    data = struct.pack("<4sI", b"data", 8) + b"\x00" * 8
+    junk = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"   # padded to even
+    body = data + junk + fmt
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    assert _is_wav(payload)
+    assert _decode_wav(payload) == (8000, 2, 2)          # 8 bytes / 4 ba
+
+
+def test_decode_dispatch_prefers_real_containers():
+    assert _decode(_encode_wav(5, b"ab" * 30))[3] == "wav"
+    assert _decode(_encode_bmp(8, 8, b""))[3] == "bmp"
+    assert _decode(b"RIFFxxxx")[3] == "fakeimg"          # too short for WAV
+    w, h, n, fmt, sr, ch = _decode(b"plain text payload, no container")
+    assert fmt == "fakeimg" and sr is None and ch is None
 
 
 def test_mixed_batch_dispatches_per_row(spark):
@@ -52,10 +96,15 @@ def test_mixed_batch_dispatches_per_row(spark):
 
     out = mm_media_pipeline(spark, "/root/testdata/sf0.001").toPandas()
     bmp = out[out["media_format"] == "bmp"]
+    wav = out[out["media_format"] == "wav"]
     other = out[out["media_format"] == "fakeimg"]
-    assert len(bmp) > 0 and len(other) > 0
+    assert len(bmp) > 0 and len(wav) > 0 and len(other) > 0
     # BMP rows: one frame each, dims from the container header
     assert (bmp["frame_idx"] == 0).all()
     assert (bmp["thumb_w"] == (bmp["doc_id"] % 64 + 1) // 2).all()
     assert (bmp["thumb_h"] == (bmp["doc_id"] % 48 + 1) // 2).all()
     assert (bmp["doc_id"] % 7 == 0).all()
+    # WAV rows: %5-but-not-%7 docs, no thumbnails, window 0 at ts 0
+    assert (wav["doc_id"] % 5 == 0).all() and (wav["doc_id"] % 7 != 0).all()
+    assert wav["thumb_w"].isna().all() and wav["thumb_h"].isna().all()
+    assert (wav["frame_idx"] == 0).all() and (wav["frame_ts"] == 0.0).all()

@@ -6,12 +6,14 @@ over ``mapInPandas`` — the one place Python is allowed in this engine
 (registry rule: Python only at source/decode boundaries, reference
 precedent: the frames image-metadata pipeline ``app/tmdb_client.py:169-282``).
 
-One codec is REAL: BMP headers are parsed with stdlib ``struct``
+Two codecs are REAL, both pure stdlib ``struct``: BMP headers
 (``_decode_bmp`` — magic check, little-endian dims at offsets 18/22,
-top-down negative-height handling), dispatched on the ``BM`` magic.
-Formats whose decoders genuinely need PIL/ffmpeg (absent from this
-container) fall through to ``_decode_stub``, which derives deterministic
-fake dimensions from the payload bytes. Everything around the decoders is
+top-down negative-height handling) and PCM WAV containers
+(``_decode_wav`` — RIFF chunk walk honoring word alignment and
+arbitrary chunk order, PCM params from ``fmt ``, frame count from
+``data``). Formats whose decoders genuinely need PIL/ffmpeg (absent
+from this container) fall through to ``_decode_stub``, which derives
+deterministic fake dimensions from the payload bytes. Everything around the decoders is
 real and tested: binary encoding, Arrow batch transfer, output schema,
 and the DuckDB oracle predicting the same features per branch.
 """
@@ -32,11 +34,14 @@ MEDIA_SCHEMA = "doc_id bigint, payload binary"
 
 FEATURE_SCHEMA = (
     "doc_id bigint, byte_len bigint, width int, height int, "
-    "n_frames int, media_format string"
+    "n_frames int, media_format string, sample_rate int, n_channels int"
 )
 
 BMP_WRAP_EVERY = 7       # every 7th doc arrives as a real BMP container
 BMP_HEADER_LEN = 54      # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+WAV_WRAP_EVERY = 5       # every 5th (non-BMP) doc arrives as a real WAV
+WAV_HEADER_LEN = 44      # RIFF(12) + fmt chunk(24) + data chunk header(8)
 
 
 def _encode_bmp(width: int, height: int, body: bytes) -> bytes:
@@ -73,6 +78,58 @@ def _is_bmp(payload: bytes) -> bool:
     )
 
 
+def _wav_params(doc_id: int) -> tuple[int, int]:
+    """(n_channels, sample_rate) the synthetic blob source assigns —
+    derived from doc_id so the DuckDB oracle can predict them."""
+    return 1 + doc_id % 2, 8000 + (doc_id % 4) * 4000
+
+
+def _encode_wav(doc_id: int, body: bytes) -> bytes:
+    """A genuine PCM WAV container: RIFF/WAVE + canonical 16-byte ``fmt``
+    chunk + ``data`` chunk holding ``body`` truncated to whole sample
+    frames. All header fields are honest (byte rate, block align, chunk
+    sizes), so any WAV reader derives the same frame count the decoder
+    extracts."""
+    n_channels, sample_rate = _wav_params(doc_id)
+    block_align = n_channels * 2          # 16-bit PCM
+    data_len = len(body) - len(body) % block_align
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    data = struct.pack("<4sI", b"data", data_len) + body[:data_len]
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def _is_wav(payload: bytes) -> bool:
+    return (
+        len(payload) >= WAV_HEADER_LEN
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    )
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """Real stdlib RIFF chunk walk: scan (id, size) chunk headers from
+    offset 12, honoring word alignment, pick up PCM params from ``fmt ``
+    and the payload length from ``data`` — chunk order is NOT assumed.
+    Returns (sample_rate, n_channels, n_frames); n_frames is the PCM
+    sample-frame count ``data_size // block_align``."""
+    pos, sample_rate, n_channels, block_align, data_len = 12, 0, 0, 0, 0
+    while pos + 8 <= len(payload):
+        cid, csz = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            _, n_channels, sample_rate, _, block_align, _ = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+        elif cid == b"data":
+            data_len = csz
+        pos += 8 + csz + (csz & 1)        # RIFF chunks are word-aligned
+    n_frames = data_len // block_align if block_align else 0
+    return sample_rate, n_channels, n_frames
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
     """Deterministic fake decoder for formats whose real parse needs
     PIL/av (absent here): width/height/frame-count from byte length. The
@@ -81,10 +138,17 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
     return n % 64, (n // 64) % 64, n % 5, "fakeimg"
 
 
-def _decode(payload: bytes) -> tuple[int, int, int, str]:
+def _decode(
+    payload: bytes,
+) -> tuple[int | None, int | None, int, str, int | None, int | None]:
+    """(width, height, n_frames, format, sample_rate, n_channels) —
+    image fields are None for audio and vice versa."""
     if _is_bmp(payload):
-        return _decode_bmp(payload)
-    return _decode_stub(payload)
+        return *_decode_bmp(payload), None, None
+    if _is_wav(payload):
+        sample_rate, n_channels, n_frames = _decode_wav(payload)
+        return None, None, n_frames, "wav", sample_rate, n_channels
+    return *_decode_stub(payload), None, None
 
 
 def encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -96,10 +160,11 @@ def encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         payloads = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             body = text.encode("utf-8")
-            if int(doc_id) % BMP_WRAP_EVERY == 0:
-                payloads.append(_encode_bmp(
-                    int(doc_id) % 64 + 1, int(doc_id) % 48 + 1, body
-                ))
+            did = int(doc_id)
+            if did % BMP_WRAP_EVERY == 0:
+                payloads.append(_encode_bmp(did % 64 + 1, did % 48 + 1, body))
+            elif did % WAV_WRAP_EVERY == 0:
+                payloads.append(_encode_wav(did, body))
             else:
                 payloads.append(body)
         yield pd.DataFrame(
@@ -117,15 +182,19 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "byte_len": [len(p) for p in pdf["payload"]],
-                "width": [f[0] for f in feats],
-                "height": [f[1] for f in feats],
+                "width": pd.array([f[0] for f in feats], dtype="Int32"),
+                "height": pd.array([f[1] for f in feats], dtype="Int32"),
                 "n_frames": [f[2] for f in feats],
                 "media_format": [f[3] for f in feats],
+                "sample_rate": pd.array([f[4] for f in feats], dtype="Int32"),
+                "n_channels": pd.array([f[5] for f in feats], dtype="Int32"),
             }
         )
 
 
-SAMPLE_EVERY = 2   # keep every 2nd frame (production: fps-based stride)
+SAMPLE_EVERY = 2     # keep every 2nd frame (production: fps-based stride)
+AUDIO_WINDOW = 4096  # PCM frames per sampled audio analysis window
+MAX_WINDOWS = 32     # bounded fan-out per doc — no row explosion at 100 TB
 
 SAMPLE_SCHEMA = (
     "doc_id bigint, byte_len bigint, media_format string, "
@@ -135,28 +204,51 @@ SAMPLE_SCHEMA = (
 
 def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel with *row-expanding* output: one input media row
-    fans out to its sampled frames, carrying the doc-level decode metadata
-    along. In production this is the ffmpeg-frame-seek + thumbnail-resize
-    loop; the stub derives the frame list from the decoded ``n_frames``
-    metadata and fake 2:1-downscaled thumbnail dims — the Spark-side
-    contract (schema, fan-out shape, Arrow batching) is identical."""
+    fans out to its sampled units, carrying the doc-level decode metadata
+    along. Images/video fan out to stride-sampled frames with fake
+    2:1-downscaled thumbnail dims (the ffmpeg seek+resize loop in
+    production); WAV audio fans out to fixed-size PCM analysis windows
+    whose timestamps come from the genuinely parsed sample rate. Fan-out
+    is capped at MAX_WINDOWS rows per doc — the bound that keeps a
+    pathological 10-hour input from exploding a partition."""
     for pdf in batches:
         rows = []
-        for doc_id, byte_len, fmt, n_frames, w, h in zip(
+        for doc_id, byte_len, fmt, n_frames, w, h, sr in zip(
             pdf["doc_id"], pdf["byte_len"], pdf["media_format"],
             pdf["n_frames"], pdf["width"], pdf["height"],
+            pdf["sample_rate"],
         ):
-            for k in range(0, int(n_frames), SAMPLE_EVERY):
-                rows.append(
+            base = {
+                "doc_id": int(doc_id),
+                "byte_len": int(byte_len),
+                "media_format": fmt,
+            }
+            if fmt == "wav":
+                n_windows = min(
+                    (int(n_frames) + AUDIO_WINDOW - 1) // AUDIO_WINDOW,
+                    MAX_WINDOWS,
+                )
+                rows.extend(
                     {
-                        "doc_id": int(doc_id),
-                        "byte_len": int(byte_len),
-                        "media_format": fmt,
+                        **base,
+                        "frame_idx": k,
+                        "frame_ts": k * AUDIO_WINDOW / int(sr),
+                        "thumb_w": None,
+                        "thumb_h": None,
+                    }
+                    for k in range(n_windows)
+                )
+            else:
+                rows.extend(
+                    {
+                        **base,
                         "frame_idx": k,
                         "frame_ts": k / 24.0,      # fake 24 fps timeline
                         "thumb_w": int(w) // 2,
                         "thumb_h": int(h) // 2,
                     }
+                    for k in range(0, min(int(n_frames), MAX_WINDOWS),
+                                   SAMPLE_EVERY)
                 )
         yield pd.DataFrame(
             rows,
@@ -168,47 +260,74 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "mm_media_pipeline",
     oracle=f"""
-    WITH feats AS (
+    WITH raw AS (
         SELECT doc_id,
-               CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0
-                    THEN CAST(octet_length(encode(text)) + {BMP_HEADER_LEN}
-                              AS BIGINT)
-                    ELSE CAST(octet_length(encode(text)) AS BIGINT)
-               END AS byte_len,
-               CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0
-                    THEN CAST(doc_id % 64 + 1 AS INT)
-                    ELSE CAST(octet_length(encode(text)) % 64 AS INT)
-               END AS width,
-               CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0
-                    THEN CAST(doc_id % 48 + 1 AS INT)
-                    ELSE CAST((octet_length(encode(text)) // 64) % 64 AS INT)
-               END AS height,
-               CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0 THEN 1
-                    ELSE CAST(octet_length(encode(text)) % 5 AS INT)
-               END AS n_frames,
+               octet_length(encode(text)) AS olen,
+               (1 + doc_id % 2) * 2 AS ba,
+               8000 + (doc_id % 4) * 4000 AS sr,
                CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0 THEN 'bmp'
+                    WHEN doc_id % {WAV_WRAP_EVERY} = 0 THEN 'wav'
                     ELSE 'fakeimg'
                END AS media_format
         FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, media_format, sr,
+               CASE media_format
+                    WHEN 'bmp' THEN CAST(olen + {BMP_HEADER_LEN} AS BIGINT)
+                    WHEN 'wav' THEN CAST({WAV_HEADER_LEN} + olen - olen % ba
+                                         AS BIGINT)
+                    ELSE CAST(olen AS BIGINT)
+               END AS byte_len,
+               CASE media_format
+                    WHEN 'bmp' THEN CAST(doc_id % 64 + 1 AS INT)
+                    WHEN 'wav' THEN CAST(NULL AS INT)
+                    ELSE CAST(olen % 64 AS INT)
+               END AS width,
+               CASE media_format
+                    WHEN 'bmp' THEN CAST(doc_id % 48 + 1 AS INT)
+                    WHEN 'wav' THEN CAST(NULL AS INT)
+                    ELSE CAST((olen // 64) % 64 AS INT)
+               END AS height,
+               CASE media_format
+                    WHEN 'bmp' THEN 1
+                    WHEN 'wav' THEN CAST(olen // ba AS INT)
+                    ELSE CAST(olen % 5 AS INT)
+               END AS n_frames
+        FROM raw
     )
     SELECT f.doc_id,
            f.byte_len,
            f.media_format,
            CAST(g.range AS INT) AS frame_idx,
-           g.range / 24.0 AS frame_ts,
-           CAST(f.width // 2 AS INT) AS thumb_w,
-           CAST(f.height // 2 AS INT) AS thumb_h
-    FROM feats f, range(0, 5) g
-    WHERE g.range < f.n_frames AND g.range % {SAMPLE_EVERY} = 0
+           CASE WHEN f.media_format = 'wav'
+                THEN g.range * {AUDIO_WINDOW}.0 / f.sr
+                ELSE g.range / 24.0
+           END AS frame_ts,
+           CASE WHEN f.media_format = 'wav' THEN CAST(NULL AS INT)
+                ELSE CAST(f.width // 2 AS INT) END AS thumb_w,
+           CASE WHEN f.media_format = 'wav' THEN CAST(NULL AS INT)
+                ELSE CAST(f.height // 2 AS INT) END AS thumb_h
+    FROM feats f, range(0, 64) g
+    WHERE (f.media_format <> 'wav'
+           AND g.range < least(f.n_frames, {MAX_WINDOWS})
+           AND g.range % {SAMPLE_EVERY} = 0)
+       OR (f.media_format = 'wav'
+           AND g.range < least((f.n_frames + {AUDIO_WINDOW} - 1)
+                               // {AUDIO_WINDOW}, {MAX_WINDOWS}))
     """,
 )
 def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary encode → decode → feature extraction → frame sampling.
 
     ``documents.text`` stands in for the media bytes; every 7th doc is
-    containerized as a REAL BMP (``encode_media``) whose header the
-    decode stage genuinely parses with ``struct`` — other payloads take
-    the declared stub path. Chains three mapInPandas stages — blob
+    containerized as a REAL BMP and every remaining 5th as a REAL PCM
+    WAV (``encode_media``) — both containers genuinely parsed back with
+    stdlib ``struct`` (BMP header fields; RIFF chunk walk for fmt/data).
+    Payloads needing PIL/ffmpeg take the declared stub path. Audio rows
+    carry parsed sample_rate/n_channels and fan out to bounded PCM
+    analysis windows; image rows to stride-sampled frames. Chains three
+    mapInPandas stages — blob
     source, decode (typed metadata out of opaque bytes), frame-sample
     (row-expanding, doc-level features carried through) — the canonical
     video-curation shape: media scan → narrow binary projection → decode
