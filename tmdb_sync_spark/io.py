@@ -9,8 +9,9 @@ pruning freedom; nothing is cached here (operators decide).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, LongType
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -28,14 +29,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which the Spark parquet
-        # reader rejects; read nanos as long and truncate to Spark's
-        # microsecond TimestampType. DuckDB's reader truncates ns→µs the
-        # same way, so oracle comparisons line up exactly.
+        # events.parquet's ts encoding varies across driver testdata
+        # versions: TIMESTAMP(NANOS) (which the Spark parquet reader
+        # rejects — read nanos as long, truncate to micros) or plain
+        # TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ). Normalize both to
+        # session-zone TimestampType under the UTC session pinned above —
+        # the same naive-UTC values DuckDB's reader produces, so oracle
+        # comparisons line up exactly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", events_ts_norm(df.schema["ts"].dataType))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_ts_norm(raw_type: DataType) -> Column:
+    """Expression normalizing the on-disk ``ts`` encoding to TimestampType."""
+    if isinstance(raw_type, LongType):  # TIMESTAMP(NANOS) read as long
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
 
 
 def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -34,9 +34,9 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import StructField, StructType
 
-from tmdb_sync_spark.io import table
+from tmdb_sync_spark.io import events_ts_norm, table
 from tmdb_sync_spark.registry import register
 from tmdb_sync_spark.util import scratch_dir
 
@@ -47,12 +47,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the batch-equivalent schema.
 
     The file stream source needs an explicit schema; reuse the batch
-    reader's (post ns→µs conversion) schema for everything except ``ts``,
-    which the raw file stores as TIMESTAMP(NANOS) → read as long, convert.
+    reader's (post ts normalization) schema for everything except ``ts``,
+    which keeps its raw on-disk type (TIMESTAMP(NANOS)-as-long or
+    TIMESTAMP(MICROS)-as-NTZ depending on the testdata generation) and is
+    normalized with the same expression the batch reader uses.
     """
-    batch = table(spark, sf_dir, "events")
+    batch = table(spark, sf_dir, "events")  # also pins UTC + nanosAsLong
+    raw_ts = spark.read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).schema["ts"].dataType
     raw_schema = StructType(
-        [StructField("ts", LongType(), True) if f.name == "ts" else f
+        [StructField("ts", raw_ts, True) if f.name == "ts" else f
          for f in batch.schema.fields]
     )
     return (
@@ -60,7 +65,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", events_ts_norm(raw_ts))
     )
 
 
