@@ -58,6 +58,22 @@ def test_candidate_generation_never_cross_joins(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_assignment_is_map_side(spark, sf_dir):
+    # The codebook is inlined as literals, so list assignment must be a
+    # per-row expression on the scan side: the corpus may not shuffle (or
+    # join) before the probe equi-join on cid. One Exchange per side of
+    # that join plus the final window's is the complete budget; a
+    # regression back to crossJoin(centroids) → groupBy(vec_id) adds an
+    # aggregate exchange over an N_CENTROIDS-amplified corpus.
+    plan = plan_of(spark, sf_dir, "ann_ivf_topk")
+    assert "array_min" in plan          # map-side argmin assignment
+    assert plan.count("HashAggregate") == 0
+    # exchanges: probe-side hashpartitioning(cid), assign-side
+    # hashpartitioning(cid), window hashpartitioning(query_id), plus the
+    # two parallel_table round-robin repartitions of the base scans
+    assert plan.count("Exchange") <= 5
+
+
 def test_dedup_aggregates_partially(spark, sf_dir):
     # w2_w3's max_by/min_by must combine map-side before the exchange
     plan = plan_of(spark, sf_dir, "w2_w3_dedup_variants")

@@ -42,9 +42,8 @@ _QUANT_SQL = """
 """
 
 
-def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quantized_from(emb: DataFrame) -> DataFrame:
     """vec_id, v (quantized BIGINT vector), nrm (exact squared norm)."""
-    emb = parallel_table(spark, sf_dir, "embeddings")
     v = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
@@ -56,6 +55,10 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return df.select("vec_id", "v", nrm.alias("nrm"))
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quantized_from(parallel_table(spark, sf_dir, "embeddings"))
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -312,6 +315,9 @@ N_CENTROIDS = 8
 N_PROBE = 2
 IVF_TOP_K = 3
 
+# (applicationId, sf_dir) -> collected codebook rows (≤ N_CENTROIDS)
+_CODEBOOK_MEMO: dict = {}
+
 # centroids = the first N_CENTROIDS corpus vectors (deterministic in both
 # engines; a production build would k-means these, any fixed seed set works
 # for plan-shape purposes).
@@ -374,50 +380,80 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
     Coarse quantizer: every vector is assigned to its nearest of
-    ``N_CENTROIDS`` centroids by exact quantized L2 (``argmin`` via
-    ``min_by`` — one broadcast of the tiny centroid set, no shuffle).
-    Queries probe their ``N_PROBE`` closest inverted lists and re-rank
-    exactly within them.
+    ``N_CENTROIDS`` centroids by exact quantized L2 — the codebook is
+    collected once (bounded by the module constant) and inlined as
+    literals, so assignment is a per-row ``array_min`` over the centroid
+    array with no join and no shuffle. Queries probe their ``N_PROBE``
+    closest inverted lists (per-row ``array_sort`` + ``slice``) and
+    re-rank exactly within them.
 
-    Scale shape: the corpus scan computes assignments map-side
-    (broadcast centroids), the probe join is an equi-join on ``cid``
-    (shuffles only the probed lists), and re-ranking is the brute-force
-    kernel restricted to ~N_PROBE/N_CENTROIDS of the data. This is the
-    standard IVF-flat layout used at billion-vector scale; only the
-    centroid training (k-means) is out of scope here.
+    Scale shape: the corpus scan computes assignments map-side (literal
+    codebook in every task, exactly how production IVF ships a k-means
+    codebook), the probe join is an equi-join on ``cid`` (shuffles only
+    the probed lists), and re-ranking is the brute-force kernel
+    restricted to ~N_PROBE/N_CENTROIDS of the data. This is the standard
+    IVF-flat layout used at billion-vector scale; only the centroid
+    training (k-means) is out of scope here.
     """
     qd = _quantized(spark, sf_dir).where(F.col("nrm") > 0)
-    cent = qd.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    # L2² on quantized ints: |v|² + |c|² - 2·v·c — exact BIGINT arithmetic.
-    l2 = F.col("nrm") + F.col("cnrm") - 2 * _dot(F.col("v"), F.col("cv"))
-    assign = (
-        qd.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cid", F.struct(l2.alias("d"), F.col("cid"))).alias("cid"),
-            F.first("v").alias("v"),
-            F.first("nrm").alias("nrm"),
+    # The coarse quantizer is a BOUNDED side model (≤ N_CENTROIDS rows, a
+    # module constant) — collect it once and inline the centroids as
+    # literals, the way production IVF ships its k-means codebook to every
+    # task. Assignment and probe selection then run MAP-SIDE: per row, an
+    # argmin/top-2 over the centroid array. The previous shape
+    # (crossJoin(centroids) → groupBy(vec_id) / window) re-shuffled an
+    # N_CENTROIDS-amplified copy of the full corpus just to pick each
+    # row's nearest list — at 10^9 vectors that shuffle IS the job; this
+    # form never shuffles the corpus at all (the only exchange left is the
+    # probe equi-join on cid).
+    # Fetch the codebook off the UNREPARTITIONED table: the vec_id filter
+    # pushes down to the scan, so this is one single-task bounded read,
+    # not a ride through parallel_table's exchange. Memoized per
+    # (application, sf_dir) — the codebook is immutable for a given table,
+    # so repeat invocations skip the collect job.
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _CODEBOOK_MEMO.get(memo_key)
+    if cents is None:
+        cents = (
+            _quantized_from(table(spark, sf_dir, "embeddings"))
+            .where((F.col("vec_id") < N_CENTROIDS) & (F.col("nrm") > 0))
+            .collect()
         )
+        if not cents:
+            raise ValueError(
+                "ann_ivf_topk: no usable centroid vectors "
+                f"(vec_id < {N_CENTROIDS} with nrm > 0) in {sf_dir}"
+            )
+        _CODEBOOK_MEMO[memo_key] = cents
+    # L2² on quantized ints: |v|² + |c|² - 2·v·c — exact BIGINT arithmetic.
+    dists = F.array(
+        *[
+            F.struct(
+                (
+                    F.col("nrm")
+                    + F.lit(int(c.nrm))
+                    - 2 * _dot(F.col("v"), F.array(*[F.lit(int(x)) for x in c.v]))
+                ).alias("d"),
+                F.lit(int(c.vec_id)).alias("cid"),
+            )
+            for c in cents
+        ]
+    )
+    # array_min / array_sort order struct(d, cid) lexicographically —
+    # identical tie-breaking to the previous min_by / row_number forms.
+    assign = qd.select(
+        "vec_id", "v", "nrm", F.array_min(dists).getField("cid").alias("cid")
     )
     probes = (
         qd.where(F.col("vec_id") % 50 == 0)
-        .crossJoin(F.broadcast(cent))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(l2.asc(), F.col("cid").asc())
-            ),
-        )
-        .where(F.col("rnk") <= N_PROBE)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qnrm"),
-            "cid",
+            F.slice(F.array_sort(dists), 1, N_PROBE).getField("cid").alias("cids"),
+        )
+        .select(
+            "query_id", "qv", "qnrm", F.explode(F.col("cids")).alias("cid")
         )
     )
     sim = _dot(F.col("qv"), F.col("v")) / (
