@@ -79,6 +79,21 @@ def main() -> None:
     # honest and round-over-round comparable.
     from tmdb_sync_spark.util import reset_materialization_cache
 
+    # Host-speed floor: a trivial one-exchange job, warm best-of-3. Query
+    # wall times on tiny SFs are dominated by task scheduling (each AQE
+    # query stage is a job), and the hosts running this bench have varied
+    # ~4× in that overhead between sessions. Reporting the floor beside
+    # the suite makes rounds comparable: suite deltas that track the
+    # floor are the machine, not the code.
+    floor_df = spark.range(1000).repartition(32)
+    floor_df.count()
+    floor_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        floor_df.count()
+        floor_runs.append(time.perf_counter() - t0)
+    machine_floor = round(min(floor_runs), 3)
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
@@ -106,6 +121,7 @@ def main() -> None:
                 "queries": warm,
                 "queries_cold": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "machine_floor_sec": machine_floor,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,21 +1,33 @@
-"""Multimodal decode plumbing: the real BMP and WAV codecs and the stub
-dispatch (SURVEY Phase 5; reference precedent for image metadata
+"""Multimodal decode plumbing: the real BMP/WAV/PNG/GIF codecs and the
+stub dispatch (SURVEY Phase 5; reference precedent for image metadata
 extraction at app/tmdb_client.py:169-282)."""
 
 from __future__ import annotations
 
 import struct
+import zlib
+
+import pytest
 
 from tmdb_sync_spark.functions.multimodal import (
     BMP_HEADER_LEN,
+    PNG_OVERHEAD,
     WAV_HEADER_LEN,
     _decode,
     _decode_bmp,
+    _decode_gif,
+    _decode_png,
     _decode_wav,
     _encode_bmp,
+    _encode_gif,
+    _encode_png,
     _encode_wav,
+    _gif_params,
     _is_bmp,
+    _is_gif,
+    _is_png,
     _is_wav,
+    _png_dims,
     _wav_params,
 )
 
@@ -81,10 +93,53 @@ def test_wav_chunk_walk_handles_reordered_and_padded_chunks():
     assert _decode_wav(payload) == (8000, 2, 2)          # 8 bytes / 4 ba
 
 
+def test_png_roundtrip_parses_ihdr_and_verifies_crcs():
+    body = b"pixel bytes here" * 9
+    payload = _encode_png(123, body)          # doc 123: 4 x 4 per _png_dims
+    assert _is_png(payload)
+    assert _png_dims(123) == (123 % 40 + 1, 123 % 30 + 1)
+    assert _decode_png(payload) == (*_png_dims(123), 1, "png")
+    # container size is the oracle-predictable stored-stream formula
+    assert len(payload) == len(body) + PNG_OVERHEAD
+    # the IDAT is a genuine zlib stream holding the body
+    (ihdr_len,) = struct.unpack_from(">I", payload, 8)
+    idat_off = 8 + 12 + ihdr_len
+    (idat_len,) = struct.unpack_from(">I", payload, idat_off)
+    idat = payload[idat_off + 8:idat_off + 8 + idat_len]
+    assert zlib.decompress(idat) == body
+
+
+def test_png_corrupt_chunk_fails_loudly():
+    p = bytearray(_encode_png(9, b"abcdef"))
+    p[20] ^= 0xFF                             # flip a byte inside IHDR data
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        _decode_png(bytes(p))
+
+
+def test_gif_block_walk_counts_frames_and_skips_extensions():
+    body = b"z" * 600                         # spans three 255-byte sub-blocks
+    payload = _encode_gif(14, body)           # doc 14: 15 x 15, 3 frames
+    assert _is_gif(payload)
+    assert _decode_gif(payload) == (*_gif_params(14)[:2], 3, "gif")
+    # a graphic-control extension before the frames must be skipped, and
+    # a global color table honored, without miscounting frames
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    lsd = struct.pack("<HHBBB", 7, 5, 0x80, 0, 0)   # GCT flag, 2 entries
+    with_extras = (
+        b"GIF89a" + lsd + b"\x00" * 6 + gce + payload[13:]
+    )
+    assert _decode_gif(with_extras) == (7, 5, 3, "gif")
+
+
 def test_decode_dispatch_prefers_real_containers():
     assert _decode(_encode_wav(5, b"ab" * 30))[3] == "wav"
     assert _decode(_encode_bmp(8, 8, b""))[3] == "bmp"
+    assert _decode(_encode_png(3, b"body"))[3] == "png"
+    assert _decode(_encode_gif(4, b"body"))[3] == "gif"
     assert _decode(b"RIFFxxxx")[3] == "fakeimg"          # too short for WAV
+    # magic matches but the container is garbage: corrupt-row fallback,
+    # never an exception out of the batch kernel
+    assert _decode(b"GIF89a but not really a gif file")[3] == "corrupt"
     w, h, n, fmt, sr, ch = _decode(b"plain text payload, no container")
     assert fmt == "fakeimg" and sr is None and ch is None
 
@@ -97,8 +152,20 @@ def test_mixed_batch_dispatches_per_row(spark):
     out = mm_media_pipeline(spark, "/root/testdata/sf0.001").toPandas()
     bmp = out[out["media_format"] == "bmp"]
     wav = out[out["media_format"] == "wav"]
+    png = out[out["media_format"] == "png"]
+    gif = out[out["media_format"] == "gif"]
     other = out[out["media_format"] == "fakeimg"]
-    assert len(bmp) > 0 and len(wav) > 0 and len(other) > 0
+    for frame in (bmp, wav, png, gif, other):
+        assert len(frame) > 0
+    # PNG rows: one frame, dims from the genuinely parsed IHDR
+    assert (png["doc_id"] % 3 == 0).all()
+    assert (png["thumb_w"] == (png["doc_id"] % 40 + 1) // 2).all()
+    assert (png["thumb_h"] == (png["doc_id"] % 30 + 1) // 2).all()
+    # GIF rows: frame count from the real image-descriptor walk
+    assert (gif["doc_id"] % 2 == 0).all()
+    n_rows = gif.groupby("doc_id")["frame_idx"].count()
+    expected = (n_rows.index % 3 + 1 + 1) // 2      # ceil(n_frames / 2)
+    assert (n_rows == expected).all()
     # BMP rows: one frame each, dims from the container header
     assert (bmp["frame_idx"] == 0).all()
     assert (bmp["thumb_w"] == (bmp["doc_id"] % 64 + 1) // 2).all()

@@ -6,13 +6,17 @@ over ``mapInPandas`` — the one place Python is allowed in this engine
 (registry rule: Python only at source/decode boundaries, reference
 precedent: the frames image-metadata pipeline ``app/tmdb_client.py:169-282``).
 
-Two codecs are REAL, both pure stdlib ``struct``: BMP headers
+Four codecs are REAL, all pure stdlib (``struct``/``zlib``): BMP headers
 (``_decode_bmp`` — magic check, little-endian dims at offsets 18/22,
-top-down negative-height handling) and PCM WAV containers
+top-down negative-height handling), PCM WAV containers
 (``_decode_wav`` — RIFF chunk walk honoring word alignment and
 arbitrary chunk order, PCM params from ``fmt ``, frame count from
-``data``). Formats whose decoders genuinely need PIL/ffmpeg (absent
-from this container) fall through to ``_decode_stub``, which derives
+``data``), PNG (``_decode_png`` — signature + chunk walk with CRC-32
+verification per chunk, dims from IHDR), and GIF (``_decode_gif`` —
+logical-screen-descriptor dims, color-table-aware block walk counting
+image descriptors for the frame count, extension/sub-block skipping).
+Formats whose decoders genuinely need PIL/ffmpeg (absent from this
+container) fall through to ``_decode_stub``, which derives
 deterministic fake dimensions from the payload bytes. Everything around the decoders is
 real and tested: binary encoding, Arrow batch transfer, output schema,
 and the DuckDB oracle predicting the same features per branch.
@@ -21,6 +25,7 @@ and the DuckDB oracle predicting the same features per branch.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,6 +47,13 @@ BMP_HEADER_LEN = 54      # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
 
 WAV_WRAP_EVERY = 5       # every 5th (non-BMP) doc arrives as a real WAV
 WAV_HEADER_LEN = 44      # RIFF(12) + fmt chunk(24) + data chunk header(8)
+
+PNG_WRAP_EVERY = 3       # every 3rd remaining doc arrives as a real PNG
+# sig(8) + IHDR chunk(25) + IDAT framing(12) + zlib stored-stream
+# overhead(11) + IEND(12): container size = body length + 68
+PNG_OVERHEAD = 68
+
+GIF_WRAP_EVERY = 2       # every 2nd remaining doc arrives as a real GIF
 
 
 def _encode_bmp(width: int, height: int, body: bytes) -> bytes:
@@ -130,6 +142,134 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int]:
     return sample_rate, n_channels, n_frames
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 40 + 1, doc_id % 30 + 1
+
+
+def _encode_png(doc_id: int, body: bytes) -> bytes:
+    """A genuine PNG container: signature, IHDR (8-bit RGB), one IDAT
+    holding ``body`` as a level-0 (stored) zlib stream, IEND — every
+    chunk with its real CRC-32. Stored zlib framing adds exactly 11
+    bytes for payloads < 64 KiB, so the container length stays
+    oracle-predictable (``body + PNG_OVERHEAD``)."""
+    width, height = _png_dims(doc_id)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _is_png(payload: bytes) -> bool:
+    return (
+        len(payload) >= 33
+        and payload[:8] == _PNG_SIG
+        and payload[12:16] == b"IHDR"
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, str]:
+    """Real stdlib PNG chunk walk: iterate (length, type, data, crc)
+    records from offset 8, verifying each CRC-32 over type+data (a
+    corrupt chunk raises rather than yielding garbage dims), and read
+    big-endian width/height out of IHDR. Still images are one frame."""
+    pos = 8
+    width = height = None
+    while pos + 12 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height = struct.unpack_from(">II", data, 0)
+        if ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    return width, height, 1, "png"
+
+
+def _gif_params(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) the synthetic blob source assigns."""
+    return doc_id % 20 + 1, doc_id % 15 + 1, doc_id % 3 + 1
+
+
+def _encode_gif(doc_id: int, body: bytes) -> bytes:
+    """A genuine GIF89a container: header + logical screen descriptor,
+    ``n_frames`` image descriptors (the first carrying ``body`` as LZW
+    data sub-blocks — 255-byte blocks with length prefixes — the rest
+    empty), trailer. Frame structure and sub-block framing are real, so
+    any frame-counting GIF walker derives the same count the decoder
+    extracts; only the LZW pixel stream itself is synthetic."""
+    width, height, n_frames = _gif_params(doc_id)
+    out = [b"GIF89a", struct.pack("<HHBBB", width, height, 0, 0, 0)]
+    for k in range(n_frames):
+        out.append(struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0))
+        out.append(b"\x02")               # LZW minimum code size
+        if k == 0:
+            for i in range(0, len(body), 255):
+                block = body[i:i + 255]
+                out.append(bytes([len(block)]) + block)
+        out.append(b"\x00")               # sub-block terminator
+    out.append(b"\x3b")                   # trailer
+    return b"".join(out)
+
+
+def _is_gif(payload: bytes) -> bool:
+    return len(payload) >= 13 and payload[:6] in (b"GIF87a", b"GIF89a")
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int, str]:
+    """Real stdlib GIF block walk: dims from the logical screen
+    descriptor, then iterate blocks — image descriptors (0x2C, counted
+    as frames; local color table honored; LZW data skipped sub-block by
+    sub-block), extensions (0x21, sub-blocks skipped), trailer (0x3B)."""
+    width, height, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    if packed & 0x80:                     # global color table present
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+
+    def _skip_subblocks(p: int) -> int:
+        while p < len(payload) and payload[p] != 0:
+            p += 1 + payload[p]
+        return p + 1
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:                 # trailer
+            break
+        if block == 0x2C:                 # image descriptor
+            n_frames += 1
+            flags = payload[pos + 9]
+            pos += 10
+            if flags & 0x80:              # local color table
+                pos += 3 * (2 << (flags & 0x07))
+            pos = _skip_subblocks(pos + 1)    # skip LZW mcs + data
+        elif block == 0x21:               # extension: label + sub-blocks
+            pos = _skip_subblocks(pos + 2)
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x} at {pos}")
+    return width, height, n_frames, "gif"
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
     """Deterministic fake decoder for formats whose real parse needs
     PIL/av (absent here): width/height/frame-count from byte length. The
@@ -143,19 +283,31 @@ def _decode(
 ) -> tuple[int | None, int | None, int, str, int | None, int | None]:
     """(width, height, n_frames, format, sample_rate, n_channels) —
     image fields are None for audio and vice versa."""
-    if _is_bmp(payload):
-        return *_decode_bmp(payload), None, None
-    if _is_wav(payload):
-        sample_rate, n_channels, n_frames = _decode_wav(payload)
-        return None, None, n_frames, "wav", sample_rate, n_channels
+    try:
+        if _is_bmp(payload):
+            return *_decode_bmp(payload), None, None
+        if _is_wav(payload):
+            sample_rate, n_channels, n_frames = _decode_wav(payload)
+            return None, None, n_frames, "wav", sample_rate, n_channels
+        if _is_png(payload):
+            return *_decode_png(payload), None, None
+        if _is_gif(payload):
+            return *_decode_gif(payload), None, None
+    except (ValueError, IndexError, struct.error):
+        # magic matched but the container is malformed (truncated chunk,
+        # CRC mismatch, unknown block): a crawl row, not a crash. Route
+        # to the stub features under a distinct label so downstream can
+        # dead-letter it instead of the decode killing the whole batch.
+        return *_decode_stub(payload)[:3], "corrupt", None, None
     return *_decode_stub(payload), None, None
 
 
 def encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel standing in for the media lake's blob source:
-    every ``BMP_WRAP_EVERY``-th document's bytes arrive inside a real BMP
-    container (dims derived from doc_id, so the oracle can predict them);
-    the rest stay raw. Models the mixed-container reality of a crawl."""
+    documents' bytes arrive inside real containers — BMP, PCM WAV, PNG,
+    or GIF by doc_id stripe (params derived from doc_id, so the oracle
+    can predict them); the rest stay raw. Models the mixed-container
+    reality of a crawl."""
     for pdf in batches:
         payloads = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -165,6 +317,10 @@ def encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 payloads.append(_encode_bmp(did % 64 + 1, did % 48 + 1, body))
             elif did % WAV_WRAP_EVERY == 0:
                 payloads.append(_encode_wav(did, body))
+            elif did % PNG_WRAP_EVERY == 0:
+                payloads.append(_encode_png(did, body))
+            elif did % GIF_WRAP_EVERY == 0:
+                payloads.append(_encode_gif(did, body))
             else:
                 payloads.append(body)
         yield pd.DataFrame(
@@ -267,6 +423,8 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                8000 + (doc_id % 4) * 4000 AS sr,
                CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0 THEN 'bmp'
                     WHEN doc_id % {WAV_WRAP_EVERY} = 0 THEN 'wav'
+                    WHEN doc_id % {PNG_WRAP_EVERY} = 0 THEN 'png'
+                    WHEN doc_id % {GIF_WRAP_EVERY} = 0 THEN 'gif'
                     ELSE 'fakeimg'
                END AS media_format
         FROM documents
@@ -277,21 +435,30 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     WHEN 'bmp' THEN CAST(olen + {BMP_HEADER_LEN} AS BIGINT)
                     WHEN 'wav' THEN CAST({WAV_HEADER_LEN} + olen - olen % ba
                                          AS BIGINT)
+                    WHEN 'png' THEN CAST(olen + {PNG_OVERHEAD} AS BIGINT)
+                    WHEN 'gif' THEN CAST(olen + CAST(ceil(olen / 255.0) AS BIGINT)
+                                         + 26 + (doc_id % 3) * 12 AS BIGINT)
                     ELSE CAST(olen AS BIGINT)
                END AS byte_len,
                CASE media_format
                     WHEN 'bmp' THEN CAST(doc_id % 64 + 1 AS INT)
                     WHEN 'wav' THEN CAST(NULL AS INT)
+                    WHEN 'png' THEN CAST(doc_id % 40 + 1 AS INT)
+                    WHEN 'gif' THEN CAST(doc_id % 20 + 1 AS INT)
                     ELSE CAST(olen % 64 AS INT)
                END AS width,
                CASE media_format
                     WHEN 'bmp' THEN CAST(doc_id % 48 + 1 AS INT)
                     WHEN 'wav' THEN CAST(NULL AS INT)
+                    WHEN 'png' THEN CAST(doc_id % 30 + 1 AS INT)
+                    WHEN 'gif' THEN CAST(doc_id % 15 + 1 AS INT)
                     ELSE CAST((olen // 64) % 64 AS INT)
                END AS height,
                CASE media_format
                     WHEN 'bmp' THEN 1
                     WHEN 'wav' THEN CAST(olen // ba AS INT)
+                    WHEN 'png' THEN 1
+                    WHEN 'gif' THEN CAST(doc_id % 3 + 1 AS INT)
                     ELSE CAST(olen % 5 AS INT)
                END AS n_frames
         FROM raw
@@ -320,11 +487,14 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary encode → decode → feature extraction → frame sampling.
 
-    ``documents.text`` stands in for the media bytes; every 7th doc is
-    containerized as a REAL BMP and every remaining 5th as a REAL PCM
-    WAV (``encode_media``) — both containers genuinely parsed back with
-    stdlib ``struct`` (BMP header fields; RIFF chunk walk for fmt/data).
-    Payloads needing PIL/ffmpeg take the declared stub path. Audio rows
+    ``documents.text`` stands in for the media bytes; docs are striped
+    into REAL containers — every 7th a BMP, every remaining 5th a PCM
+    WAV, every remaining 3rd a PNG, every remaining 2nd a GIF
+    (``encode_media``) — all four genuinely parsed back with stdlib
+    ``struct``/``zlib`` (BMP header fields; RIFF chunk walk for
+    fmt/data; PNG chunk walk with CRC-32 verification; GIF block walk
+    counting image descriptors). Payloads needing PIL/ffmpeg take the
+    declared stub path. Audio rows
     carry parsed sample_rate/n_channels and fan out to bounded PCM
     analysis windows; image rows to stride-sampled frames. Chains three
     mapInPandas stages — blob
