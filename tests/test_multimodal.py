@@ -131,15 +131,42 @@ def test_gif_block_walk_counts_frames_and_skips_extensions():
     assert _decode_gif(with_extras) == (7, 5, 3, "gif")
 
 
+def test_gif_truncation_raises_not_wrong_frame_count():
+    payload = _encode_gif(14, b"z" * 600)     # 3 frames
+    # cut mid-sub-block: must NOT decode to a plausible smaller count
+    with pytest.raises(ValueError):
+        _decode_gif(payload[:30])
+    # missing trailer only
+    with pytest.raises(ValueError, match="without a trailer"):
+        _decode_gif(payload[:-1])
+    # through the dispatch both become dead-letter rows
+    assert _decode(payload[:30])[3] == "corrupt"
+    assert _decode(payload[:-1])[3] == "corrupt"
+
+
+def test_gif_magic_alone_is_not_enough():
+    # raw text starting with the printable magic fails the structural
+    # first-block check and stays on the oracle-predicted stub path
+    assert not _is_gif(b"GIF89a is an image format from 1989, neat")
+    assert _decode(b"GIF89a is an image format from 1989, neat")[3] == "fakeimg"
+
+
+def test_png_body_cap_keeps_oracle_formula_exact():
+    import zlib as z
+
+    assert len(z.compress(b"x" * 65531, 0)) == 65531 + 11   # single block
+    assert len(z.compress(b"x" * 65532, 0)) > 65532 + 11    # splits
+
+
 def test_decode_dispatch_prefers_real_containers():
     assert _decode(_encode_wav(5, b"ab" * 30))[3] == "wav"
     assert _decode(_encode_bmp(8, 8, b""))[3] == "bmp"
     assert _decode(_encode_png(3, b"body"))[3] == "png"
     assert _decode(_encode_gif(4, b"body"))[3] == "gif"
     assert _decode(b"RIFFxxxx")[3] == "fakeimg"          # too short for WAV
-    # magic matches but the container is garbage: corrupt-row fallback,
-    # never an exception out of the batch kernel
-    assert _decode(b"GIF89a but not really a gif file")[3] == "corrupt"
+    # sniff passes but the container body is garbage: corrupt-row
+    # fallback, never an exception out of the batch kernel
+    assert _decode(_encode_gif(4, b"body")[:15])[3] == "corrupt"
     w, h, n, fmt, sr, ch = _decode(b"plain text payload, no container")
     assert fmt == "fakeimg" and sr is None and ch is None
 

@@ -50,8 +50,13 @@ WAV_HEADER_LEN = 44      # RIFF(12) + fmt chunk(24) + data chunk header(8)
 
 PNG_WRAP_EVERY = 3       # every 3rd remaining doc arrives as a real PNG
 # sig(8) + IHDR chunk(25) + IDAT framing(12) + zlib stored-stream
-# overhead(11) + IEND(12): container size = body length + 68
+# overhead(11) + IEND(12): container size = body length + 68 — valid
+# only while the stored stream is a single deflate block, i.e. body ≤
+# PNG_MAX_BODY (beyond that zlib emits +5 bytes per extra block).
+# encode_media leaves larger bodies raw so the oracle formula stays
+# exact; the e2e branch test asserts PNGs actually occur at every SF.
 PNG_OVERHEAD = 68
+PNG_MAX_BODY = 65531
 
 GIF_WRAP_EVERY = 2       # every 2nd remaining doc arrives as a real GIF
 
@@ -233,14 +238,26 @@ def _encode_gif(doc_id: int, body: bytes) -> bytes:
 
 
 def _is_gif(payload: bytes) -> bool:
-    return len(payload) >= 13 and payload[:6] in (b"GIF87a", b"GIF89a")
+    # magic alone is 6 printable ASCII bytes a raw text document could
+    # start with (cf. _is_bmp's hardening note), so additionally require
+    # the first block after the screen descriptor (+ global color table
+    # if flagged) to be structurally valid: an image descriptor, an
+    # extension introducer, or the trailer.
+    if len(payload) < 14 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return False
+    packed = payload[10]
+    pos = 13 + (3 * (2 << (packed & 0x07)) if packed & 0x80 else 0)
+    return pos < len(payload) and payload[pos] in (0x2C, 0x21, 0x3B)
 
 
 def _decode_gif(payload: bytes) -> tuple[int, int, int, str]:
     """Real stdlib GIF block walk: dims from the logical screen
     descriptor, then iterate blocks — image descriptors (0x2C, counted
     as frames; local color table honored; LZW data skipped sub-block by
-    sub-block), extensions (0x21, sub-blocks skipped), trailer (0x3B)."""
+    sub-block), extensions (0x21, sub-blocks skipped), trailer (0x3B).
+    Truncation anywhere (a sub-block running past the end, a missing
+    trailer) raises, so corrupt crawl rows take _decode's dead-letter
+    path instead of yielding a plausible-but-wrong frame count."""
     width, height, packed = struct.unpack_from("<HHB", payload, 6)
     pos = 13
     if packed & 0x80:                     # global color table present
@@ -250,9 +267,13 @@ def _decode_gif(payload: bytes) -> tuple[int, int, int, str]:
     def _skip_subblocks(p: int) -> int:
         while p < len(payload) and payload[p] != 0:
             p += 1 + payload[p]
+        if p >= len(payload):
+            raise ValueError("GIF sub-block chain runs past end of payload")
         return p + 1
 
-    while pos < len(payload):
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF payload ends without a trailer")
         block = payload[pos]
         if block == 0x3B:                 # trailer
             break
@@ -318,7 +339,10 @@ def encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             elif did % WAV_WRAP_EVERY == 0:
                 payloads.append(_encode_wav(did, body))
             elif did % PNG_WRAP_EVERY == 0:
-                payloads.append(_encode_png(did, body))
+                payloads.append(
+                    _encode_png(did, body)
+                    if len(body) <= PNG_MAX_BODY else body
+                )
             elif did % GIF_WRAP_EVERY == 0:
                 payloads.append(_encode_gif(did, body))
             else:
@@ -423,7 +447,10 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                8000 + (doc_id % 4) * 4000 AS sr,
                CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0 THEN 'bmp'
                     WHEN doc_id % {WAV_WRAP_EVERY} = 0 THEN 'wav'
-                    WHEN doc_id % {PNG_WRAP_EVERY} = 0 THEN 'png'
+                    WHEN doc_id % {PNG_WRAP_EVERY} = 0
+                         AND octet_length(encode(text)) <= {PNG_MAX_BODY}
+                         THEN 'png'
+                    WHEN doc_id % {PNG_WRAP_EVERY} = 0 THEN 'fakeimg'
                     WHEN doc_id % {GIF_WRAP_EVERY} = 0 THEN 'gif'
                     ELSE 'fakeimg'
                END AS media_format

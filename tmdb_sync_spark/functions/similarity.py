@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from tmdb_sync_spark.io import parallel_table, table
 from tmdb_sync_spark.registry import register
+from tmdb_sync_spark.util import register_reset_hook
 
 DIM = 64
 TOP_K = 5
@@ -315,8 +316,13 @@ N_CENTROIDS = 8
 N_PROBE = 2
 IVF_TOP_K = 3
 
-# (applicationId, sf_dir) -> collected codebook rows (≤ N_CENTROIDS)
+# (applicationId, sf_dir) -> collected codebook rows (≤ N_CENTROIDS).
+# Registered with util.reset_materialization_cache so a caller that
+# rewrites the embeddings table in place drops this memo along with every
+# staged materialization (otherwise a regenerated corpus would be
+# assigned against the stale codebook).
 _CODEBOOK_MEMO: dict = {}
+register_reset_hook(_CODEBOOK_MEMO.clear)
 
 # centroids = the first N_CENTROIDS corpus vectors (deterministic in both
 # engines; a production build would k-means these, any fixed seed set works
@@ -394,6 +400,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to ~N_PROBE/N_CENTROIDS of the data. This is the standard
     IVF-flat layout used at billion-vector scale; only the centroid
     training (k-means) is out of scope here.
+
+    Precondition: ``vec_id`` is the corpus primary key (unique). The
+    previous groupBy-based assignment incidentally collapsed duplicate
+    ids; the map-side form does not — a corpus with duplicate ids should
+    go through the dedup operators first, not lean on ANN assignment to
+    mask them.
     """
     qd = _quantized(spark, sf_dir).where(F.col("nrm") > 0)
     # The coarse quantizer is a BOUNDED side model (≤ N_CENTROIDS rows, a

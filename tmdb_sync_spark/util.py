@@ -101,9 +101,23 @@ def materialize_once(df: DataFrame, cache_key: tuple, prefix: str) -> DataFrame:
     return spark.read.parquet(entry.path)
 
 
+# Extra caches to flush alongside _MAT_CACHE (e.g. similarity's collected
+# IVF codebook): any module-level memo of table-derived driver-side state
+# registers its clear() here so one reset call covers the whole engine.
+_RESET_HOOKS: list = []
+
+
+def register_reset_hook(fn) -> None:
+    _RESET_HOOKS.append(fn)
+
+
 def reset_materialization_cache() -> None:
     """Forget (but don't delete) cached materializations — bench.py calls
     this next to ``clearCache()`` so timed runs recompute staged
     intermediates instead of reading the previous run's parquet, keeping
-    cold/warm timings honest. Dirs are still removed at interpreter exit."""
+    cold/warm timings honest (and callers rewriting a source table in
+    place call it to drop every table-derived driver-side memo). Dirs are
+    still removed at interpreter exit."""
     _MAT_CACHE.clear()
+    for fn in _RESET_HOOKS:
+        fn()
