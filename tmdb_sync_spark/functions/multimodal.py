@@ -136,6 +136,10 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int]:
     pos, sample_rate, n_channels, block_align, data_len = 12, 0, 0, 0, 0
     while pos + 8 <= len(payload):
         cid, csz = struct.unpack_from("<4sI", payload, pos)
+        if pos + 8 + csz > len(payload):
+            # declared chunk extends past the payload: a truncated
+            # container must dead-letter, not claim the declared frames
+            raise ValueError(f"WAV chunk {cid!r} runs past end of payload")
         if cid == b"fmt ":
             _, n_channels, sample_rate, _, block_align, _ = struct.unpack_from(
                 "<HHIIHH", payload, pos + 8
@@ -191,11 +195,17 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, str]:
     """Real stdlib PNG chunk walk: iterate (length, type, data, crc)
     records from offset 8, verifying each CRC-32 over type+data (a
     corrupt chunk raises rather than yielding garbage dims), and read
-    big-endian width/height out of IHDR. Still images are one frame."""
+    big-endian width/height out of IHDR. A stream that ends without a
+    complete, CRC-valid IEND (truncation) raises — corrupt crawl rows
+    take _decode's dead-letter path. Still images are one frame."""
     pos = 8
     width = height = None
-    while pos + 12 <= len(payload):
+    while True:
+        if pos + 12 > len(payload):
+            raise ValueError("PNG payload ends without an IEND chunk")
         (clen,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + clen > len(payload):
+            raise ValueError("PNG chunk runs past end of payload")
         ctype = payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
