@@ -171,6 +171,24 @@ def test_decode_dispatch_prefers_real_containers():
     assert fmt == "fakeimg" and sr is None and ch is None
 
 
+def test_corrupt_rows_sample_no_frames():
+    import pandas as pd
+
+    from tmdb_sync_spark.functions.multimodal import (
+        decode_features,
+        sample_frames,
+    )
+
+    truncated = _encode_gif(4, b"body")[:15]
+    intact = _encode_bmp(6, 4, b"\x00" * 6)
+    src = pd.DataFrame({"doc_id": [1, 2], "payload": [truncated, intact]})
+    feats = pd.concat(decode_features(iter([src])))
+    assert list(feats["media_format"]) == ["corrupt", "bmp"]
+    out = pd.concat(sample_frames(iter([feats])))
+    # the corrupt row is dead-lettered out of the frame fan-out entirely
+    assert list(out["media_format"]) == ["bmp"]
+
+
 def test_mixed_batch_dispatches_per_row(spark):
     """End-to-end through the registered pipeline at the smallest SF:
     wrapped docs carry genuinely parsed dims, others the stub's."""
