@@ -12,11 +12,11 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_concurrent_streaming_runs_restore_session_conf(spark):
-    """Overlapping driver-thread streaming runs must leave the session's
-    shuffle-partition and no-data-micro-batch confs exactly as found.
-    Unlocked, the interleaving A-set → B-save(A's value) → A-restore →
-    B-restore pinned the session at the streaming value for every later
-    batch query."""
+    """Overlapping driver-thread streaming runs must leave the main
+    session's shuffle-partition and no-data-micro-batch confs exactly as
+    found. The streaming confs now live on per-run sub-sessions
+    (``_events_stream``), so the main session is never written at all —
+    this pins that isolation (and that concurrent runs both complete)."""
     before_parts = spark.conf.get("spark.sql.shuffle.partitions")
     before_nodata = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled")

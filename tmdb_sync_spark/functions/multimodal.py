@@ -147,8 +147,13 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int]:
         elif cid == b"data":
             data_len = csz
         pos += 8 + csz + (csz & 1)        # RIFF chunks are word-aligned
-    n_frames = data_len // block_align if block_align else 0
-    return sample_rate, n_channels, n_frames
+    if sample_rate <= 0 or n_channels <= 0 or block_align <= 0:
+        # no fmt chunk, or garbage that merely sniffed as RIFF/WAVE: a
+        # zero sample rate would divide-by-zero in the frame sampler and
+        # a 'wav' label here diverges from the stub path any non-WAV
+        # payload must take — dead-letter instead
+        raise ValueError("WAV payload lacks a sane PCM fmt chunk")
+    return sample_rate, n_channels, data_len // block_align
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

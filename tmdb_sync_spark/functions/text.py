@@ -29,10 +29,6 @@ def _tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
-def n_tokens_expr(text: Column) -> Column:
-    return F.size(_tokens(text))
-
-
 def quality_score_expr(text: Column, tokens: Column | None = None) -> Column:
     """The deterministic length / stopword-ratio / punct quality heuristic
     (shared by ``tx_text_features`` and the curation pipeline — one

@@ -76,6 +76,24 @@ def footer_range(pdir_path: str, key: str):
     return (kmin, kmax)
 
 
+def _is_valid_range(r) -> bool:
+    # each range must be a [kmin, kmax] pair of JSON scalars of one type
+    # (the shape save() writes): anything else — truncated lists, nulls,
+    # nested junk from a damaged-but-parseable file — degrades the whole
+    # manifest to a footer re-harvest rather than silently mis-pruning
+    # the moved-key probe (a wrong range means a moved key is never
+    # relocated: a permanent duplicate).
+    return (
+        isinstance(r, list)
+        and len(r) == 2
+        and all(
+            not isinstance(v, bool) and isinstance(v, (int, float, str))
+            for v in r
+        )
+        and type(r[0]) is type(r[1])
+    )
+
+
 def load(target_dir: str, key: str, partition_col: str) -> dict:
     """Manifest as ``{pdir_name: (kmin, kmax) | None}``, reconciled with
     the live directory listing: stale entries (no dir) drop out, dirs the
@@ -93,6 +111,10 @@ def load(target_dir: str, key: str, partition_col: str) -> dict:
             and doc.get("key") == key
             and doc.get("partition_col") == partition_col
             and isinstance(doc.get("parts", {}), dict)
+            and all(
+                r is None or _is_valid_range(r)
+                for r in doc.get("parts", {}).values()
+            )
         ):
             entries = {
                 p: (None if r is None else (r[0], r[1]))

@@ -272,12 +272,22 @@ def merge_into_partitioned(
     try:
         target = spark.read.parquet(target_dir)
     except AnalysisException:
-        # No readable table: nothing was ever written, or a crash landed in
-        # the one window where the batch's only old partition was already
-        # deleted and the new one not yet installed (recovery finishes the
-        # delete, leaving zero visible partitions). Either way the true
-        # post-state is "source rows only" — degrade to an all-insert
-        # initial load over the source's schema instead of failing replay.
+        # The empty-table degrade below is ONLY for a table with no data:
+        # nothing was ever written, or a crash landed in the one window
+        # where the batch's only old partition was already deleted and
+        # the new one not yet installed (recovery finishes the delete,
+        # leaving zero visible partitions). AnalysisException also covers
+        # readable-but-broken tables (conflicting partition value types,
+        # incompatible schemas across partitions) — degrading THOSE would
+        # classify every source row as an insert and swap away the
+        # pre-existing rows of touched partitions. Distinguish by the
+        # directory listing: any surviving partition dir means real data,
+        # so re-raise loudly instead of silently dropping it.
+        if os.path.isdir(target_dir) and any(
+            e.name.startswith(f"{partition_col}=")
+            for e in os.scandir(target_dir)
+        ):
+            raise
         os.makedirs(target_dir, exist_ok=True)
         target = spark.createDataFrame([], source.schema)
     target = target.where(_touched_cond(touched, partition_col))
@@ -345,6 +355,34 @@ def merge_into_partitioned(
         if e.startswith(f"{partition_col}=")
     ]
     swap_names += [n for n in staged_names if n not in swap_names]
+    # The delete half of that divergence protection (r3 verdict): a
+    # touched partition with NO staged dir is an emptied-partition
+    # delete, executed purely by its predicted dir name. If that name is
+    # also absent on disk, either the partition never existed (a fresh
+    # value that only received superseded rows — fine) or our rendering
+    # diverged from Spark's and the real dir sits under another name,
+    # which would leave the moved keys alive as permanent duplicates.
+    # Disambiguate by asking Spark for the partition's files and fail
+    # LOUDLY on divergence instead of silently no-opping the delete.
+    for v, n in zip(order, swap_names):
+        if n in staged_names or os.path.isdir(os.path.join(target_dir, n)):
+            continue
+        cond = (
+            F.col(partition_col).isNull()
+            if v is None
+            else F.col(partition_col) == F.lit(v)
+        )
+        try:
+            stale = spark.read.parquet(target_dir).where(cond).inputFiles()
+        except AnalysisException:
+            stale = []
+        if stale:
+            raise RuntimeError(
+                f"partition value {v!r} renders to {n!r}, which does not "
+                f"exist, yet Spark reads its rows from {stale[:3]} — "
+                "partition-dir rendering diverged; refusing to skip the "
+                "emptied-partition delete"
+            )
     # maintain whenever probing is on (manifest may be None for an empty
     # batch) or a manifest already exists from a probing caller
     maintain = detect_moved_keys or os.path.exists(

@@ -29,8 +29,6 @@ watermark-bounded state. All streaming results land in parquet sinks via
 from __future__ import annotations
 
 import os
-import tempfile
-import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,9 +49,33 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     which keeps its raw on-disk type (TIMESTAMP(NANOS)-as-long or
     TIMESTAMP(MICROS)-as-NTZ depending on the testdata generation) and is
     normalized with the same expression the batch reader uses.
+
+    The stream is built on its OWN ``newSession()`` (shared SparkContext,
+    session-scoped SQLConf), carrying the two streaming confs:
+
+    - ``spark.sql.shuffle.partitions`` =
+      ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` (default 8): every
+      micro-batch loads and commits one state store PER shuffle
+      partition — a fixed per-trigger cost — so the right number tracks
+      keyed-state cardinality, not the batch-side default. Measured
+      in-session at sf0.1: 32→8 cuts each window query ~30%.
+    - no-data micro-batches off: these finite runs emit in complete /
+      NoTimeout-append modes, which never need the watermark-advance
+      batch (~0.2 s/query of state-store reloads saved).
+
+    Session isolation replaces the previous set/restore-under-lock:
+    concurrent streaming runs no longer serialize on a conf lock, and a
+    batch query planned by another driver thread can never observe the
+    streaming values.
     """
-    batch = table(spark, sf_dir, "events")  # also pins UTC + nanosAsLong
-    raw_ts = spark.read.parquet(
+    sub = spark.newSession()
+    sub.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8"),
+    )
+    sub.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    batch = table(sub, sf_dir, "events")  # also pins UTC + nanosAsLong
+    raw_ts = sub.read.parquet(
         f"{sf_dir}/events.parquet"
     ).schema["ts"].dataType
     raw_schema = StructType(
@@ -61,17 +83,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
          for f in batch.schema.fields]
     )
     return (
-        spark.readStream.schema(raw_schema)
+        sub.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
         .withColumn("ts", events_ts_norm(raw_ts))
     )
-
-
-# serializes the session-conf set/restore window below across driver
-# threads (JobRunner launches queries concurrently)
-_CONF_LOCK = threading.Lock()
 
 
 def _run_to_parquet(agg: DataFrame, mode: str) -> str:
@@ -81,20 +98,11 @@ def _run_to_parquet(agg: DataFrame, mode: str) -> str:
     writes), unlike the memory sink which collects into the driver; the
     checkpoint dir bounds replay exactly as on an unbounded stream.
 
-    Streaming state ops get their own shuffle-partition count
-    (``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS``, default 8): every
-    micro-batch loads and commits one state store PER shuffle partition,
-    a fixed per-trigger cost independent of data volume, so the right
-    number tracks the stream's keyed-state cardinality rather than the
-    batch-side default (32 here; thousands on a 100 TB cluster). Measured
-    in-session at sf0.1: 32→8 cuts each window query ~30% with identical
-    results. The partition count is pinned into the checkpoint at first
-    batch, so it's set before ``start()`` and restored after, under a
-    lock so overlapping driver-thread streaming runs can't interleave
-    their save/restore and pin the session at the streaming value. (A
-    BATCH query planned by another thread during the window still sees
-    the streaming conf — inherent to session-global confs; these finite
-    runs keep the window to seconds.)
+    The streaming confs (state shuffle partitions, no-data micro-batch)
+    live on the plan's own sub-session — see ``_events_stream`` — so this
+    runner needs no conf set/restore and no lock: concurrent streaming
+    runs execute genuinely in parallel and never leak conf into batch
+    planning on the main session.
     """
     out = scratch_dir("st_out_")
     ckpt = scratch_dir("st_ckpt_")
@@ -103,34 +111,14 @@ def _run_to_parquet(agg: DataFrame, mode: str) -> str:
     def sink(batch_df: DataFrame, _epoch: int) -> None:
         batch_df.write.mode(write_mode).parquet(out)
 
-    spark = agg.sparkSession
-    state_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
-    with _CONF_LOCK:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", state_parts)
-        # The trailing no-data micro-batch exists to advance the watermark
-        # so APPEND-mode sinks can flush closed windows. Every query routed
-        # through here emits in complete mode (full state each trigger) or
-        # via applyInPandasWithState with NoTimeout (emission only on
-        # data), so that extra batch re-loads and re-commits every state
-        # store for nothing — measured ~0.2 s/query at sf0.1.
-        prev_nodata = spark.conf.get(
-            "spark.sql.streaming.noDataMicroBatches.enabled")
-        spark.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        try:
-            q = (
-                agg.writeStream.foreachBatch(sink)
-                .outputMode(mode)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            spark.conf.set(
-                "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return out
 
 
