@@ -32,15 +32,12 @@ def canon(df):
     out = pd.DataFrame({c:[cell(v) for v in df[c]] for c in df.columns})
     return out.sort_values(by=list(out.columns)).reset_index(drop=True) if len(out) else out
 
-# smoke
-edf = E.entry(spark)
-n = edf.count()
-print(f"entry(): {n} rows, schema={[f.name for f in edf.schema]}")
-assert n > 0
-
 qs, os_ = E.queries(), E.oracle_sql()
 fails = []
-for name in sorted(qs):
+# streaming queries FIRST: on a fresh non-UTC-pinned session they must
+# self-defend their timezone/conf assumptions without a batch query
+# having run table() first (order-dependent session-state bugs)
+for name in sorted(qs, key=lambda n: (not n.startswith("st"), n)):
     t0 = time.time()
     try:
         sdf = qs[name](spark, SF).toPandas()
@@ -58,5 +55,11 @@ for name in sorted(qs):
         else:
             diff = (a!=b).any(axis=1)
             fails.append((name, "first diff rows:\n"+a[diff].head(3).to_string()+"\n---\n"+b[diff].head(3).to_string()))
+# smoke (after the loop — entry() must not be what pins session state)
+edf = E.entry(spark)
+n = edf.count()
+print(f"entry(): {n} rows, schema={[f.name for f in edf.schema]}")
+assert n > 0
+
 print("\n=== RESULT:", "ALL PASS" if not fails else f"{len(fails)} FAILURES")
 for nm, why in fails: print(nm, "->", why[:500])

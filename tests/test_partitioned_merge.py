@@ -113,6 +113,41 @@ def test_null_partition_value_merges_not_lost(spark):
     }
 
 
+def test_superseded_fresh_partition_value_is_a_clean_noop(spark):
+    """A touched partition value can legitimately end with no staged dir
+    AND no on-disk dir: a matched_update that preserves the partition
+    column supersedes every source row carrying a fresh value, so that
+    partition never materializes. The merge must treat it as a no-op —
+    not a rendering-divergence error (the divergence probe must test the
+    VALUE's rows, which don't exist, not whether the table has any
+    files)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="pm_fresh_")
+    target = f"{d}/t"
+    base = spark.createDataFrame(
+        [(1, 1996, 10.0), (2, 1997, 20.0)],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    write_partitioned(base, target, "y")
+    # key 1 exists; its source row claims y=2999 but the update keeps t.y
+    source = spark.createDataFrame(
+        [(1, 2999, 11.0)], "k BIGINT, y INT, price DOUBLE"
+    )
+    res = merge_into_partitioned(
+        spark, target, source, keys=["k"], partition_col="y",
+        matched_update={"y": F.col("t.y"), "price": F.col("s.price")},
+        count_actions=True,
+    )
+    assert res["counts"].get("update") == 1
+    assert not res["counts"].get("insert")
+    post = {r["k"]: (r["y"], r["price"])
+            for r in spark.read.parquet(target).collect()}
+    assert post == {1: (1996, 11.0), 2: (1997, 20.0)}
+
+
 def test_cross_partition_key_move_does_not_duplicate(spark):
     """A re-synced key whose partition value changed (year corrected
     between syncs) must end up with exactly ONE row, in the NEW partition

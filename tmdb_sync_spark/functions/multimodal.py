@@ -413,15 +413,15 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pdf["n_frames"], pdf["width"], pdf["height"],
             pdf["sample_rate"],
         ):
+            if fmt == "corrupt":
+                # dead-lettered container: its stub-derived dims are
+                # placeholders, not media — sample nothing downstream
+                continue
             base = {
                 "doc_id": int(doc_id),
                 "byte_len": int(byte_len),
                 "media_format": fmt,
             }
-            if fmt == "corrupt":
-                # dead-lettered container: its stub-derived dims are
-                # placeholders, not media — sample nothing downstream
-                continue
             if fmt == "wav":
                 n_windows = min(
                     (int(n_frames) + AUDIO_WINDOW - 1) // AUDIO_WINDOW,

@@ -284,7 +284,7 @@ def merge_into_partitioned(
         # directory listing: any surviving partition dir means real data,
         # so re-raise loudly instead of silently dropping it.
         if os.path.isdir(target_dir) and any(
-            e.name.startswith(f"{partition_col}=")
+            km._is_part_dir(e.name, partition_col)
             for e in os.scandir(target_dir)
         ):
             raise
@@ -352,34 +352,47 @@ def merge_into_partitioned(
     # never be silently dropped by a value-rendering divergence.
     staged_names = [
         e for e in (sorted(os.listdir(staging)) if os.path.isdir(staging) else [])
-        if e.startswith(f"{partition_col}=")
+        if km._is_part_dir(e, partition_col)
     ]
     swap_names += [n for n in staged_names if n not in swap_names]
     # The delete half of that divergence protection (r3 verdict): a
     # touched partition with NO staged dir is an emptied-partition
     # delete, executed purely by its predicted dir name. If that name is
     # also absent on disk, either the partition never existed (a fresh
-    # value that only received superseded rows — fine) or our rendering
+    # value whose rows were all superseded — fine) or our rendering
     # diverged from Spark's and the real dir sits under another name,
     # which would leave the moved keys alive as permanent duplicates.
-    # Disambiguate by asking Spark for the partition's files and fail
-    # LOUDLY on divergence instead of silently no-opping the delete.
+    # Disambiguate by asking Spark whether the value still has rows
+    # (partition-pruned limit-1 probe — NOT inputFiles(), which ignores
+    # filters) and fail LOUDLY on divergence instead of silently
+    # no-opping the delete. When unpredicted staged names exist, the
+    # divergence is already being reconciled by the backstop above and a
+    # predicted-name miss may just be that value's install under Spark's
+    # rendering — skip the probe rather than abort a repairable merge.
+    predicted = set(swap_names[: len(order)])
+    divergence_visible = any(n not in predicted for n in staged_names)
+    target_probe = None
     for v, n in zip(order, swap_names):
-        if n in staged_names or os.path.isdir(os.path.join(target_dir, n)):
+        if (
+            divergence_visible
+            or n in staged_names
+            or os.path.isdir(os.path.join(target_dir, n))
+        ):
             continue
+        if target_probe is None:
+            try:
+                target_probe = spark.read.parquet(target_dir)
+            except AnalysisException:
+                break                   # no readable table → nothing stale
         cond = (
             F.col(partition_col).isNull()
             if v is None
             else F.col(partition_col) == F.lit(v)
         )
-        try:
-            stale = spark.read.parquet(target_dir).where(cond).inputFiles()
-        except AnalysisException:
-            stale = []
-        if stale:
+        if target_probe.where(cond).limit(1).count() > 0:
             raise RuntimeError(
                 f"partition value {v!r} renders to {n!r}, which does not "
-                f"exist, yet Spark reads its rows from {stale[:3]} — "
+                "exist, yet the table still holds rows for it — "
                 "partition-dir rendering diverged; refusing to skip the "
                 "emptied-partition delete"
             )

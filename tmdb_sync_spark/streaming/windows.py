@@ -68,6 +68,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch query planned by another driver thread can never observe the
     streaming values.
     """
+    # The CALLER's session still needs the UTC pin: the streaming result
+    # is read back and collected on it (spark.read.parquet(out)), and a
+    # driver-provided session without a pinned zone would render the
+    # window timestamps in local time, off from the naive-UTC oracle.
+    # Previously table(spark, ...) here had that side effect; keep it
+    # explicitly now that the stream builds on the sub-session.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     sub = spark.newSession()
     sub.conf.set(
         "spark.sql.shuffle.partitions",
