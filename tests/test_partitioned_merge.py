@@ -495,12 +495,32 @@ def test_manifest_corrupt_shapes_degrade_not_crash(spark):
     path = os.path.join(target, km.MANIFEST_NAME)
     for garbage in ("null", "[]", '"x"', "7",
                     '{"key": "k", "partition_col": "y", "parts": []}',
-                    "{not json"):
+                    "{not json",
+                    # parseable dicts with DAMAGED range values: a wrong
+                    # range silently mis-prunes the moved-key probe, so
+                    # these must degrade the whole manifest to re-harvest
+                    '{"key": "k", "partition_col": "y",'
+                    ' "parts": {"y=2000": [1]}}',
+                    '{"key": "k", "partition_col": "y",'
+                    ' "parts": {"y=2000": [1, null]}}',
+                    '{"key": "k", "partition_col": "y",'
+                    ' "parts": {"y=2000": [[1], [2]]}}',
+                    '{"key": "k", "partition_col": "y",'
+                    ' "parts": {"y=2000": [1, "2"]}}',
+                    '{"key": "k", "partition_col": "y",'
+                    ' "parts": {"y=2000": [true, false]}}',
+                    '{"key": "k", "partition_col": "y",'
+                    ' "parts": {"y=2000": {"min": 1, "max": 2}}}'):
         with open(path, "w") as fh:
             fh.write(garbage)
         m = km.load(target, "k", "y")
         assert set(m) == {"y=2000", "y=2001", "y=2002", "y=2003"}
         assert all(r is not None for r in m.values()), garbage
+        # the harvested ranges are the true footer stats, not the junk
+        assert all(
+            isinstance(r, tuple) and type(r[0]) is type(r[1])
+            for r in m.values()
+        ), garbage
 
 
 def test_boolean_partition_values_swap_correctly(spark):
