@@ -1,0 +1,135 @@
+"""Single-writer guard on merge_into_partitioned: two concurrent merges
+into one target_dir must not interleave the swap protocol or the manifest
+read-modify-write — the second writer fails loudly; a lock abandoned by a
+crashed writer is reclaimed."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.io import table
+from tmdb_sync_spark.plans import partitioned as pm
+from tmdb_sync_spark.plans.partitioned import (
+    ConcurrentMergeError,
+    MERGE_LOCK_NAME,
+    _acquire_merge_lock,
+    merge_into_partitioned,
+    write_partitioned,
+)
+
+
+def _fresh_target(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="mlock_")
+    target = f"{d}/orders"
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    write_partitioned(orders, target, "o_year")
+    return target
+
+
+def _source(spark, target):
+    base = spark.read.parquet(target)
+    return base.where(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", "o_year",
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+    )
+
+
+def test_two_threads_exactly_one_merges(spark, sf_dir, monkeypatch):
+    """Thread 1 holds the lock inside the merge window; thread 2's attempt
+    during that window raises ConcurrentMergeError; thread 1 completes."""
+    target = _fresh_target(spark, sf_dir)
+    src = _source(spark, target).cache()
+    src.count()
+
+    inside = threading.Event()       # t1 is under the lock, pre-swap
+    proceed = threading.Event()      # t2 has finished failing
+    real_recover = pm._recover_leftovers
+    first = threading.Event()
+
+    def gated_recover(path):
+        real_recover(path)
+        if first.is_set():
+            return                   # only gate the first (winning) entry
+        first.set()
+        inside.set()
+        assert proceed.wait(timeout=60), "loser thread never finished"
+
+    monkeypatch.setattr(pm, "_recover_leftovers", gated_recover)
+    results: dict = {}
+
+    def winner():
+        try:
+            results["winner"] = merge_into_partitioned(
+                spark, target, src, keys=["o_orderkey"],
+                partition_col="o_year",
+            )
+        except BaseException as e:   # pragma: no cover - diagnostic
+            results["winner_err"] = e
+            proceed.set()
+
+    t1 = threading.Thread(target=winner)
+    t1.start()
+    try:
+        assert inside.wait(timeout=60), "winner never reached the window"
+        with pytest.raises(ConcurrentMergeError):
+            merge_into_partitioned(
+                spark, target, src, keys=["o_orderkey"],
+                partition_col="o_year",
+            )
+    finally:
+        proceed.set()
+        t1.join(timeout=120)
+    assert "winner_err" not in results, results.get("winner_err")
+    assert results["winner"]["touched"]
+    # the winner's finally released the lock
+    assert not os.path.exists(os.path.join(target, MERGE_LOCK_NAME))
+    src.unpersist()
+
+
+def _dead_pid() -> int:
+    p = subprocess.Popen([sys.executable, "-c", "pass"])
+    p.wait()
+    return p.pid
+
+
+def test_stale_lock_from_dead_pid_is_reclaimed(spark, sf_dir):
+    target = _fresh_target(spark, sf_dir)
+    with open(os.path.join(target, MERGE_LOCK_NAME), "w") as fh:
+        fh.write(f"{_dead_pid()} 0.0\n")
+    res = merge_into_partitioned(
+        spark, target, _source(spark, target), keys=["o_orderkey"],
+        partition_col="o_year",
+    )
+    assert res["touched"]
+    assert not os.path.exists(os.path.join(target, MERGE_LOCK_NAME))
+
+
+def test_garbled_lock_is_reclaimed(tmp_path):
+    target = str(tmp_path)
+    with open(os.path.join(target, MERGE_LOCK_NAME), "w") as fh:
+        fh.write("not-a-pid\n")
+    lock = _acquire_merge_lock(target)
+    assert os.path.exists(lock)
+    with open(lock) as fh:
+        assert int(fh.read().split()[0]) == os.getpid()
+    os.unlink(lock)
+
+
+def test_live_lock_raises(tmp_path):
+    target = str(tmp_path)
+    lock = _acquire_merge_lock(target)           # our own live pid holds it
+    try:
+        with pytest.raises(ConcurrentMergeError):
+            _acquire_merge_lock(target)
+    finally:
+        os.unlink(lock)

@@ -51,6 +51,7 @@ from collections.abc import Mapping, Sequence
 
 import os
 import shutil
+import time
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -105,6 +106,73 @@ def _escape_part_val(v) -> str:
 def _pdir_name(partition_col: str, v) -> str:
     part_val = HIVE_NULL_PART if v is None else _escape_part_val(v)
     return f"{partition_col}={part_val}"
+
+
+MERGE_LOCK_NAME = "_merge.lock"
+
+
+class ConcurrentMergeError(RuntimeError):
+    """A second merge writer tried to enter a table another merge holds."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True          # exists, owned by someone else
+    return True
+
+
+def _acquire_merge_lock(target_dir: str) -> str:
+    """Single-writer guard for the swap protocol and manifest RMW.
+
+    The rename-aside swap and the ``_key_manifest.json`` read-modify-write
+    are crash-safe but assume ONE writer; two interleaved merges would
+    clobber each other's swaps and manifest ranges with no error. Real
+    table formats solve this with optimistic concurrency on the commit
+    log; the moral equivalent for a directory-protocol table is an
+    ``O_EXCL`` lock file — the underscore prefix keeps it invisible to
+    Spark's file listing, like ``_SUCCESS``. A second concurrent merger
+    fails LOUDLY (:class:`ConcurrentMergeError`) rather than corrupting
+    the table; a lock left by a crashed merger (dead pid, or unreadable
+    contents) is reclaimed via an atomic rename so exactly one contender
+    wins the reclaim and the others retry against the winner's fresh lock.
+    """
+    os.makedirs(target_dir, exist_ok=True)
+    lock_path = os.path.join(target_dir, MERGE_LOCK_NAME)
+    payload = f"{os.getpid()} {time.time():.3f}\n".encode()
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            pid = None
+            try:
+                with open(lock_path, "rb") as fh:
+                    pid = int(fh.read().split()[0])
+            except (OSError, ValueError, IndexError):
+                pass                      # vanished or garbled → reclaimable
+            if pid is not None and _pid_alive(pid):
+                raise ConcurrentMergeError(
+                    f"merge into {target_dir!r} is already running "
+                    f"(pid {pid} holds {MERGE_LOCK_NAME}); concurrent "
+                    "merges into one target are not supported — retry "
+                    "after the holder finishes"
+                ) from None
+            # stale lock: claim-by-rename so concurrent reclaimers can't
+            # unlink each other's fresh locks — only the renamer proceeds
+            # to delete, everyone re-contends on O_EXCL
+            claim = f"{lock_path}.reclaim.{os.getpid()}"
+            try:
+                os.rename(lock_path, claim)
+            except FileNotFoundError:
+                continue                  # another contender reclaimed it
+            os.unlink(claim)
+            continue
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+        return lock_path
 
 
 def _recover_leftovers(target_dir: str) -> None:
@@ -202,6 +270,13 @@ def merge_into_partitioned(
     """MERGE ``source`` into the partitioned table at ``target_dir``,
     rewriting only touched partitions.
 
+    Single-writer: the whole merge (recovery, probe, staging write, swap,
+    manifest maintenance) runs under the table's ``_merge.lock``
+    (:func:`_acquire_merge_lock`); a concurrent merge into the same
+    ``target_dir`` raises :class:`ConcurrentMergeError` instead of
+    interleaving swaps, and a lock abandoned by a crashed writer is
+    reclaimed automatically.
+
     ``matched_update`` / ``not_matched_insert`` pass through to
     :func:`plans.merge.merge_into` (J4 preserve rules, ``$setOnInsert``).
     With ``count_actions`` the insert/update/noop row counts come back
@@ -223,6 +298,34 @@ def merge_into_partitioned(
     "probe_partitions": [pdir, ...]}`` — the partitions the probe
     actually had to read (empty = the manifest pruned everything).
     """
+    lock = _acquire_merge_lock(target_dir)
+    try:
+        return _merge_locked(
+            spark, target_dir, source, keys, partition_col,
+            matched_update, not_matched_insert, count_actions,
+            detect_moved_keys,
+        )
+    finally:
+        # ours by O_EXCL; FileNotFoundError would mean an outside actor
+        # removed it — the merge already finished, so stay quiet
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _merge_locked(
+    spark: SparkSession,
+    target_dir: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    partition_col: str,
+    matched_update: Mapping[str, Column] | None,
+    not_matched_insert: Mapping[str, Column] | None,
+    count_actions: bool,
+    detect_moved_keys: bool,
+) -> dict:
+    # body of merge_into_partitioned — runs under the table's _merge.lock
     _recover_leftovers(target_dir)
     # recovery may have changed the dir listing; drop any cached file index
     spark.catalog.refreshByPath(target_dir)
@@ -384,10 +487,15 @@ def merge_into_partitioned(
                 target_probe = spark.read.parquet(target_dir)
             except AnalysisException:
                 break                   # no readable table → nothing stale
+        # Compare via the SAME string rendering the dir-name prediction
+        # uses: an equality on the typed column could come back empty when
+        # partition type inference renders v differently (string-inferred
+        # dirs vs a typed source value), silently passing the probe the
+        # divergence exists to catch (ADVICE r4).
         cond = (
             F.col(partition_col).isNull()
             if v is None
-            else F.col(partition_col) == F.lit(v)
+            else F.col(partition_col).cast("string") == F.lit(_render_part_val(v))
         )
         if target_probe.where(cond).limit(1).count() > 0:
             raise RuntimeError(
