@@ -10,22 +10,27 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from tmdb_sync_spark.functions.multimodal import (
+    JPEG_OVERHEAD,
     PNG_MAX_BODY,
     PNG_OVERHEAD,
     _decode,
     _decode_bmp,
     _decode_gif,
+    _decode_jpeg,
     _decode_png,
     _decode_wav,
     _encode_bmp,
     _encode_gif,
+    _encode_jpeg,
     _encode_png,
     _encode_wav,
     _gif_params,
     _is_bmp,
     _is_gif,
+    _is_jpeg,
     _is_png,
     _is_wav,
+    _jpeg_dims,
     _png_dims,
     _wav_params,
 )
@@ -109,6 +114,34 @@ def test_wav_truncation_never_overcounts_frames(doc_id, body, data):
         assert out[2] * n_channels * 2 <= cut
     else:
         assert out[3] in ("fakeimg", "corrupt")
+
+
+@given(doc_id=DOC_IDS, body=BODIES)
+def test_jpeg_roundtrip_and_size_formula_property(doc_id, body):
+    p = _encode_jpeg(doc_id, body)
+    assert _is_jpeg(p)
+    assert _decode_jpeg(p) == (*_jpeg_dims(doc_id), 1, "jpeg")
+    assert len(p) == len(body) + JPEG_OVERHEAD
+
+
+@settings(max_examples=40)
+@given(doc_id=DOC_IDS, body=BODIES, data=st.data())
+def test_jpeg_every_truncation_is_corrupt_or_stub(doc_id, body, data):
+    p = _encode_jpeg(doc_id, body)
+    cut = data.draw(st.integers(0, len(p) - 1), label="cut")
+    fmt = _decode(p[:cut])[3]
+    assert fmt in ("fakeimg", "corrupt")
+
+
+def test_jpeg_marker_walk_handles_fill_and_rst_markers():
+    # fill bytes before a marker and standalone RST/TEM markers between
+    # segments are legal; the walk must skip them and still find SOF dims
+    p = _encode_jpeg(13, b"payload")
+    soi, rest = p[:2], p[2:]
+    padded = soi + b"\xff" + rest            # fill byte before COM
+    assert _decode_jpeg(padded)[:2] == _jpeg_dims(13)
+    with_rst = soi + b"\xff\xd0" + b"\xff\x01" + rest
+    assert _decode_jpeg(with_rst)[:2] == _jpeg_dims(13)
 
 
 def test_png_max_body_is_the_single_block_bound():

@@ -159,10 +159,13 @@ def test_png_body_cap_keeps_oracle_formula_exact():
 
 
 def test_decode_dispatch_prefers_real_containers():
+    from tmdb_sync_spark.functions.multimodal import _encode_jpeg
+
     assert _decode(_encode_wav(5, b"ab" * 30))[3] == "wav"
     assert _decode(_encode_bmp(8, 8, b""))[3] == "bmp"
     assert _decode(_encode_png(3, b"body"))[3] == "png"
     assert _decode(_encode_gif(4, b"body"))[3] == "gif"
+    assert _decode(_encode_jpeg(11, b"body"))[3] == "jpeg"
     assert _decode(b"RIFFxxxx")[3] == "fakeimg"          # too short for WAV
     # sniff passes but the container body is garbage: corrupt-row
     # fallback, never an exception out of the batch kernel
@@ -189,6 +192,53 @@ def test_corrupt_rows_sample_no_frames():
     assert list(out["media_format"]) == ["bmp"]
 
 
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_corpus_has_no_accidental_magic_prefixes(sf):
+    """Oracle-divergence guard (ADVICE r4): a RAW (never-wrapped) doc whose
+    text happens to start with a sniffable magic ('RIFF....WAVE',
+    'GIF89a' + a valid first block, ...) would decode as 'corrupt' and be
+    dropped by sample_frames, while the DuckDB oracle predicts a
+    'fakeimg' stub row. The striping currently avoids that only because
+    the corpus contains no such prefixes — assert that fact per SF so a
+    regenerated corpus that breaks it fails HERE with a clear message,
+    not as a bare hash mismatch in the driver."""
+    import duckdb
+
+    from tmdb_sync_spark.functions.multimodal import (
+        JPEG_MAX_BODY,
+        JPEG_WRAP_EVERY,
+        PNG_MAX_BODY,
+        _is_jpeg,
+    )
+
+    rows = duckdb.execute(
+        "select doc_id, text from "
+        f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+    ).fetchall()
+    assert rows
+    for doc_id, text in rows:
+        body = text.encode("utf-8")
+        # mirror encode_media's elif chain: an oversize %11/%3 doc takes
+        # its wrap branch but ships the raw body (no fall-through to GIF)
+        if doc_id % 7 == 0 or doc_id % 5 == 0:
+            raw = False
+        elif doc_id % JPEG_WRAP_EVERY == 0:
+            raw = len(body) > JPEG_MAX_BODY
+        elif doc_id % 3 == 0:
+            raw = len(body) > PNG_MAX_BODY
+        elif doc_id % 2 == 0:
+            raw = False
+        else:
+            raw = True
+        if raw:
+            for sniff in (_is_bmp, _is_wav, _is_png, _is_gif, _is_jpeg):
+                assert not sniff(body), (
+                    f"doc {doc_id} at {sf} is a raw-stripe doc whose text "
+                    f"sniffs as {sniff.__name__} — the decode would "
+                    "dead-letter it while the oracle predicts a stub row"
+                )
+
+
 def test_mixed_batch_dispatches_per_row(spark):
     """End-to-end through the registered pipeline at the smallest SF:
     wrapped docs carry genuinely parsed dims, others the stub's."""
@@ -199,9 +249,15 @@ def test_mixed_batch_dispatches_per_row(spark):
     wav = out[out["media_format"] == "wav"]
     png = out[out["media_format"] == "png"]
     gif = out[out["media_format"] == "gif"]
+    jpeg = out[out["media_format"] == "jpeg"]
     other = out[out["media_format"] == "fakeimg"]
-    for frame in (bmp, wav, png, gif, other):
+    for frame in (bmp, wav, png, gif, jpeg, other):
         assert len(frame) > 0
+    # JPEG rows: one frame, dims from the genuinely parsed SOF0 header
+    assert (jpeg["doc_id"] % 11 == 0).all()
+    assert (jpeg["frame_idx"] == 0).all()
+    assert (jpeg["thumb_w"] == (jpeg["doc_id"] % 50 + 1) // 2).all()
+    assert (jpeg["thumb_h"] == (jpeg["doc_id"] % 35 + 1) // 2).all()
     # PNG rows: one frame, dims from the genuinely parsed IHDR
     assert (png["doc_id"] % 3 == 0).all()
     assert (png["thumb_w"] == (png["doc_id"] % 40 + 1) // 2).all()

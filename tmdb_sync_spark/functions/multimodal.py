@@ -6,15 +6,19 @@ over ``mapInPandas`` — the one place Python is allowed in this engine
 (registry rule: Python only at source/decode boundaries, reference
 precedent: the frames image-metadata pipeline ``app/tmdb_client.py:169-282``).
 
-Four codecs are REAL, all pure stdlib (``struct``/``zlib``): BMP headers
+Five codecs are REAL, all pure stdlib (``struct``/``zlib``): BMP headers
 (``_decode_bmp`` — magic check, little-endian dims at offsets 18/22,
 top-down negative-height handling), PCM WAV containers
 (``_decode_wav`` — RIFF chunk walk honoring word alignment and
 arbitrary chunk order, PCM params from ``fmt ``, frame count from
 ``data``), PNG (``_decode_png`` — signature + chunk walk with CRC-32
-verification per chunk, dims from IHDR), and GIF (``_decode_gif`` —
+verification per chunk, dims from IHDR), GIF (``_decode_gif`` —
 logical-screen-descriptor dims, color-table-aware block walk counting
-image descriptors for the frame count, extension/sub-block skipping).
+image descriptors for the frame count, extension/sub-block skipping),
+and JPEG (``_decode_jpeg`` — segment marker walk, dims from the first
+SOF0/1/2 frame header, entropy-stream scan honoring byte stuffing and
+restart markers; JPEG is the format a real user of the reference hits
+first, since the TMDB CDN serves JPEGs — ``app/tmdb_client.py:13``).
 Formats whose decoders genuinely need PIL/ffmpeg (absent from this
 container) fall through to ``_decode_stub``, which derives
 deterministic fake dimensions from the payload bytes. Everything around the decoders is
@@ -59,6 +63,14 @@ PNG_OVERHEAD = 68
 PNG_MAX_BODY = 65531
 
 GIF_WRAP_EVERY = 2       # every 2nd remaining doc arrives as a real GIF
+
+JPEG_WRAP_EVERY = 11     # every 11th remaining doc arrives as a real JPEG
+# SOI(2) + COM header(4) + SOF0 segment(13) + SOS segment(10) + EOI(2):
+# the body rides in the COM segment (declared length, no entropy-stream
+# byte stuffing), so container size = body + 31 stays oracle-exact. The
+# COM length field is 16-bit and counts itself, so body ≤ 65533.
+JPEG_OVERHEAD = 31
+JPEG_MAX_BODY = 65533
 
 
 def _encode_bmp(width: int, height: int, body: bytes) -> bytes:
@@ -306,6 +318,96 @@ def _decode_gif(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, n_frames, "gif"
 
 
+def _jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height) the synthetic blob source assigns."""
+    return doc_id % 50 + 1, doc_id % 35 + 1
+
+
+# SOF markers that carry the frame header (height/width). C4/C8/CC look
+# like SOFs but are DHT/JPG/DAC — excluded per the JPEG marker table.
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _encode_jpeg(doc_id: int, body: bytes) -> bytes:
+    """A genuine baseline JPEG container: SOI, a COM segment carrying
+    ``body`` (declared-length, so no entropy byte stuffing and the size
+    formula stays exact), a SOF0 frame header with real height/width
+    (8-bit precision, one grayscale component), an SOS header with an
+    empty entropy stream, EOI. Any dimension-reading JPEG parser (the
+    TMDB CDN serves JPEGs — reference app/tmdb_client.py:13) walks to the
+    same SOF0 and reads the same dims the decoder extracts; only the
+    entropy-coded pixel data is absent."""
+    width, height = _jpeg_dims(doc_id)
+    com = struct.pack(">2sH", b"\xff\xfe", len(body) + 2) + body
+    sof0 = struct.pack(
+        ">2sHBHHBBBB", b"\xff\xc0", 11, 8, height, width, 1, 1, 0x11, 0
+    )
+    sos = struct.pack(">2sHBBBBBB", b"\xff\xda", 8, 1, 1, 0, 0, 63, 0)
+    return b"\xff\xd8" + com + sof0 + sos + b"\xff\xd9"
+
+
+def _is_jpeg(payload: bytes) -> bool:
+    # SOI + the next marker prefix. 0xFF is not a valid UTF-8 lead byte,
+    # so a raw text body can never sniff as JPEG (cf. _is_bmp's note).
+    return (
+        len(payload) >= 4
+        and payload[:2] == b"\xff\xd8"
+        and payload[2] == 0xFF
+    )
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int, str]:
+    """Real stdlib JPEG marker walk: iterate segments from SOI — fill
+    bytes honored, standalone markers (RST/TEM) skipped, every other
+    segment advanced by its declared big-endian length; height/width read
+    from the first SOF frame header (SOF0/1/2/...); after SOS the entropy
+    stream is scanned for the next non-stuffed, non-RST marker. A stream
+    that ends without EOI, a segment running past the payload, or a
+    missing SOF raises — truncated crawl rows take _decode's dead-letter
+    path instead of yielding plausible-but-wrong dims."""
+    pos = 2
+    dims = None
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG payload ends without an EOI marker")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG expected a marker at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xFF:                # fill byte before the marker
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:                # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:   # TEM / RSTn
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG segment length truncated")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("JPEG segment runs past end of payload")
+        if marker in _JPEG_SOF_MARKERS:
+            if seglen < 7:
+                raise ValueError("JPEG SOF segment too short")
+            _prec, height, width = struct.unpack_from(">BHH", payload, pos + 2)
+            dims = (width, height)
+        pos += seglen
+        if marker == 0xDA:                # SOS: skip entropy-coded data
+            while True:
+                if pos + 2 > len(payload):
+                    raise ValueError("JPEG entropy stream ends mid-scan")
+                if (
+                    payload[pos] == 0xFF
+                    and payload[pos + 1] != 0x00
+                    and not 0xD0 <= payload[pos + 1] <= 0xD7
+                ):
+                    break                 # a real marker: rejoin the walk
+                pos += 1
+    if dims is None:
+        raise ValueError("JPEG without a SOF frame header")
+    return dims[0], dims[1], 1, "jpeg"
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
     """Deterministic fake decoder for formats whose real parse needs
     PIL/av (absent here): width/height/frame-count from byte length. The
@@ -329,6 +431,8 @@ def _decode(
             return *_decode_png(payload), None, None
         if _is_gif(payload):
             return *_decode_gif(payload), None, None
+        if _is_jpeg(payload):
+            return *_decode_jpeg(payload), None, None
     except (ValueError, IndexError, struct.error):
         # magic matched but the container is malformed (truncated chunk,
         # CRC mismatch, unknown block): a crawl row, not a crash. Route
@@ -353,6 +457,11 @@ def encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 payloads.append(_encode_bmp(did % 64 + 1, did % 48 + 1, body))
             elif did % WAV_WRAP_EVERY == 0:
                 payloads.append(_encode_wav(did, body))
+            elif did % JPEG_WRAP_EVERY == 0:
+                payloads.append(
+                    _encode_jpeg(did, body)
+                    if len(body) <= JPEG_MAX_BODY else body
+                )
             elif did % PNG_WRAP_EVERY == 0:
                 payloads.append(
                     _encode_png(did, body)
@@ -466,6 +575,10 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                8000 + (doc_id % 4) * 4000 AS sr,
                CASE WHEN doc_id % {BMP_WRAP_EVERY} = 0 THEN 'bmp'
                     WHEN doc_id % {WAV_WRAP_EVERY} = 0 THEN 'wav'
+                    WHEN doc_id % {JPEG_WRAP_EVERY} = 0
+                         AND octet_length(encode(text)) <= {JPEG_MAX_BODY}
+                         THEN 'jpeg'
+                    WHEN doc_id % {JPEG_WRAP_EVERY} = 0 THEN 'fakeimg'
                     WHEN doc_id % {PNG_WRAP_EVERY} = 0
                          AND octet_length(encode(text)) <= {PNG_MAX_BODY}
                          THEN 'png'
@@ -481,6 +594,7 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     WHEN 'bmp' THEN CAST(olen + {BMP_HEADER_LEN} AS BIGINT)
                     WHEN 'wav' THEN CAST({WAV_HEADER_LEN} + olen - olen % ba
                                          AS BIGINT)
+                    WHEN 'jpeg' THEN CAST(olen + {JPEG_OVERHEAD} AS BIGINT)
                     WHEN 'png' THEN CAST(olen + {PNG_OVERHEAD} AS BIGINT)
                     WHEN 'gif' THEN CAST(olen + CAST(ceil(olen / 255.0) AS BIGINT)
                                          + 26 + (doc_id % 3) * 12 AS BIGINT)
@@ -489,6 +603,7 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                CASE media_format
                     WHEN 'bmp' THEN CAST(doc_id % 64 + 1 AS INT)
                     WHEN 'wav' THEN CAST(NULL AS INT)
+                    WHEN 'jpeg' THEN CAST(doc_id % 50 + 1 AS INT)
                     WHEN 'png' THEN CAST(doc_id % 40 + 1 AS INT)
                     WHEN 'gif' THEN CAST(doc_id % 20 + 1 AS INT)
                     ELSE CAST(olen % 64 AS INT)
@@ -496,6 +611,7 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                CASE media_format
                     WHEN 'bmp' THEN CAST(doc_id % 48 + 1 AS INT)
                     WHEN 'wav' THEN CAST(NULL AS INT)
+                    WHEN 'jpeg' THEN CAST(doc_id % 35 + 1 AS INT)
                     WHEN 'png' THEN CAST(doc_id % 30 + 1 AS INT)
                     WHEN 'gif' THEN CAST(doc_id % 15 + 1 AS INT)
                     ELSE CAST((olen // 64) % 64 AS INT)
@@ -503,6 +619,7 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                CASE media_format
                     WHEN 'bmp' THEN 1
                     WHEN 'wav' THEN CAST(olen // ba AS INT)
+                    WHEN 'jpeg' THEN 1
                     WHEN 'png' THEN 1
                     WHEN 'gif' THEN CAST(doc_id % 3 + 1 AS INT)
                     ELSE CAST(olen % 5 AS INT)
@@ -535,11 +652,12 @@ def mm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``documents.text`` stands in for the media bytes; docs are striped
     into REAL containers — every 7th a BMP, every remaining 5th a PCM
-    WAV, every remaining 3rd a PNG, every remaining 2nd a GIF
-    (``encode_media``) — all four genuinely parsed back with stdlib
-    ``struct``/``zlib`` (BMP header fields; RIFF chunk walk for
-    fmt/data; PNG chunk walk with CRC-32 verification; GIF block walk
-    counting image descriptors). Payloads needing PIL/ffmpeg take the
+    WAV, every remaining 11th a JPEG, every remaining 3rd a PNG, every
+    remaining 2nd a GIF (``encode_media``) — all five genuinely parsed
+    back with stdlib ``struct``/``zlib`` (BMP header fields; RIFF chunk
+    walk for fmt/data; JPEG marker walk for the SOF frame header; PNG
+    chunk walk with CRC-32 verification; GIF block walk counting image
+    descriptors). Payloads needing PIL/ffmpeg take the
     declared stub path. Audio rows
     carry parsed sample_rate/n_channels and fan out to bounded PCM
     analysis windows; image rows to stride-sampled frames. Chains three
