@@ -59,19 +59,88 @@ def test_candidate_generation_never_cross_joins(spark, sf_dir, name):
 
 
 def test_ivf_assignment_is_map_side(spark, sf_dir):
-    # The codebook is inlined as literals, so list assignment must be a
-    # per-row expression on the scan side: the corpus may not shuffle (or
-    # join) before the probe equi-join on cid. One Exchange per side of
-    # that join plus the final window's is the complete budget; a
-    # regression back to crossJoin(centroids) → groupBy(vec_id) adds an
-    # aggregate exchange over an N_CENTROIDS-amplified corpus.
+    # Centroid assignment is the broadcast-closure Arrow scorer: a
+    # vectorized (never row-level) Python projection on the scan side —
+    # the corpus may not shuffle (or join) before the probe equi-join on
+    # cid. Asserted by SHAPE, not an exchange-count budget (ADVICE r4: a
+    # total count ties the test to the exact physical plan of the current
+    # Spark/AQE version): the regression this guards —
+    # crossJoin(centroids) → groupBy(vec_id) — reintroduces an aggregate
+    # over an N_CENTROIDS-amplified corpus, and this query contains no
+    # aggregate at all when assignment is map-side.
     plan = plan_of(spark, sf_dir, "ann_ivf_topk")
-    assert "array_min" in plan          # map-side argmin assignment
+    assert "ArrowEvalPython" in plan       # vectorized scorer
+    assert "BatchEvalPython" not in plan   # never row-at-a-time Python
     assert plan.count("HashAggregate") == 0
-    # exchanges: probe-side hashpartitioning(cid), assign-side
-    # hashpartitioning(cid), window hashpartitioning(query_id), plus the
-    # two parallel_table round-robin repartitions of the base scans
-    assert plan.count("Exchange") <= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_scorer_matches_inline_literal_reference(spark, sf_dir):
+    """Ordering contract of the Arrow scorer: numpy stable argsort over
+    cid-ordered centroids must rank by (L2², cid) exactly like a JVM
+    array_min/array_sort over struct(d, cid) with the codebook inlined
+    as literals (the r4 implementation this replaced, measured slower in
+    an in-session A/B — see _codebook_topn). Rebuild that reference form
+    here and require identical end-to-end results."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tmdb_sync_spark.functions import similarity as sim
+    from tmdb_sync_spark.io import table
+
+    cents = (
+        sim._quantized_from(table(spark, sf_dir, "embeddings"))
+        .where((F.col("vec_id") < sim.N_CENTROIDS) & (F.col("nrm") > 0))
+        .collect()
+    )
+    qd = sim._quantized(spark, sf_dir).where(F.col("nrm") > 0)
+    dists = F.array(
+        *[
+            F.struct(
+                (
+                    F.col("nrm") + F.lit(int(c.nrm))
+                    - 2 * sim._dot(
+                        F.col("v"), F.array(*[F.lit(int(x)) for x in c.v])
+                    )
+                ).alias("d"),
+                F.lit(int(c.vec_id)).cast("long").alias("cid"),
+            )
+            for c in cents
+        ]
+    )
+    assign = qd.select(
+        "vec_id", "v", "nrm", F.array_min(dists).getField("cid").alias("cid")
+    )
+    probes = (
+        qd.where(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.slice(F.array_sort(dists), 1, sim.N_PROBE)
+            .getField("cid").alias("cids"),
+        )
+        .select("query_id", "qv", "qnrm", F.explode("cids").alias("cid"))
+    )
+    s = sim._dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(F.col("qnrm")) * F.sqrt(F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    reference = (
+        probes.join(assign, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            s.alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= sim.IVF_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+    got = sorted(map(tuple, sim.ann_ivf_topk(spark, sf_dir).collect()))
+    assert got == sorted(map(tuple, reference.collect()))
 
 
 def test_dedup_aggregates_partially(spark, sf_dir):

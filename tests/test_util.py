@@ -130,3 +130,35 @@ def test_failed_write_propagates_to_waiters_and_allows_retry(
     # the failure was forgotten: a later call retries and succeeds
     monkeypatch.setattr(util, "_write_parquet", real)
     assert util.materialize_once(df, ("key-f",), "util_test_").count() == 3
+
+
+def test_codebook_memo_detects_table_rewrite(spark, sf_dir, tmp_path):
+    """ADVICE r4: the IVF codebook memo must not serve stale centroid
+    literals after an in-place table rewrite within one application —
+    the memo key carries the embeddings parquet fingerprint
+    (mtime+size), so a rewrite misses the memo without any caller
+    calling reset_materialization_cache."""
+    import os
+    import shutil
+
+    from tmdb_sync_spark.functions import similarity as sim
+
+    d = tmp_path / "sfx"
+    d.mkdir()
+    emb = d / "embeddings.parquet"
+    shutil.copy(f"{sf_dir}/embeddings.parquet", emb)
+    sfd = str(d)
+
+    sim._CODEBOOK_MEMO.clear()
+    sim.ann_ivf_topk(spark, sfd)          # plan build collects the codebook
+    fp1 = sim._embeddings_fingerprint(sfd)
+    assert any(k[1] == sfd and k[2] == fp1 for k in sim._CODEBOOK_MEMO)
+
+    st = os.stat(emb)
+    os.utime(emb, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    fp2 = sim._embeddings_fingerprint(sfd)
+    assert fp2 != fp1
+    sim.ann_ivf_topk(spark, sfd)
+    keys = [k for k in sim._CODEBOOK_MEMO if k[1] == sfd]
+    assert {k[2] for k in keys} == {fp1, fp2}
+    sim._CODEBOOK_MEMO.clear()
