@@ -182,9 +182,10 @@ def test_corrupt_rows_sample_no_frames():
         sample_frames,
     )
 
+    # stripe-consistent ids: 4 is a GIF-stripe doc, 7 a BMP-stripe doc
     truncated = _encode_gif(4, b"body")[:15]
     intact = _encode_bmp(6, 4, b"\x00" * 6)
-    src = pd.DataFrame({"doc_id": [1, 2], "payload": [truncated, intact]})
+    src = pd.DataFrame({"doc_id": [4, 7], "payload": [truncated, intact]})
     feats = pd.concat(decode_features(iter([src])))
     assert list(feats["media_format"]) == ["corrupt", "bmp"]
     out = pd.concat(sample_frames(iter([feats])))
@@ -192,16 +193,50 @@ def test_corrupt_rows_sample_no_frames():
     assert list(out["media_format"]) == ["bmp"]
 
 
+def test_decode_is_stripe_gated_not_sniffed():
+    """ADVICE r4: a RAW (never-wrapped) doc whose text accidentally
+    carries a container magic must take the oracle-predicted stub path —
+    neither false-parse as media nor dead-letter as corrupt."""
+    import pandas as pd
+
+    from tmdb_sync_spark.functions.multimodal import (
+        _decode_expected,
+        _encode_jpeg,
+        _encode_png,
+        decode_features,
+    )
+
+    # doc_id 1 is raw (not divisible by 7, 5, 11, 3, or 2); this payload
+    # IS a structurally valid GIF, so a sniffing decode would call it gif
+    fake_gif = _encode_gif(4, b"body")
+    assert _decode(fake_gif)[3] == "gif"
+    assert _decode_expected(1, fake_gif)[3] == "fakeimg"
+    # ... and a *malformed* accidental magic must not dead-letter either
+    assert _decode_expected(1, fake_gif[:15])[3] == "fakeimg"
+    assert _decode_expected(1, b"RIFF1234WAVEfmt plain text")[3] == "fakeimg"
+    # wrapped stripes still parse / dead-letter exactly as before
+    src = pd.DataFrame(
+        {"doc_id": [1, 13], "payload": [fake_gif, fake_gif[:15]]}
+    )
+    feats = pd.concat(decode_features(iter([src])))
+    assert list(feats["media_format"]) == ["fakeimg", "fakeimg"]
+    # oversize JPEG/PNG-stripe bodies ship raw; the magic byte (0xFF /
+    # 0x89, both invalid UTF-8 leads) is what distinguishes them
+    assert _decode_expected(11, _encode_jpeg(11, b"body"))[3] == "jpeg"
+    assert _decode_expected(11, b"x" * 70000)[3] == "fakeimg"
+    assert _decode_expected(3, _encode_png(3, b"body"))[3] == "png"
+    assert _decode_expected(3, b"x" * 70000)[3] == "fakeimg"
+
+
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
 def test_corpus_has_no_accidental_magic_prefixes(sf):
-    """Oracle-divergence guard (ADVICE r4): a RAW (never-wrapped) doc whose
-    text happens to start with a sniffable magic ('RIFF....WAVE',
-    'GIF89a' + a valid first block, ...) would decode as 'corrupt' and be
-    dropped by sample_frames, while the DuckDB oracle predicts a
-    'fakeimg' stub row. The striping currently avoids that only because
-    the corpus contains no such prefixes — assert that fact per SF so a
-    regenerated corpus that breaks it fails HERE with a clear message,
-    not as a bare hash mismatch in the driver."""
+    """Corpus-fact guard (ADVICE r4, second line of defense): the decode
+    path is now stripe-gated (``_decode_expected``), so a raw doc with an
+    accidental magic can no longer diverge from the oracle — but keep
+    asserting the corpus carries no such prefixes per SF, so the sniffing
+    ``_decode`` (still the property-test surface) and any future caller
+    that reaches for it stay safe, and a regenerated corpus that breaks
+    the assumption fails HERE with a clear message."""
     import duckdb
 
     from tmdb_sync_spark.functions.multimodal import (

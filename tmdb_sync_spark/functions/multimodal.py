@@ -420,7 +420,10 @@ def _decode(
     payload: bytes,
 ) -> tuple[int | None, int | None, int, str, int | None, int | None]:
     """(width, height, n_frames, format, sample_rate, n_channels) —
-    image fields are None for audio and vice versa."""
+    image fields are None for audio and vice versa. Magic-sniffing
+    variant exercised by the codec property tests; the pipeline path is
+    ``_decode_expected``, which gates on the encode stripe instead of a
+    sniff so raw text can never false-match a container magic."""
     try:
         if _is_bmp(payload):
             return *_decode_bmp(payload), None, None
@@ -440,6 +443,59 @@ def _decode(
         # dead-letter it instead of the decode killing the whole batch.
         return *_decode_stub(payload)[:3], "corrupt", None, None
     return *_decode_stub(payload), None, None
+
+
+def _wrap_stripe(doc_id: int) -> str | None:
+    """Mirror of ``encode_media``'s elif chain: which container this
+    doc_id arrives wrapped in (None = raw passthrough). The JPEG/PNG
+    stripes are still length-conditional — callers resolve that with the
+    magic byte, which is decisive because 0xFF/0x89 are not valid UTF-8
+    lead bytes, so a raw text body can never carry those magics."""
+    if doc_id % BMP_WRAP_EVERY == 0:
+        return "bmp"
+    if doc_id % WAV_WRAP_EVERY == 0:
+        return "wav"
+    if doc_id % JPEG_WRAP_EVERY == 0:
+        return "jpeg"
+    if doc_id % PNG_WRAP_EVERY == 0:
+        return "png"
+    if doc_id % GIF_WRAP_EVERY == 0:
+        return "gif"
+    return None
+
+
+def _decode_expected(
+    doc_id: int, payload: bytes,
+) -> tuple[int | None, int | None, int, str, int | None, int | None]:
+    """Stripe-gated decode: only docs the encode stage actually wrapped
+    are parsed as containers; raw docs go straight to the stub, so a raw
+    text that merely *looks* like a container (e.g. starts ``GIF89a`` or
+    ``RIFF????WAVE``) can neither false-parse nor dead-letter — it takes
+    the same stub row the oracle predicts. In production terms: the lake
+    records each blob's declared content type at ingest; the decoder
+    trusts that over a byte sniff and dead-letters only declared media
+    that fails to parse."""
+    stripe = _wrap_stripe(doc_id)
+    if stripe == "jpeg" and not payload.startswith(b"\xff"):
+        stripe = None        # oversized body stayed raw (encode's guard)
+    elif stripe == "png" and not payload.startswith(b"\x89"):
+        stripe = None
+    if stripe is None:
+        return *_decode_stub(payload), None, None
+    try:
+        if stripe == "bmp":
+            return *_decode_bmp(payload), None, None
+        if stripe == "wav":
+            sample_rate, n_channels, n_frames = _decode_wav(payload)
+            return None, None, n_frames, "wav", sample_rate, n_channels
+        if stripe == "png":
+            return *_decode_png(payload), None, None
+        if stripe == "gif":
+            return *_decode_gif(payload), None, None
+        return *_decode_jpeg(payload), None, None
+    except (ValueError, IndexError, struct.error):
+        # declared media that fails its parse: dead-letter, don't crash
+        return *_decode_stub(payload)[:3], "corrupt", None, None
 
 
 def encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -481,7 +537,10 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     Vectorized per batch; no per-row Python beyond the decode call itself
     (which in production is the C-backed image library)."""
     for pdf in batches:
-        feats = [_decode(p) for p in pdf["payload"]]
+        feats = [
+            _decode_expected(int(d), p)
+            for d, p in zip(pdf["doc_id"], pdf["payload"])
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
