@@ -133,3 +133,20 @@ def test_live_lock_raises(tmp_path):
             _acquire_merge_lock(target)
     finally:
         os.unlink(lock)
+
+
+def test_lock_is_born_with_payload_and_leaves_no_residue(tmp_path):
+    """The lock must appear WITH its pid in one atomic step (os.link from
+    a pre-written temp): a create-then-write would expose an empty file a
+    concurrent reader would treat as garbled and reclaim from a LIVE
+    writer. Also: no .tmp residue on either the success or the
+    contention path."""
+    target = str(tmp_path)
+    lock = _acquire_merge_lock(target)
+    with open(lock) as fh:
+        assert int(fh.read().split()[0]) == os.getpid()
+    with pytest.raises(ConcurrentMergeError):
+        _acquire_merge_lock(target)
+    os.unlink(lock)
+    leftovers = [e for e in os.listdir(target) if ".tmp." in e]
+    assert leftovers == []

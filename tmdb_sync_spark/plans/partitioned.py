@@ -139,14 +139,25 @@ def _acquire_merge_lock(target_dir: str) -> str:
     the table; a lock left by a crashed merger (dead pid, or unreadable
     contents) is reclaimed via an atomic rename so exactly one contender
     wins the reclaim and the others retry against the winner's fresh lock.
+
+    The lock appears WITH its pid payload in one atomic step
+    (``os.link`` from a pre-written temp file, the create-exclusive that
+    carries content): an ``O_EXCL``-create-then-write would expose an
+    empty lock for a moment, and a contender reading that window would
+    take the garbled-lock branch and reclaim a live writer's lock.
     """
     os.makedirs(target_dir, exist_ok=True)
     lock_path = os.path.join(target_dir, MERGE_LOCK_NAME)
-    payload = f"{os.getpid()} {time.time():.3f}\n".encode()
-    while True:
-        try:
-            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+    tmp_path = f"{lock_path}.tmp.{os.getpid()}"
+    with open(tmp_path, "wb") as fh:
+        fh.write(f"{os.getpid()} {time.time():.3f}\n".encode())
+    try:
+        while True:
+            try:
+                os.link(tmp_path, lock_path)
+                return lock_path
+            except FileExistsError:
+                pass
             pid = None
             try:
                 with open(lock_path, "rb") as fh:
@@ -162,17 +173,18 @@ def _acquire_merge_lock(target_dir: str) -> str:
                 ) from None
             # stale lock: claim-by-rename so concurrent reclaimers can't
             # unlink each other's fresh locks — only the renamer proceeds
-            # to delete, everyone re-contends on O_EXCL
+            # to delete, everyone re-contends on the atomic link
             claim = f"{lock_path}.reclaim.{os.getpid()}"
             try:
                 os.rename(lock_path, claim)
             except FileNotFoundError:
                 continue                  # another contender reclaimed it
             os.unlink(claim)
-            continue
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(payload)
-        return lock_path
+    finally:
+        try:
+            os.unlink(tmp_path)
+        except FileNotFoundError:         # pragma: no cover - defensive
+            pass
 
 
 def _recover_leftovers(target_dir: str) -> None:
