@@ -149,3 +149,39 @@ def test_png_max_body_is_the_single_block_bound():
 
     assert len(zlib.compress(b"x" * PNG_MAX_BODY, 0)) == PNG_MAX_BODY + 11
     assert len(zlib.compress(b"x" * (PNG_MAX_BODY + 1), 0)) > PNG_MAX_BODY + 12
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=10**7),
+       st.text(min_size=0, max_size=200))
+def test_wrap_stripe_mirrors_encode_media(did, text):
+    """_wrap_stripe (the decode gate's mirror of encode_media's elif
+    chain) must agree with the container encode_media ACTUALLY emits for
+    every doc_id — if the chains drift, raw docs get parsed as media or
+    wrapped docs get stubbed, and the oracle diverges."""
+    import pandas as pd
+
+    from tmdb_sync_spark.functions.multimodal import (
+        _decode_expected,
+        _wrap_stripe,
+        encode_media,
+    )
+
+    out = pd.concat(
+        encode_media(iter([pd.DataFrame({"doc_id": [did], "text": [text]})]))
+    )
+    payload = out["payload"].iloc[0]
+    stripe = _wrap_stripe(did)
+    magic = {
+        "bmp": b"BM", "wav": b"RIFF", "jpeg": b"\xff\xd8",
+        "png": b"\x89PNG", "gif": b"GIF",
+    }
+    if stripe is None:
+        assert payload == text.encode("utf-8")
+    else:
+        # small hypothesis bodies never trip the JPEG/PNG length guard,
+        # so the stripe's container is always actually present
+        assert payload[: len(magic[stripe])] == magic[stripe]
+    # and the gated decode of what encode emitted never dead-letters
+    fmt = _decode_expected(did, payload)[3]
+    assert fmt == (stripe or "fakeimg")
