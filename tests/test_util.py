@@ -152,13 +152,17 @@ def test_codebook_memo_detects_table_rewrite(spark, sf_dir, tmp_path):
     sim._CODEBOOK_MEMO.clear()
     sim.ann_ivf_topk(spark, sfd)          # plan build collects the codebook
     fp1 = sim._embeddings_fingerprint(sfd)
-    assert any(k[1] == sfd and k[2] == fp1 for k in sim._CODEBOOK_MEMO)
+    key = next(k for k in sim._CODEBOOK_MEMO if k[1] == sfd)
+    assert sim._CODEBOOK_MEMO[key][0] == fp1
 
     st = os.stat(emb)
     os.utime(emb, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     fp2 = sim._embeddings_fingerprint(sfd)
     assert fp2 != fp1
     sim.ann_ivf_topk(spark, sfd)
+    # the rewrite REPLACES the entry (fingerprint lives in the value):
+    # no dead codebook accumulates per rewrite over a driver's lifetime
     keys = [k for k in sim._CODEBOOK_MEMO if k[1] == sfd]
-    assert {k[2] for k in keys} == {fp1, fp2}
+    assert keys == [key]
+    assert sim._CODEBOOK_MEMO[key][0] == fp2
     sim._CODEBOOK_MEMO.clear()

@@ -500,10 +500,13 @@ def _decode_expected(
 
 def encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel standing in for the media lake's blob source:
-    documents' bytes arrive inside real containers — BMP, PCM WAV, PNG,
-    or GIF by doc_id stripe (params derived from doc_id, so the oracle
-    can predict them); the rest stay raw. Models the mixed-container
-    reality of a crawl."""
+    documents' bytes arrive inside real containers — BMP, PCM WAV, JPEG,
+    PNG, or GIF by doc_id stripe (params derived from doc_id, so the
+    oracle can predict them; JPEG/PNG fall back to the raw body when it
+    exceeds the format's exact-size-formula cap); the rest stay raw.
+    Models the mixed-container reality of a crawl. The elif ORDER is
+    load-bearing: ``_wrap_stripe`` and the SQL oracle mirror it branch
+    for branch (property-pinned in tests/test_codec_properties.py)."""
     for pdf in batches:
         payloads = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):

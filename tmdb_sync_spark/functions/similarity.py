@@ -373,12 +373,14 @@ N_CENTROIDS = 8
 N_PROBE = 2
 IVF_TOP_K = 3
 
-# (applicationId, sf_dir, table fingerprint) -> collected codebook rows
-# (≤ N_CENTROIDS). The fingerprint (embeddings parquet mtime+size, ADVICE
-# r4) detects an in-place table rewrite within one application without
-# relying on callers to invoke reset_materialization_cache; the reset
-# hook remains for callers that rewrite without touching mtime
-# granularity (same-ns rewrites) or that want a hard flush.
+# (applicationId, sf_dir) -> (table fingerprint, collected codebook rows
+# (≤ N_CENTROIDS)). The fingerprint (embeddings parquet mtime+size,
+# ADVICE r4) detects an in-place table rewrite within one application
+# without relying on callers to invoke reset_materialization_cache; it
+# lives in the VALUE, not the key, so a rewrite REPLACES the entry
+# instead of accumulating one dead codebook per rewrite for the driver's
+# lifetime. The reset hook remains for callers that rewrite without
+# touching mtime granularity (same-ns rewrites) or want a hard flush.
 _CODEBOOK_MEMO: dict = {}
 register_reset_hook(_CODEBOOK_MEMO.clear)
 
@@ -500,13 +502,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not a ride through parallel_table's exchange. Memoized per
     # (application, sf_dir) — the codebook is immutable for a given table,
     # so repeat invocations skip the collect job.
-    memo_key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        _embeddings_fingerprint(sf_dir),
-    )
-    cents = _CODEBOOK_MEMO.get(memo_key)
-    if cents is None:
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    fingerprint = _embeddings_fingerprint(sf_dir)
+    memo = _CODEBOOK_MEMO.get(memo_key)
+    if memo is not None and memo[0] == fingerprint:
+        cents = memo[1]
+    else:
         cents = (
             _quantized_from(table(spark, sf_dir, "embeddings"))
             .where((F.col("vec_id") < N_CENTROIDS) & (F.col("nrm") > 0))
@@ -517,7 +518,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ann_ivf_topk: no usable centroid vectors "
                 f"(vec_id < {N_CENTROIDS} with nrm > 0) in {sf_dir}"
             )
-        _CODEBOOK_MEMO[memo_key] = cents
+        _CODEBOOK_MEMO[memo_key] = (fingerprint, cents)
     topn = _codebook_topn(cents, N_PROBE)
     assign_cid = F.element_at(topn(F.col("v"), F.col("nrm")), 1)
     probe_cids = topn(F.col("v"), F.col("nrm"))

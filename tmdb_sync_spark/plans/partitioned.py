@@ -51,6 +51,7 @@ from collections.abc import Mapping, Sequence
 
 import os
 import shutil
+import threading
 import time
 
 from pyspark.errors import AnalysisException
@@ -144,11 +145,23 @@ def _acquire_merge_lock(target_dir: str) -> str:
     (``os.link`` from a pre-written temp file, the create-exclusive that
     carries content): an ``O_EXCL``-create-then-write would expose an
     empty lock for a moment, and a contender reading that window would
-    take the garbled-lock branch and reclaim a live writer's lock.
+    take the garbled-lock branch and reclaim a live writer's lock. The
+    temp name carries the THREAD id too — on pid alone, a second thread
+    of the same process would reopen (truncate) the very inode the first
+    thread's lock hard-links, recreating the empty-lock window in-process.
+
+    Known limitation, shared with every pid-liveness lock: a crashed
+    holder whose pid the OS later recycles onto an unrelated long-lived
+    process makes the lock look held forever. The failure is LOUD (every
+    merge raises, with the lock's age in the message) and operable —
+    :func:`break_merge_lock` removes a lock a human has verified dead;
+    age-based auto-expiry is deliberately NOT done, because reclaiming a
+    slow-but-alive writer corrupts the table, while a stuck table merely
+    pages someone.
     """
     os.makedirs(target_dir, exist_ok=True)
     lock_path = os.path.join(target_dir, MERGE_LOCK_NAME)
-    tmp_path = f"{lock_path}.tmp.{os.getpid()}"
+    tmp_path = f"{lock_path}.tmp.{os.getpid()}.{threading.get_ident()}"
     with open(tmp_path, "wb") as fh:
         fh.write(f"{os.getpid()} {time.time():.3f}\n".encode())
     try:
@@ -158,18 +171,26 @@ def _acquire_merge_lock(target_dir: str) -> str:
                 return lock_path
             except FileExistsError:
                 pass
-            pid = None
+            pid = held_since = None
             try:
                 with open(lock_path, "rb") as fh:
-                    pid = int(fh.read().split()[0])
+                    fields = fh.read().split()
+                    pid = int(fields[0])
+                    held_since = float(fields[1])
             except (OSError, ValueError, IndexError):
                 pass                      # vanished or garbled → reclaimable
             if pid is not None and _pid_alive(pid):
+                age = (
+                    f"{time.time() - held_since:.0f}s"
+                    if held_since is not None else "unknown time"
+                )
                 raise ConcurrentMergeError(
                     f"merge into {target_dir!r} is already running "
-                    f"(pid {pid} holds {MERGE_LOCK_NAME}); concurrent "
-                    "merges into one target are not supported — retry "
-                    "after the holder finishes"
+                    f"(pid {pid} has held {MERGE_LOCK_NAME} for {age}); "
+                    "concurrent merges into one target are not supported "
+                    "— retry after the holder finishes. If that pid is NOT "
+                    "a merge writer (a crashed holder's pid was recycled), "
+                    "verify and break_merge_lock() the table"
                 ) from None
             # stale lock: claim-by-rename so concurrent reclaimers can't
             # unlink each other's fresh locks — only the renamer proceeds
@@ -185,6 +206,23 @@ def _acquire_merge_lock(target_dir: str) -> str:
             os.unlink(tmp_path)
         except FileNotFoundError:         # pragma: no cover - defensive
             pass
+
+
+def break_merge_lock(target_dir: str) -> bool:
+    """Operator escape hatch for a lock stuck on a RECYCLED pid.
+
+    ``_acquire_merge_lock`` auto-reclaims locks of dead pids; what it
+    cannot detect is a crashed holder whose pid the OS reassigned to an
+    unrelated live process — that lock looks held forever. After a human
+    verifies the pid in the ``ConcurrentMergeError`` is not a merge
+    writer, this removes the lock. Returns True if a lock was removed.
+    NEVER call it on a table whose lock holder might still be merging.
+    """
+    try:
+        os.unlink(os.path.join(target_dir, MERGE_LOCK_NAME))
+        return True
+    except FileNotFoundError:
+        return False
 
 
 def _recover_leftovers(target_dir: str) -> None:
@@ -499,16 +537,23 @@ def _merge_locked(
                 target_probe = spark.read.parquet(target_dir)
             except AnalysisException:
                 break                   # no readable table → nothing stale
-        # Compare via the SAME string rendering the dir-name prediction
-        # uses: an equality on the typed column could come back empty when
-        # partition type inference renders v differently (string-inferred
-        # dirs vs a typed source value), silently passing the probe the
-        # divergence exists to catch (ADVICE r4).
-        cond = (
-            F.col(partition_col).isNull()
-            if v is None
-            else F.col(partition_col).cast("string") == F.lit(_render_part_val(v))
-        )
+        # Compare string-to-string, matching on EITHER rendering: the
+        # Python one the dir-name prediction uses (covers string-inferred
+        # partition columns holding the predicted fragment verbatim,
+        # ADVICE r4) OR Spark's own cast-to-string of the typed value
+        # (covers typed columns whose Spark rendering differs from
+        # Python's — e.g. a double 1e7 reads back as '1.0E7', not
+        # '10000000.0'). A typed-only or Python-only comparison each has
+        # a divergence mode that returns zero rows and silently passes
+        # the probe; the OR can only widen detection, and a false match
+        # merely raises the loud error this probe exists to raise.
+        if v is None:
+            cond = F.col(partition_col).isNull()
+        else:
+            col_s = F.col(partition_col).cast("string")
+            cond = (col_s == F.lit(_render_part_val(v))) | (
+                col_s == F.lit(v).cast("string")
+            )
         if target_probe.where(cond).limit(1).count() > 0:
             raise RuntimeError(
                 f"partition value {v!r} renders to {n!r}, which does not "
