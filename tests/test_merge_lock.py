@@ -150,3 +150,21 @@ def test_lock_is_born_with_payload_and_leaves_no_residue(tmp_path):
     os.unlink(lock)
     leftovers = [e for e in os.listdir(target) if ".tmp." in e]
     assert leftovers == []
+
+
+def test_write_partitioned_respects_live_merge_lock(spark, sf_dir, tmp_path):
+    """A full-table overwrite must not start while a merge holds the
+    table: racing one would delete the merge's in-flight dirs (and the
+    holder's lock) silently."""
+    target = str(tmp_path / "orders")
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    write_partitioned(orders, target, "o_year")        # takes+releases
+    assert not os.path.exists(os.path.join(target, MERGE_LOCK_NAME))
+    lock = _acquire_merge_lock(target)                 # simulate live merge
+    try:
+        with pytest.raises(ConcurrentMergeError):
+            write_partitioned(orders, target, "o_year")
+    finally:
+        os.unlink(lock)

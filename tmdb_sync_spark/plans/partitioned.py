@@ -72,13 +72,30 @@ def write_partitioned(
     task's output so parquet row-group key stats are tight from the first
     write (the same clustering the merge's staging writes apply).
     ``manifest_key`` seeds the per-partition key-range manifest from the
-    fresh footers so the first merge needn't harvest it lazily."""
-    if cluster_by:
-        df = df.sortWithinPartitions(partition_col, *cluster_by)
-    df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
-    if manifest_key:
-        km.save(path, manifest_key, partition_col,
-                km.load(path, manifest_key, partition_col))
+    fresh footers so the first merge needn't harvest it lazily.
+
+    Takes the table's ``_merge.lock`` like the merge does: a full
+    overwrite racing a live merge would delete the merge's in-flight
+    dirs (and the holder's lock itself) with no error. Spark's overwrite
+    clears the directory — lock file included — mid-write, so the held
+    lock covers the overwrite's START against a live merge but a merge
+    arriving after the clear and before the write commits can still
+    race; full mutual exclusion for rewrites needs the staging+swap
+    protocol (``merge_into_partitioned`` with an empty target works) or
+    a real table format's commit log."""
+    lock = _acquire_merge_lock(path)
+    try:
+        if cluster_by:
+            df = df.sortWithinPartitions(partition_col, *cluster_by)
+        df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+        if manifest_key:
+            km.save(path, manifest_key, partition_col,
+                    km.load(path, manifest_key, partition_col))
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass          # the overwrite itself cleared the directory
 
 # Characters Spark/Hive %-escape in partition dir names
 # (ExternalCatalogUtils.escapePathName): ASCII control chars plus the set
