@@ -58,3 +58,18 @@ def test_table_normalizes_either_ts_encoding(spark, tmp_path, unit):
     assert isinstance(df.schema["ts"].dataType, TimestampType)
     got = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
     assert got == _EXPECTED
+
+
+def test_micros_events_do_not_set_nanos_conf(spark, tmp_path):
+    """The session-global nanosAsLong conf is consulted again at query
+    EXECUTION, so it cannot be scoped set-read-restore — instead it must
+    only be SET when the footer actually says NANOS. A MICROS table read
+    on a fresh session leaves the conf untouched."""
+    arr = pa.array([v // 1000 for v in _NS_VALUES], pa.timestamp("us"))
+    sf_dir = _write_events(str(tmp_path), arr)
+    sub = spark.newSession()
+    df = table(sub, sf_dir, "events")
+    assert [r.ts for r in df.orderBy("event_id").select("ts").collect()] \
+        == _EXPECTED
+    assert sub.conf.get(
+        "spark.sql.legacy.parquet.nanosAsLong", "false") == "false"

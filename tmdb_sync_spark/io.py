@@ -9,6 +9,8 @@ pruning freedom; nothing is cached here (operators decide).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DataType, LongType
@@ -17,6 +19,38 @@ TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
+
+# (path, mtime_ns, size) -> whether events' ts is TIMESTAMP(NANOS)
+_EVENTS_NANOS: dict[tuple, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Footer sniff: does this events table encode ``ts`` as
+    TIMESTAMP(NANOS)? Cached per (path, mtime, size) so a driver-side
+    testdata regeneration is re-sniffed."""
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(
+            e.path for e in os.scandir(path) if e.name.endswith(".parquet")
+        )
+        if parts:
+            f = parts[0]
+    try:
+        st = os.stat(f)
+        key = (f, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return False          # let the Spark read produce the real error
+    cached = _EVENTS_NANOS.get(key)
+    if cached is None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        try:
+            cached = pq.read_schema(f).field("ts").type == pa.timestamp("ns")
+        except Exception:
+            cached = False    # unreadable/odd footer → Spark's error wins
+        _EVENTS_NANOS[key] = cached
+    return cached
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -36,8 +70,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session-zone TimestampType under the UTC session pinned above —
         # the same naive-UTC values DuckDB's reader produces, so oracle
         # comparisons line up exactly.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # nanosAsLong is set ONLY when the footer actually says NANOS: it
+        # is session-global and consulted again at query EXECUTION, so it
+        # cannot be scoped set-read-restore (the later action would see
+        # the restored value and fail) — but when the encoding is MICROS
+        # it need never be touched, so a session that never meets a nanos
+        # table keeps default parquet timestamp semantics everywhere.
+        path = f"{sf_dir}/{name}.parquet"
+        if _events_ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
         return df.withColumn("ts", events_ts_norm(df.schema["ts"].dataType))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -51,8 +51,6 @@ from collections.abc import Mapping, Sequence
 
 import os
 import shutil
-import threading
-import time
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -61,6 +59,7 @@ from pyspark.sql import functions as F
 from tmdb_sync_spark.plans import manifest as km
 from tmdb_sync_spark.plans.manifest import HIVE_NULL_PART
 from tmdb_sync_spark.plans.merge import ACTION_COL, merge_into
+from tmdb_sync_spark.util import ConcurrentWriterError, acquire_dir_lock
 
 
 def write_partitioned(
@@ -129,18 +128,8 @@ def _pdir_name(partition_col: str, v) -> str:
 MERGE_LOCK_NAME = "_merge.lock"
 
 
-class ConcurrentMergeError(RuntimeError):
+class ConcurrentMergeError(ConcurrentWriterError):
     """A second merge writer tried to enter a table another merge holds."""
-
-
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True          # exists, owned by someone else
-    return True
 
 
 def _acquire_merge_lock(target_dir: str) -> str:
@@ -148,81 +137,19 @@ def _acquire_merge_lock(target_dir: str) -> str:
 
     The rename-aside swap and the ``_key_manifest.json`` read-modify-write
     are crash-safe but assume ONE writer; two interleaved merges would
-    clobber each other's swaps and manifest ranges with no error. Real
-    table formats solve this with optimistic concurrency on the commit
-    log; the moral equivalent for a directory-protocol table is an
-    ``O_EXCL`` lock file — the underscore prefix keeps it invisible to
-    Spark's file listing, like ``_SUCCESS``. A second concurrent merger
-    fails LOUDLY (:class:`ConcurrentMergeError`) rather than corrupting
-    the table; a lock left by a crashed merger (dead pid, or unreadable
-    contents) is reclaimed via an atomic rename so exactly one contender
-    wins the reclaim and the others retry against the winner's fresh lock.
-
-    The lock appears WITH its pid payload in one atomic step
-    (``os.link`` from a pre-written temp file, the create-exclusive that
-    carries content): an ``O_EXCL``-create-then-write would expose an
-    empty lock for a moment, and a contender reading that window would
-    take the garbled-lock branch and reclaim a live writer's lock. The
-    temp name carries the THREAD id too — on pid alone, a second thread
-    of the same process would reopen (truncate) the very inode the first
-    thread's lock hard-links, recreating the empty-lock window in-process.
-
-    Known limitation, shared with every pid-liveness lock: a crashed
-    holder whose pid the OS later recycles onto an unrelated long-lived
-    process makes the lock look held forever. The failure is LOUD (every
-    merge raises, with the lock's age in the message) and operable —
-    :func:`break_merge_lock` removes a lock a human has verified dead;
-    age-based auto-expiry is deliberately NOT done, because reclaiming a
-    slow-but-alive writer corrupts the table, while a stuck table merely
-    pages someone.
+    clobber each other's swaps and manifest ranges with no error. The
+    protocol (atomic create-with-payload, dead-pid reclaim, the
+    pid-recycling caveat) lives in :func:`util.acquire_dir_lock` —
+    shared with the cursor state table's commit lock; a lock stuck on a
+    recycled pid is broken with :func:`break_merge_lock` after human
+    verification.
     """
-    os.makedirs(target_dir, exist_ok=True)
-    lock_path = os.path.join(target_dir, MERGE_LOCK_NAME)
-    tmp_path = f"{lock_path}.tmp.{os.getpid()}.{threading.get_ident()}"
-    with open(tmp_path, "wb") as fh:
-        fh.write(f"{os.getpid()} {time.time():.3f}\n".encode())
     try:
-        while True:
-            try:
-                os.link(tmp_path, lock_path)
-                return lock_path
-            except FileExistsError:
-                pass
-            pid = held_since = None
-            try:
-                with open(lock_path, "rb") as fh:
-                    fields = fh.read().split()
-                    pid = int(fields[0])
-                    held_since = float(fields[1])
-            except (OSError, ValueError, IndexError):
-                pass                      # vanished or garbled → reclaimable
-            if pid is not None and _pid_alive(pid):
-                age = (
-                    f"{time.time() - held_since:.0f}s"
-                    if held_since is not None else "unknown time"
-                )
-                raise ConcurrentMergeError(
-                    f"merge into {target_dir!r} is already running "
-                    f"(pid {pid} has held {MERGE_LOCK_NAME} for {age}); "
-                    "concurrent merges into one target are not supported "
-                    "— retry after the holder finishes. If that pid is NOT "
-                    "a merge writer (a crashed holder's pid was recycled), "
-                    "verify and break_merge_lock() the table"
-                ) from None
-            # stale lock: claim-by-rename so concurrent reclaimers can't
-            # unlink each other's fresh locks — only the renamer proceeds
-            # to delete, everyone re-contends on the atomic link
-            claim = f"{lock_path}.reclaim.{os.getpid()}"
-            try:
-                os.rename(lock_path, claim)
-            except FileNotFoundError:
-                continue                  # another contender reclaimed it
-            os.unlink(claim)
-    finally:
-        try:
-            os.unlink(tmp_path)
-        except FileNotFoundError:         # pragma: no cover - defensive
-            pass
+        return acquire_dir_lock(target_dir, MERGE_LOCK_NAME)
+    except ConcurrentMergeError:          # pragma: no cover - subclass
+        raise
+    except ConcurrentWriterError as e:
+        raise ConcurrentMergeError(str(e)) from None
 
 
 def break_merge_lock(target_dir: str) -> bool:

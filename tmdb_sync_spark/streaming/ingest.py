@@ -33,6 +33,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from tmdb_sync_spark.plans.partitioned import (
     merge_into_partitioned,
@@ -46,8 +47,11 @@ from tmdb_sync_spark.sources.enrich import (
 )
 from tmdb_sync_spark.sources.queries import discover
 from tmdb_sync_spark.streaming import state as st
+from tmdb_sync_spark.util import materialize_once
 
 CURSOR_KEY = "top_vote_count_movie"   # app/sync_top.py:19
+# Enforced on every dead-letter write (DataFrame.to), so the table's
+# schema is this contract, not first-write inference.
 ERROR_SCHEMA = (
     "item_id BIGINT, content_type STRING, category STRING, page INT, "
     "endpoint STRING, ts TIMESTAMP"
@@ -111,7 +115,17 @@ def run_sync_top(
     processed = 0
     while processed < max_pages:
         n = min(batch_pages, max_pages - processed)
-        feed = discover(spark, mode="top", start_page=page, max_pages=n)
+        # Stage the discover feed ONCE per batch: _build_source fans it
+        # into two enrichment subtrees (details + frames) which Spark
+        # executes as independent scans — unstaged, every page would be
+        # fetched twice per batch, doubling API calls and retry costs.
+        # Scratch parquet, not cache(): the staging-table pattern the
+        # engine uses for every fanned-out intermediate (util.py).
+        feed = materialize_once(
+            discover(spark, mode="top", start_page=page, max_pages=n),
+            cache_key=("ingest_feed", state_dir, page, n),
+            prefix="ingest_feed_",
+        )
         src = _build_source(feed).cache()
         try:
             last_page = src.agg(F.max("page")).first()[0]
@@ -119,13 +133,24 @@ def run_sync_top(
                 break
             failed = F.col("id") % 97 == 0
             skipped = F.col("id") % 89 == 0
-            # ST4: dead-letter append with the reference's error taxonomy
+            # ST4: dead-letter write with the reference's error taxonomy.
+            # Idempotent BY PAGE (dynamic partition overwrite), not a blind
+            # append: this write precedes the merge and the cursor commit,
+            # so a mid-batch failure replays the batch — an append would
+            # then double-count every failing id, breaking the append-only
+            # table's one-row-per-failure contract (and the ST4 oracle).
+            # Re-processing a page replaces exactly that page's rows; the
+            # production analog keys dead-letters by source offset.
             src.where(failed | skipped).select(
                 F.col("id").alias("item_id"), "content_type",
                 F.when(failed, "http").otherwise("other").alias("category"),
                 "page", F.lit("/discover/movie").alias("endpoint"),
                 F.current_timestamp().alias("ts"),
-            ).write.mode("append").parquet(errors_path)
+            ).to(StructType.fromDDL(ERROR_SCHEMA)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "page"
+            ).parquet(errors_path)
 
             ok = src.where(~(failed | skipped)).drop("page")
             if not os.path.isdir(movies_path):

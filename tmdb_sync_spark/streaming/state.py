@@ -19,10 +19,13 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tmdb_sync_spark.util import acquire_dir_lock, release_dir_lock
+
 CURSOR_SCHEMA = (
     "key STRING, page INT, inserted BIGINT, updated BIGINT, ts TIMESTAMP"
 )
 _V_RE = re.compile(r"^v(\d{6})$")
+STATE_LOCK_NAME = "_state.lock"
 
 
 def latest_version(path: str) -> str | None:
@@ -39,9 +42,23 @@ def next_version(path: str) -> str:
 
 
 def commit(df: DataFrame, path: str) -> str:
-    """Write ``df`` as the next version of the state table at ``path``."""
+    """Write ``df`` as the next version of the state table at ``path``.
+
+    The version directory must appear ATOMICALLY: readers pick the
+    highest ``v%06d`` from a bare listing the instant it exists, and
+    ``status()`` explicitly advertises polling the cursor table mid-run.
+    Writing into the final name directly exposes a window where the dir
+    holds only ``_temporary`` (reader raises ``Unable to infer schema``)
+    or a partial file set (reader silently sees the page-0 default) —
+    so write to a dot-prefixed staging dir (invisible to
+    ``latest_version``'s regex) and ``os.rename`` it into place.
+    """
     target = next_version(path)
-    df.write.mode("overwrite").parquet(target)
+    staging = os.path.join(
+        os.path.dirname(target), "." + os.path.basename(target) + ".tmp"
+    )
+    df.write.mode("overwrite").parquet(staging)
+    os.rename(staging, target)
     return target
 
 
@@ -62,13 +79,26 @@ def read_cursor(spark: SparkSession, path: str, key: str) -> dict:
 
 
 def write_cursor(spark: SparkSession, path: str, cursor: dict) -> None:
-    """ST1: commit the cursor row (merge-by-key into the state table)."""
-    prior = read_state(spark, path)
-    row = spark.createDataFrame(
-        [(cursor["key"], cursor["page"], cursor["inserted"],
-          cursor["updated"], cursor["ts"])],
-        CURSOR_SCHEMA,
-    )
-    if prior is not None:
-        row = prior.where(prior.key != cursor["key"]).unionByName(row)
-    commit(row, path)
+    """ST1: commit the cursor row (merge-by-key into the state table).
+
+    The read-modify-write (read latest version → replace this key's row →
+    commit next version) runs under the state dir's lock: two concurrent
+    jobs committing different keys would otherwise both compute the same
+    next version and the later overwrite would silently discard the
+    earlier job's committed page. Commits are sub-second, so contenders
+    WAIT (bounded) instead of failing — a cursor commit losing to a
+    transient overlap should not abort a whole sync run.
+    """
+    lock = acquire_dir_lock(path, STATE_LOCK_NAME, wait_s=60.0)
+    try:
+        prior = read_state(spark, path)
+        row = spark.createDataFrame(
+            [(cursor["key"], cursor["page"], cursor["inserted"],
+              cursor["updated"], cursor["ts"])],
+            CURSOR_SCHEMA,
+        )
+        if prior is not None:
+            row = prior.where(prior.key != cursor["key"]).unionByName(row)
+        commit(row, path)
+    finally:
+        release_dir_lock(lock)

@@ -82,7 +82,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8"),
     )
     sub.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    batch = table(sub, sf_dir, "events")  # also pins UTC + nanosAsLong
+    # also pins UTC (+ nanosAsLong iff the footer is NANOS-encoded)
+    batch = table(sub, sf_dir, "events")
     raw_ts = sub.read.parquet(
         f"{sf_dir}/events.parquet"
     ).schema["ts"].dataType

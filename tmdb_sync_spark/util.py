@@ -3,13 +3,124 @@
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 import threading
+import time
 
 from pyspark.sql import DataFrame
 
 _SCRATCH: list[str] = []
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to enter a directory another writer holds."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True          # exists, owned by someone else
+    return True
+
+
+def acquire_dir_lock(
+    target_dir: str, lock_name: str, *, wait_s: float = 0.0
+) -> str:
+    """Single-writer lock file for a directory-protocol table.
+
+    Real table formats serialize writers through optimistic concurrency
+    on a commit log; the moral equivalent for a plain directory is a lock
+    file (underscore-prefixed, so Spark's file listing ignores it like
+    ``_SUCCESS``). A second concurrent writer fails LOUDLY
+    (:class:`ConcurrentWriterError`) — or, with ``wait_s``, polls until
+    the holder releases — rather than corrupting the directory; a lock
+    left by a crashed writer (dead pid, or unreadable contents) is
+    reclaimed via an atomic rename so exactly one contender wins the
+    reclaim and the others retry against the winner's fresh lock.
+
+    The lock appears WITH its pid payload in one atomic step
+    (``os.link`` from a pre-written temp file, the create-exclusive that
+    carries content): an ``O_EXCL``-create-then-write would expose an
+    empty lock for a moment, and a contender reading that window would
+    take the garbled-lock branch and reclaim a live writer's lock. The
+    temp name carries the THREAD id too — on pid alone, a second thread
+    of the same process would reopen (truncate) the very inode the first
+    thread's lock hard-links, recreating the empty-lock window
+    in-process.
+
+    Known limitation, shared with every pid-liveness lock: a crashed
+    holder whose pid the OS later recycles onto an unrelated long-lived
+    process makes the lock look held forever. The failure is LOUD (every
+    writer raises, with the lock's age in the message) and operable —
+    remove the lock file after verifying the pid is not a writer;
+    age-based auto-expiry is deliberately NOT done, because reclaiming a
+    slow-but-alive writer corrupts the directory, while a stuck table
+    merely pages someone.
+    """
+    os.makedirs(target_dir, exist_ok=True)
+    lock_path = os.path.join(target_dir, lock_name)
+    tmp_path = f"{lock_path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    deadline = time.monotonic() + wait_s
+    with open(tmp_path, "wb") as fh:
+        fh.write(f"{os.getpid()} {time.time():.3f}\n".encode())
+    try:
+        while True:
+            try:
+                os.link(tmp_path, lock_path)
+                return lock_path
+            except FileExistsError:
+                pass
+            pid = held_since = None
+            try:
+                with open(lock_path, "rb") as fh:
+                    fields = fh.read().split()
+                    pid = int(fields[0])
+                    held_since = float(fields[1])
+            except (OSError, ValueError, IndexError):
+                pass                      # vanished or garbled → reclaimable
+            if pid is not None and _pid_alive(pid):
+                if time.monotonic() < deadline:
+                    time.sleep(0.05)
+                    continue
+                age = (
+                    f"{time.time() - held_since:.0f}s"
+                    if held_since is not None else "unknown time"
+                )
+                raise ConcurrentWriterError(
+                    f"writer pid {pid} has held {lock_name} in "
+                    f"{target_dir!r} for {age}; concurrent writers are not "
+                    "supported — retry after the holder finishes. If that "
+                    "pid is NOT a writer (a crashed holder's pid was "
+                    "recycled), verify and remove the lock file"
+                ) from None
+            # stale lock: claim-by-rename so concurrent reclaimers can't
+            # unlink each other's fresh locks — only the renamer proceeds
+            # to delete, everyone re-contends on the atomic link
+            claim = f"{lock_path}.reclaim.{os.getpid()}"
+            try:
+                os.rename(lock_path, claim)
+            except FileNotFoundError:
+                continue                  # another contender reclaimed it
+            os.unlink(claim)
+    finally:
+        try:
+            os.unlink(tmp_path)
+        except FileNotFoundError:         # pragma: no cover - defensive
+            pass
+
+
+def release_dir_lock(lock_path: str) -> None:
+    """Release a lock from :func:`acquire_dir_lock`; quiet if an outside
+    actor (or a directory-clearing overwrite) already removed it."""
+    try:
+        os.unlink(lock_path)
+    except FileNotFoundError:
+        pass
 
 
 def scratch_dir(prefix: str) -> str:
