@@ -232,3 +232,38 @@ def test_crash_at_any_fs_step_replays_to_invariant(
     ]
     assert len(post) == len(expected), "one row per key, no duplicates"
     assert {k: (y, p) for k, y, p in post} == expected
+
+
+def test_duplicate_source_keys_fail_loudly(spark):
+    """SQL MERGE forbids multiple source rows matching one target row
+    (Delta raises the same); emitting one output row per matched pair
+    would silently break the unique-key invariant."""
+    import pytest
+
+    target = spark.createDataFrame([(1, "old", "keepme")],
+                                   "id INT, v STRING, curated STRING")
+    source = spark.createDataFrame([(1, "newA"), (1, "newB")],
+                                   "id INT, v STRING")
+    with pytest.raises(Exception, match="multiple source rows"):
+        merge_into(target, source, ["id"]).collect()
+    # unique-key sources still merge fine
+    ok = merge_into(
+        target, spark.createDataFrame([(1, "new")], "id INT, v STRING"),
+        ["id"],
+    ).collect()
+    assert [(r.id, r.v, r.curated) for r in ok] == [(1, "new", "keepme")]
+
+
+def test_null_keys_match_and_preserve_target_columns(spark):
+    """The join condition is null-safe, so a matched NULL key must
+    classify as an UPDATE: presence comes from marker columns, never
+    isNotNull on a key (which silently routed the match through the
+    insert branch, dropping every preserved target column)."""
+    target = spark.createDataFrame([(None, "old", "precious")],
+                                   "id INT, v STRING, curated STRING")
+    source = spark.createDataFrame([(None, "new")], "id INT, v STRING")
+    rows = merge_into(target, source, ["id"], with_action=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id, r.v, r.curated, r[ACTION_COL]) == (None, "new", "precious",
+                                                     "update")

@@ -24,6 +24,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tmdb_sync_spark.functions.text import tokens_expr
 from tmdb_sync_spark.io import parallel_table, table
 from tmdb_sync_spark.registry import register
 
@@ -52,7 +53,9 @@ _SHINGLE_SQL = "WITH " + shingle_sql("documents")
 
 
 def _tokens_col(text: Column) -> Column:
-    return F.split(F.trim(text), r"\s+")
+    # single-sourced from text.py: the shingle oracle's
+    # regexp_split_to_array twin assumes exactly this tokenizer
+    return tokens_expr(text)
 
 
 def _shingles_from(t: Column) -> Column:
@@ -255,11 +258,16 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unlike persist(), nothing is retained in executor storage after the
     # action; keyed on sf_dir so repeated invocations in a long-lived
     # session reuse one dir instead of accumulating /tmp state.
-    from tmdb_sync_spark.util import materialize_once
+    from tmdb_sync_spark.util import file_fingerprint, materialize_once
 
+    # the fingerprint folds the table's content version into the key:
+    # an in-place regeneration of documents.parquet (the driver does
+    # this between rounds) must miss the cache, not serve candidate
+    # pairs computed from the previous corpus
+    docs_path = f"{sf_dir}/documents.parquet"
     sig = materialize_once(
         minhash_signature(parallel_table(spark, sf_dir, "documents")),
-        cache_key=("mh_sig", sf_dir),
+        cache_key=("mh_sig", sf_dir, file_fingerprint(docs_path)),
         prefix="mh_sig_",
     )
 

@@ -39,6 +39,7 @@ from tmdb_sync_spark.functions.dedup import (
 from tmdb_sync_spark.functions.text import (
     QUALITY_SQL,
     quality_score_expr,
+    tokens_expr,
 )
 from tmdb_sync_spark.io import parallel_table
 from tmdb_sync_spark.registry import register
@@ -93,9 +94,11 @@ _N_EQUAL = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(N_HASHES))
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter → exact-dedup → near-dup-drop → summarize, one plan."""
     docs = parallel_table(spark, sf_dir, "documents").withColumn(
-        # tokens materialized once; the quality expr's stopword filter
-        # reads the attribute instead of re-splitting per element
-        "_toks", F.split(F.trim(F.col("text")), r"\s+")
+        # tokens materialized once (single-sourced tokenizer — a drifted
+        # copy would desynchronize from QUALITY_SQL); the quality expr's
+        # stopword filter reads the attribute instead of re-splitting
+        # per element
+        "_toks", tokens_expr(F.col("text"))
     )
     quality = docs.select(
         "doc_id", "text", "lang",
@@ -114,14 +117,17 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize_once runs each stage exactly once into a scratch
     # parquet table (keyed on sf_dir — bounded /tmp across invocations)
     # and every consumer reads the files; nothing lives in storage memory.
-    from tmdb_sync_spark.util import materialize_once
+    from tmdb_sync_spark.util import file_fingerprint, materialize_once
 
+    # content fingerprint in both keys: a driver-side regeneration of
+    # documents.parquet must miss these caches, not serve stale stages
+    docs_fp = file_fingerprint(f"{sf_dir}/documents.parquet")
     row = F.struct("doc_id", "text", "lang", "q", "ntok")
     kept_exact = materialize_once(
         quality.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
         .agg(F.min_by(row, "doc_id").alias("r"))
         .select("r.*"),
-        cache_key=("cur_kept", sf_dir),
+        cache_key=("cur_kept", sf_dir, docs_fp),
         prefix="cur_kept_",
     )
 
@@ -136,7 +142,7 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept_exact.select("doc_id", "text")
             .repartition(spark.sparkContext.defaultParallelism)
         ),
-        cache_key=("cur_sig", sf_dir),
+        cache_key=("cur_sig", sf_dir, docs_fp),
         prefix="cur_sig_",
     )
     drops = (

@@ -29,7 +29,27 @@ def _tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
-def quality_score_expr(text: Column, tokens: Column | None = None) -> Column:
+# Public single source of the whitespace tokenizer: every operator that
+# materializes a token column (here, dedup's shingles, the curation
+# pipeline) must build it from THIS expression, or a future regex change
+# silently desynchronizes them from QUALITY_SQL / the shingle oracle.
+tokens_expr = _tokens
+
+
+def stopword_count_expr(tokens: Column) -> Column:
+    """Stopword count over a materialized token-array column — exported
+    so callers that need the count themselves can compute it ONCE and
+    pass it back into :func:`quality_score_expr` (lambda-bearing trees
+    are ineligible for Spark's subexpression elimination, so two textual
+    copies run the interpreted per-token filter twice)."""
+    return F.size(F.filter(tokens, lambda x: F.lower(x).isin(*STOPWORDS)))
+
+
+def quality_score_expr(
+    text: Column,
+    tokens: Column | None = None,
+    n_stop: Column | None = None,
+) -> Column:
     """The deterministic length / stopword-ratio / punct quality heuristic
     (shared by ``tx_text_features`` and the curation pipeline — one
     definition so both engines and both queries agree exactly).
@@ -37,10 +57,13 @@ def quality_score_expr(text: Column, tokens: Column | None = None) -> Column:
     Pass ``tokens`` (a MATERIALIZED token-array column) whenever the
     caller already projects one: with the default, the ``split`` lands
     inside the stopword ``filter`` lambda and is re-evaluated interpreted
-    per element (see ``dedup._shingles_from``)."""
+    per element (see ``dedup._shingles_from``). Likewise pass ``n_stop``
+    when the caller already computes the stopword count (see
+    :func:`stopword_count_expr`)."""
     t = _tokens(text) if tokens is None else tokens
     n_tokens = F.size(t)
-    n_stop = F.size(F.filter(t, lambda x: F.lower(x).isin(*STOPWORDS)))
+    if n_stop is None:
+        n_stop = stopword_count_expr(t)
     n_punct = F.length(text) - F.length(
         F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")
     )
@@ -144,16 +167,17 @@ def tx_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     token_chars = F.aggregate(
         F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
     ).cast("long")
-    n_stop = F.size(
-        F.filter(t, lambda x: F.lower(x).isin(*STOPWORDS))
-    )
+    n_stop = stopword_count_expr(t)
     n_punct = (
         F.length("text")
         - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
     )
     n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
     stop_ratio = n_stop / n_tokens
-    quality = quality_score_expr(F.col("text"), tokens=t)
+    # pass the already-computed n_stop: the lambda-bearing filter is
+    # ineligible for subexpression elimination, so a second textual copy
+    # would run the interpreted per-token pass twice per document
+    quality = quality_score_expr(F.col("text"), tokens=t, n_stop=n_stop)
 
     def marker_count(words: tuple[str, ...]) -> Column:
         # NB: HOF lambdas must be single-parameter — PySpark binds a

@@ -106,9 +106,14 @@ def j3_fill_missing_years(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    # dim is the PRESERVED side of the left join, so it cannot host the
+    # broadcast hash table (Spark silently drops a broadcast hint there
+    # and falls back to SortMergeJoin — verified in review). Broadcast
+    # the build side instead: the post-aggregate counts frame is tiny
+    # (years × regions), and the executed plan is then the intended
+    # BroadcastHashJoin with no exchange on either side.
     return (
-        F.broadcast(dim)
-        .join(counts, ["order_year", "region_name"], "left")
+        dim.join(F.broadcast(counts), ["order_year", "region_name"], "left")
         .select(
             "order_year",
             "region_name",

@@ -21,10 +21,16 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ACTION_COL = "merge_action"
+
+# Internal marker/guard columns; leading underscore keeps them out of any
+# user schema that follows normal column-name conventions.
+_T_MARK = "_merge_t_present"
+_S_MARK = "_merge_s_present"
+_SRC_N = "_merge_src_key_n"
 
 
 def merge_into(
@@ -44,19 +50,53 @@ def merge_into(
       ``s``'s value, NULL for target-only columns — ``$setOnInsert``).
     - ``with_action``: append 'update' | 'insert' | 'noop' per row.
 
-    Rows present only in the target pass through unchanged. Key columns are
-    assumed non-null (the reference's ``(id,_type)`` unique index).
+    Rows present only in the target pass through unchanged.
+
+    Contract guards (both bugs found live in review):
+
+    - **Source keys must be unique** — SQL MERGE semantics (Delta raises
+      the same error): two source rows for one key would emit two output
+      rows for that key, breaking the unique-key invariant the merge
+      maintains. Enforced IN the plan via a per-key window count +
+      ``assert_true``, so the violation fails the job loudly at execution
+      instead of silently corrupting the table. The window partitions on
+      the same keys the join shuffles on, so it rides the exchange the
+      join needs anyway.
+    - **NULL keys are real values** — presence is decided by literal
+      marker columns added to each side before the join, never by
+      ``isNotNull`` on a key column: the join condition is null-safe, so
+      a matched all-NULL key must classify as an update (it previously
+      fell through to the insert branch and silently dropped every
+      preserved target column).
     """
     matched_update = dict(matched_update or {})
     not_matched_insert = dict(not_matched_insert or {})
-    t, s = target.alias("t"), source.alias("s")
+    src = (
+        source.withColumn(
+            _SRC_N, F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        ).withColumn(_S_MARK, F.lit(True))
+    )
+    tgt = target.withColumn(_T_MARK, F.lit(True))
+    t, s = tgt.alias("t"), src.alias("s")
     cond = reduce(
         lambda a, b: a & b,
         [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
     )
     joined = t.join(s, cond, "full_outer")
-    t_exists = F.col(f"t.{keys[0]}").isNotNull()
-    s_exists = F.col(f"s.{keys[0]}").isNotNull()
+    t_exists = F.coalesce(F.col(f"t.{_T_MARK}"), F.lit(False))
+    s_exists = F.coalesce(F.col(f"s.{_S_MARK}"), F.lit(False))
+    # assert_true yields NULL when the predicate holds and raises
+    # otherwise; folding it into the first projected column (isNull() is
+    # then always true) forces per-row evaluation — a bare unreferenced
+    # guard column would be pruned by the optimizer.
+    guard = F.assert_true(
+        F.col(f"s.{_SRC_N}").isNull() | (F.col(f"s.{_SRC_N}") == 1),
+        F.lit(
+            "merge_into: multiple source rows share one merge key; "
+            "deduplicate the source batch first (SQL MERGE forbids "
+            "multi-row matches)"
+        ),
+    )
 
     out: list[Column] = []
     for c in target.columns:
@@ -67,12 +107,14 @@ def merge_into(
         ins = not_matched_insert.get(
             c, F.col(f"s.{c}") if in_source else F.lit(None)
         )
-        out.append(
+        merged = (
             F.when(t_exists & s_exists, upd)
             .when(t_exists, F.col(f"t.{c}"))
             .otherwise(ins)
-            .alias(c)
         )
+        if not out:
+            merged = F.when(guard.isNull(), merged)
+        out.append(merged.alias(c))
     if with_action:
         out.append(
             F.when(~t_exists, F.lit("insert"))

@@ -139,6 +139,30 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
+def file_fingerprint(path: str) -> tuple:
+    """Cheap content-version stamp for a parquet file (or dir of parts):
+    fold into ``materialize_once`` cache keys for any input whose CONTENT
+    can be rewritten in place (the driver regenerates /root/testdata
+    between rounds), so a regeneration misses the cache instead of
+    silently serving results computed from the previous corpus. Missing
+    path → a None stamp; the read that follows raises the real error."""
+    try:
+        if os.path.isdir(path):
+            stats = [
+                e.stat() for e in os.scandir(path)
+                if e.name.endswith(".parquet")
+            ]
+            return (
+                len(stats),
+                max((s.st_mtime_ns for s in stats), default=0),
+                sum(s.st_size for s in stats),
+            )
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (None,)
+
+
 class _Materialization:
     """Per-key placeholder: the registering thread writes, later callers
     wait on ``done`` — so first-call materializations of UNRELATED keys
