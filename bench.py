@@ -121,13 +121,17 @@ def main() -> None:
         n = len(s)
         return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
+    # A missing headline query is a broken registry, not a skip: silently
+    # dropping it would shrink the suite and read as a huge speedup.
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"headline queries missing from registry: {missing}")
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_all: dict[str, list[float]] = {}
     for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
+        fn = QUERIES[name]
         runs = []
         for _ in range(reps):
             spark.catalog.clearCache()

@@ -55,3 +55,37 @@ def test_stream_source_bounded_and_resume_exactly_once(spark):
     _run(spark, out, ckpt)
     spark.catalog.refreshByPath(out)
     assert spark.read.parquet(out).count() == 6 * fixture.PAGE_SIZE
+
+
+def test_discover_past_end_of_feed_yields_empty_not_crash(spark):
+    """start_page beyond the feed must produce an empty scan (the ST3
+    stop condition), not a crashed task: PySpark substitutes [None] for
+    an empty partitions() list, so the reader must emit an empty page
+    range instead."""
+    from tmdb_sync_spark.sources.queries import discover
+
+    assert discover(spark, mode="top", start_page=200, max_pages=5).count() == 0
+
+
+def test_real_api_shaped_rows_normalize(monkeypatch):
+    """Genuine TMDB discover items lack content_type/page and carry only
+    one of title/name; the reader must stamp request context and
+    NULL-fill absent fields instead of KeyError-ing on every row."""
+    from tmdb_sync_spark.sources import tmdb_source as t
+
+    class FakeApi:
+        def discover_top(self, page):
+            return {"results": [
+                {"id": 7, "title": "Real Movie", "release_date": "2020-01-02",
+                 "popularity": 1.5, "vote_average": 7.2, "vote_count": 10,
+                 "genre_ids": [16, 35]},
+            ]}
+
+    rows = t._page_results(FakeApi(), "top", 3, year=0,
+                           content_type="movie", category="")
+    assert rows == [{
+        "id": 7, "content_type": "movie", "title": "Real Movie",
+        "name": None, "release_date": "2020-01-02", "popularity": 1.5,
+        "vote_average": 7.2, "vote_count": 10, "genre_ids": [16, 35],
+        "page": 3,
+    }]

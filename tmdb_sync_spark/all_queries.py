@@ -13,17 +13,31 @@ Split from ``registry`` so importing the registry never recurses.
 
 import tmdb_sync_spark.operators  # noqa: F401
 
-try:  # source layer (Python Data Source + mapInPandas enrichment)
-    import tmdb_sync_spark.sources  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
 
-try:  # incremental ingestion pipeline + structured streaming
-    import tmdb_sync_spark.streaming  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+def _optional(modname: str) -> None:
+    """Import a query layer, tolerating ONLY genuinely absent external
+    dependencies. A bare ``except ImportError`` here once swallowed any
+    import-time failure inside the engine itself (review finding): a
+    renamed internal symbol would silently shrink the registry, bench.py
+    would then skip the vanished headline queries, and the suite total
+    would read as a massive speedup. Internal breakage must stay loud."""
+    import importlib
 
-try:  # large-scale pipeline operators (documents/embeddings tables)
-    import tmdb_sync_spark.functions  # noqa: F401
-except ImportError:  # pragma: no cover - keep parity queries alive regardless
-    pass
+    try:
+        importlib.import_module(modname)
+    except ImportError as e:  # pragma: no cover - optional-dep containers
+        if (e.name or "").startswith("tmdb_sync_spark"):
+            raise
+        import warnings
+
+        warnings.warn(
+            f"{modname} skipped: external dependency {e.name!r} missing"
+        )
+
+
+# source layer (Python Data Source + mapInPandas enrichment)
+_optional("tmdb_sync_spark.sources")
+# incremental ingestion pipeline + structured streaming
+_optional("tmdb_sync_spark.streaming")
+# large-scale pipeline operators (documents/embeddings tables)
+_optional("tmdb_sync_spark.functions")

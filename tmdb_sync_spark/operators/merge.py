@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from tmdb_sync_spark.io import table
 from tmdb_sync_spark.plans.merge import merge_into
 from tmdb_sync_spark.registry import register
+from tmdb_sync_spark.util import register_reset_hook
 
 _SOURCE_SQL = """
     WITH updates AS (
@@ -25,7 +26,7 @@ _SOURCE_SQL = """
         FROM orders WHERE o_orderkey % 10 = 0
     ),
     inserts AS (
-        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        SELECT -(o_orderkey + 1) AS o_orderkey, o_custkey,
                'N' AS o_orderstatus,
                o_totalprice * 0.5 AS o_totalprice,
                '5-LOW' AS o_orderpriority,
@@ -39,7 +40,11 @@ _SOURCE_SQL = """
 def _merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic delta derived from ``orders`` itself (FIXTURES.md §A):
     every 10th key gets an update, every 100th key spawns a synthetic new
-    key far above the existing key range."""
+    key ``-(k+1)`` — strictly negative for every real key (the driver's
+    synthetic orderkeys start at 0, so a bare negation would collide on
+    key 0), hence collision-free at ANY scale factor (the previous
+    ``+10_000_000`` offset collided with real keys from SF≈2, which
+    would trip merge_into's source-uniqueness guard)."""
     o = table(spark, sf_dir, "orders")
     updates = o.where(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey",
@@ -50,7 +55,7 @@ def _merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
     )
     inserts = o.where(F.col("o_orderkey") % 100 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
         "o_custkey",
         F.lit("N").alias("o_orderstatus"),
         (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
@@ -120,18 +125,27 @@ def j1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PM_CACHE: dict[tuple, str] = {}
+register_reset_hook(_PM_CACHE.clear)
 
 
 def _partitioned_merge_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build a year-partitioned orders table and MERGE a delta batch into
-    it — once per (application, sf_dir); queries read the result."""
+    it — once per (application, sf_dir, orders content fingerprint);
+    queries read the result. The fingerprint (and the reset hook above)
+    follow the engine-wide invalidation contract: a driver-side
+    regeneration of orders.parquet must rebuild this staged table, never
+    serve aggregates computed from the previous corpus."""
     from tmdb_sync_spark.plans.partitioned import (
         merge_into_partitioned,
         write_partitioned,
     )
-    from tmdb_sync_spark.util import scratch_dir
+    from tmdb_sync_spark.util import file_fingerprint, scratch_dir
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        file_fingerprint(f"{sf_dir}/orders.parquet"),
+    )
     if key not in _PM_CACHE:
         d = scratch_dir("pm_orders_")
         target = f"{d}/orders"
@@ -151,8 +165,10 @@ def _partitioned_merge_dir(spark: SparkSession, sf_dir: str) -> str:
                 (F.col("o_totalprice") + 1000).alias("o_totalprice"),
             )
         )
+        # negated synthetic keys: collision-free at any SF (see
+        # _merge_source)
         inserts = base.where(F.col("o_orderkey") % 500 == 0).select(
-            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
             F.lit(1996).cast("int").alias("o_year"),
             "o_totalprice",
         )
@@ -178,7 +194,7 @@ def _partitioned_merge_dir(spark: SparkSession, sf_dir: str) -> str:
                     THEN o_totalprice + 1000 ELSE o_totalprice END AS price
         FROM base
         UNION ALL
-        SELECT o_orderkey + 10000000, 1996, o_totalprice
+        SELECT -(o_orderkey + 1), 1996, o_totalprice
         FROM base WHERE o_orderkey % 500 = 0
     )
     SELECT o_year,

@@ -36,8 +36,22 @@ def get_spark(app_name: str = "tmdb-sync-spark", *, cpus: str | None = None,
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
-    # Driver-provided sessions may not have these set; enforce the ones that
-    # are runtime-settable so query semantics don't depend on who built the
-    # session.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # getOrCreate on a pre-existing session ignores every builder
+    # .config(); enforce ALL the runtime-settable SQL confs the engine's
+    # documented posture assumes (not just the timezone — review finding:
+    # a pre-built session with Arrow off would silently run every
+    # mapInPandas stage through row-pickling). JVM-launch settings
+    # (master, driver memory, UI) cannot be changed post-hoc and are
+    # honestly the caller's.
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.shuffle.partitions", shuffle_partitions),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.parquet.aggregatePushdown", "true"),
+    ):
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
     return spark

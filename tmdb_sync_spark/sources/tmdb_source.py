@@ -54,12 +54,38 @@ class _PageRange(InputPartition):
 
 def _page_results(api, mode: str, page: int, *, year: int,
                   content_type: str, category: str) -> list[dict]:
-    """One discover page through the shared retry/backoff client."""
+    """One discover page through the shared retry/backoff client,
+    normalized to the source schema.
+
+    Normalization is the seam that keeps the real-API opt-in honest
+    (review finding): genuine TMDB discover items carry no
+    ``content_type`` or ``page`` (the caller's request context) and only
+    one of ``title``/``name`` (movies vs tv) — the fixture stamps all of
+    them, but indexing ``r[c]`` strictly would KeyError on every real
+    row. Context fields are stamped from the request; absent item fields
+    become NULL, exactly the schema's nullability."""
     if mode == "top":
-        return api.discover_top(page)["results"]
-    if mode == "category":
-        return api.category(category, page, content_type)["results"]
-    return api.discover_year(year, page, content_type)["results"]
+        raw = api.discover_top(page)["results"]
+    elif mode == "category":
+        raw = api.category(category, page, content_type)["results"]
+    else:
+        raw = api.discover_year(year, page, content_type)["results"]
+    rows = []
+    for r in raw:
+        gi = r.get("genre_ids")
+        rows.append({
+            "id": r.get("id"),
+            "content_type": r.get("content_type", content_type),
+            "title": r.get("title"),
+            "name": r.get("name"),
+            "release_date": r.get("release_date"),
+            "popularity": r.get("popularity"),
+            "vote_average": r.get("vote_average"),
+            "vote_count": r.get("vote_count"),
+            "genre_ids": list(gi) if gi is not None else None,
+            "page": r.get("page", page),
+        })
+    return rows
 
 
 class TmdbDiscoverReader(DataSourceReader):
@@ -81,10 +107,18 @@ class TmdbDiscoverReader(DataSourceReader):
     def partitions(self):
         total_pages = -(-self._total_items() // fixture.PAGE_SIZE)
         last = min(total_pages, self.start_page + self.max_pages - 1)
-        return [
+        parts = [
             _PageRange(p, min(p + PAGES_PER_PARTITION - 1, last))
             for p in range(self.start_page, last + 1, PAGES_PER_PARTITION)
         ]
+        if not parts:
+            # start_page beyond the feed (the normal end state of a
+            # resumed sync): an EMPTY page range, not an empty list —
+            # PySpark substitutes [None] for an empty partitions() and
+            # read(None) would crash the scan instead of yielding the
+            # empty page the ingest loop's ST3 stop condition expects.
+            parts = [_PageRange(self.start_page, self.start_page - 1)]
+        return parts
 
     def read(self, part: _PageRange):
         # One Arrow RecordBatch per page range: columnar transfer into the
