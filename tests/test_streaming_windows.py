@@ -42,3 +42,35 @@ def test_concurrent_streaming_runs_restore_session_conf(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
     assert spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled") == before_nodata
+
+
+def test_user_state_fn_all_null_chunk_does_not_poison_extrema():
+    """MAX/MIN skip NULLs: an all-null first chunk must leave the running
+    extrema unset (pandas returns NaN there, and max(nan, x) stays nan —
+    folding it in would poison the state permanently), and a NULL-only
+    user must emit NULL extrema like the batch oracle."""
+    import pandas as pd
+
+    from tmdb_sync_spark.streaming.windows import _user_state_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.get, self.exists = v, True
+
+    ts = pd.Timestamp("2026-01-01")
+    allnull = pd.DataFrame({"value": [None, None], "ts": [ts, ts]})
+    real = pd.DataFrame({"value": [2.0, 5.0], "ts": [ts, ts]})
+
+    st = FakeState()
+    out = pd.concat(_user_state_fn(("u1",), iter([allnull, real]), st))
+    r = out.iloc[0]
+    assert r["n_events"] == 4                   # COUNT(*) includes NULLs
+    assert r["max_value"] == 5.0 and r["min_value"] == 2.0
+
+    st2 = FakeState()
+    out2 = pd.concat(_user_state_fn(("u2",), iter([allnull]), st2))
+    r2 = out2.iloc[0]
+    assert r2["n_events"] == 2
+    assert r2["max_value"] is None and r2["min_value"] is None

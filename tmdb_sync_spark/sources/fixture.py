@@ -241,15 +241,21 @@ def frame(mid: int, j: int) -> dict:
     }
 
 
-# DuckDB twin: explode (id, j) pairs for j in [0, id % 9) given a feed CTE
-# exposing `id`. printf mirrors the path formula exactly.
-SQL_FRAMES_FROM_FEED = """
+# DuckDB twin: explode (id, j) pairs for j in [0, id % 9) given a CTE
+# exposing `id`. Parameterized by source CTE name so every oracle reuses
+# THIS fragment (single source of truth with fixture.frame()) instead of
+# hand-copying the five formulas per query.
+def sql_frames_from(src: str = "feed") -> str:
+    return f"""
     SELECT f.id,
            '/f/' || f.id || '_' || (g.range % 5) || '.jpg' AS path,
            (13 + (f.id + 3 * g.range) % 10) / 10.0 AS aspect_ratio,
            (f.id * (g.range + 1)) % 100 / 10.0 AS vote_average,
            640 + (f.id + g.range) % 8 * 160 AS width,
            g.range AS j
-    FROM feed f, range(0, 9) g
+    FROM {src} f, range(0, 9) g
     WHERE g.range < f.id % 9
 """
+
+
+SQL_FRAMES_FROM_FEED = sql_frames_from()

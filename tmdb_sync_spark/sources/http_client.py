@@ -75,13 +75,25 @@ def request_with_retry(
     raise last  # type: ignore[misc]
 
 
+# The ST4 dead-letter taxonomy names, single-sourced: error_record (the
+# per-exception classifier at this client seam) and streaming/ingest.py's
+# set-oriented dead-letter write (whose deterministic id-stripes STAND IN
+# for these exception classes) must group under the same labels, or the
+# sync_errors table the ST4 oracle reads drifts from the tested policy.
+CATEGORY_HTTP = "http"
+CATEGORY_OTHER = "other"
+
+
 def error_record(endpoint: str, exc: Exception, **context) -> dict:
     """A ``sync_errors`` dead-letter row (``app/tmdb_client.py:76-85``:
     http failures carry status_code; generic failures carry the message —
     the taxonomy ST4 queries group on)."""
     rec = {
         "endpoint": endpoint,
-        "category": "http" if isinstance(exc, HttpStatusError) else "other",
+        "category": (
+            CATEGORY_HTTP if isinstance(exc, HttpStatusError)
+            else CATEGORY_OTHER
+        ),
         "status_code": getattr(exc, "status_code", None),
         "error": str(exc)[:200],
         **context,

@@ -8,12 +8,17 @@ value-checked, not just transforms over parquet.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tmdb_sync_spark.registry import register
 from tmdb_sync_spark.sources import fixture
-from tmdb_sync_spark.sources.enrich import enrich_details, fetch_frames
+from tmdb_sync_spark.sources.enrich import (
+    best_path_expr,
+    enrich_details,
+    fetch_frames,
+    valid_deduped_frames,
+)
 from tmdb_sync_spark.sources.tmdb_source import register_tmdb_source
 
 
@@ -181,28 +186,22 @@ def s7_backdrop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     feed = discover(spark, mode="top", start_page=1, max_pages=10)
     frames = fetch_frames(feed)
-    valid = frames.where(
-        F.col("aspect_ratio").between(1.5, 2.2) & (F.col("vote_average") >= 0)
+    # The validity filter / keep-first dedup / argmax live ONCE in
+    # sources/enrich.py (valid_deduped_frames + best_path_expr) — the
+    # same helpers the live ingest and w1_j4_frames_moderation use, so
+    # a rule change cannot desynchronize this query from the ingested
+    # backdrop_path. The aggregate form is also the better plan: one
+    # shuffle on (id, path) then one on id with map-side combines,
+    # versus two sort-based window passes.
+    dedup = valid_deduped_frames(frames)
+    agg = dedup.groupBy("id").agg(
+        best_path_expr().alias("backdrop_path"),
+        F.count(F.lit(1)).alias("n"),
     )
-    dedup = (
-        valid.withColumn(
-            "rn", F.row_number().over(
-                Window.partitionBy("id", "path").orderBy("j"))
-        ).where(F.col("rn") == 1).drop("rn")
-    )
-    best = (
-        dedup.withColumn(
-            "rn", F.row_number().over(
-                Window.partitionBy("id").orderBy(
-                    F.desc("vote_average"), F.desc("width"), F.asc("path")))
-        ).where(F.col("rn") == 1).select("id", F.col("path").alias("backdrop_path"))
-    )
-    cnt = dedup.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     image_cdn = "https://image.tmdb.org/t/p/"   # S11, app/tmdb_client.py:13
     return (
         feed.select("id")
-        .join(best, "id", "left")
-        .join(cnt, "id", "left")
+        .join(agg, "id", "left")
         .select(
             "id", "backdrop_path",
             F.when(

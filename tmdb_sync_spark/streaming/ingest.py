@@ -45,6 +45,10 @@ from tmdb_sync_spark.sources.enrich import (
     fetch_frames,
     valid_deduped_frames,
 )
+from tmdb_sync_spark.sources.http_client import (
+    CATEGORY_HTTP,
+    CATEGORY_OTHER,
+)
 from tmdb_sync_spark.sources.queries import discover
 from tmdb_sync_spark.streaming import state as st
 from tmdb_sync_spark.util import materialize_once
@@ -143,7 +147,8 @@ def run_sync_top(
             # production analog keys dead-letters by source offset.
             src.where(failed | skipped).select(
                 F.col("id").alias("item_id"), "content_type",
-                F.when(failed, "http").otherwise("other").alias("category"),
+                F.when(failed, CATEGORY_HTTP).otherwise(CATEGORY_OTHER)
+                 .alias("category"),
                 "page", F.lit("/discover/movie").alias("endpoint"),
                 F.current_timestamp().alias("ts"),
             ).to(StructType.fromDDL(ERROR_SCHEMA)).write.mode(

@@ -17,28 +17,40 @@ Scenario (deterministic):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tmdb_sync_spark.registry import register
 from tmdb_sync_spark.sources import fixture
 from tmdb_sync_spark.streaming import state as st
-from tmdb_sync_spark.streaming.ingest import run_sync_top
+from tmdb_sync_spark.streaming.ingest import CURSOR_KEY, run_sync_top
 
 _SCENARIO: dict[str, str] = {}
+_SCENARIO_LOCK = threading.Lock()
 
 
 def scenario_dir(spark: SparkSession) -> str:
-    """Run the three-run ingest scenario once per Spark application."""
-    key = spark.sparkContext.applicationId
-    if key not in _SCENARIO:
-        from tmdb_sync_spark.util import scratch_dir
+    """Run the three-run ingest scenario once per Spark application.
 
-        d = scratch_dir("tmdb_ingest_")
-        run_sync_top(spark, d, max_pages=5, resume=True)
-        run_sync_top(spark, d, max_pages=5, resume=True)
-        run_sync_top(spark, d, max_pages=3, resume=False, start_page=1)
-        _SCENARIO[key] = d
+    Serialized under a lock: the engine supports concurrent driver
+    threads (the streaming windows run on per-query sub-sessions for
+    exactly that), and an unsynchronized check-then-act here would let
+    two first callers each execute the full three-run scenario — the
+    most expensive setup in the suite — into separate scratch dirs. The
+    lock is held across the runs; concurrent callers of OTHER queries
+    don't pass through here, so nothing else serializes."""
+    key = spark.sparkContext.applicationId
+    with _SCENARIO_LOCK:
+        if key not in _SCENARIO:
+            from tmdb_sync_spark.util import scratch_dir
+
+            d = scratch_dir("tmdb_ingest_")
+            run_sync_top(spark, d, max_pages=5, resume=True)
+            run_sync_top(spark, d, max_pages=5, resume=True)
+            run_sync_top(spark, d, max_pages=3, resume=False, start_page=1)
+            _SCENARIO[key] = d
     return _SCENARIO[key]
 
 
@@ -144,7 +156,13 @@ def st4_a8_cursor_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sync_errors`` semantics, ``app/mongo.py:11``).
     """
     d = scenario_dir(spark)
-    cursor = st.read_state(spark, f"{d}/cursors").select(
+    # filter to THIS job's cursor row: the state table is multi-key by
+    # design (the reference has a second years:{type}:{year} cursor
+    # family), and an unfiltered read would explode the crossJoins below
+    # one row per key
+    cursor = st.read_state(spark, f"{d}/cursors").where(
+        F.col("key") == CURSOR_KEY
+    ).select(
         F.col("key").alias("cursor_key"),
         F.col("page").alias("cursor_page"),
         F.col("inserted").alias("run_inserted"),
@@ -167,16 +185,7 @@ def st4_a8_cursor_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH feed AS ({fixture.sql_top_feed(200)}),
     live AS (SELECT * FROM feed WHERE NOT {_FAILED}),
-    frames AS (
-        SELECT f.id,
-               '/f/' || f.id || '_' || (g.range % 5) || '.jpg' AS path,
-               (13 + (f.id + 3 * g.range) % 10) / 10.0 AS aspect_ratio,
-               (f.id * (g.range + 1)) % 100 / 10.0 AS vote_average,
-               640 + (f.id + g.range) % 8 * 160 AS width,
-               g.range AS j
-        FROM live f, range(0, 9) g
-        WHERE g.range < f.id % 9
-    ),
+    frames AS ({fixture.sql_frames_from("live")}),
     valid AS (
         SELECT * FROM frames
         WHERE aspect_ratio BETWEEN 1.5 AND 2.2 AND vote_average >= 0

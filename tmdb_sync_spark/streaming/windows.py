@@ -91,13 +91,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         [StructField("ts", raw_ts, True) if f.name == "ts" else f
          for f in batch.schema.fields]
     )
-    return (
-        sub.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", events_ts_norm(raw_ts))
-    )
+    # events.parquet may be a single FILE beside the other tables (the
+    # driver's layout — glob-filter it out of sf_dir) or a DIRECTORY of
+    # part files (the layout the batch reader supports); a glob of
+    # 'events.parquet' over a directory layout matches zero part-* leaf
+    # files and would silently stream nothing.
+    events_path = os.path.join(sf_dir, "events.parquet")
+    reader = sub.readStream.schema(raw_schema).format("parquet")
+    if os.path.isdir(events_path):
+        stream = reader.load(events_path)
+    else:
+        stream = reader.option(
+            "pathGlobFilter", "events.parquet"
+        ).load(sf_dir)
+    return stream.withColumn("ts", events_ts_norm(raw_ts))
 
 
 def _run_to_parquet(agg: DataFrame, mode: str) -> str:
@@ -297,9 +304,16 @@ def _user_state_fn(key, pdfs, state):
         if not len(pdf):
             continue
         n += len(pdf)
+        # NULL-value rows count toward n (COUNT(*)) but never toward the
+        # extrema (MAX/MIN skip NULLs): pandas max() skips NaN but
+        # returns NaN for an ALL-null chunk, and folding that NaN in
+        # would poison the running extrema permanently (max(nan, x) is
+        # nan) — so fold only non-NaN chunk results.
         bmx, bmn = pdf["value"].max(), pdf["value"].min()
-        mx = float(bmx) if mx is None else max(mx, float(bmx))
-        mn = float(bmn) if mn is None else min(mn, float(bmn))
+        if not pd.isna(bmx):
+            mx = float(bmx) if mx is None else max(mx, float(bmx))
+        if not pd.isna(bmn):
+            mn = float(bmn) if mn is None else min(mn, float(bmn))
         bfirst, blast = pdf["ts"].min(), pdf["ts"].max()
         first_ts = bfirst if first_ts is None else min(first_ts, bfirst)
         last_ts = blast if last_ts is None else max(last_ts, blast)
