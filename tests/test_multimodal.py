@@ -311,3 +311,21 @@ def test_mixed_batch_dispatches_per_row(spark):
     assert (wav["doc_id"] % 5 == 0).all() and (wav["doc_id"] % 7 != 0).all()
     assert wav["thumb_w"].isna().all() and wav["thumb_h"].isna().all()
     assert (wav["frame_idx"] == 0).all() and (wav["frame_ts"] == 0.0).all()
+
+
+def test_wav_undersized_fmt_chunk_dead_letters():
+    """A fmt chunk declaring fewer than the 16 PCM-header bytes must
+    raise (dead-letter), not silently parse the NEXT chunk's bytes as
+    sample_rate/n_channels (review finding, confirmed by experiment)."""
+    import struct
+
+    from tmdb_sync_spark.functions.multimodal import _decode, _decode_wav
+
+    # RIFF/WAVE with a zero-size fmt chunk followed by a junk chunk
+    # whose bytes would parse as plausible positive shorts
+    body = b"fmt " + struct.pack("<I", 0) + b"junk" + struct.pack("<I", 16) \
+        + struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="fmt chunk smaller"):
+        _decode_wav(payload)
+    assert _decode(payload)[3] == "corrupt"

@@ -153,6 +153,11 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int]:
             # container must dead-letter, not claim the declared frames
             raise ValueError(f"WAV chunk {cid!r} runs past end of payload")
         if cid == b"fmt ":
+            if csz < 16:
+                # unpacking 16 bytes from an undersized fmt chunk would
+                # silently read the NEXT chunk's bytes as PCM params —
+                # plausible-but-wrong metadata instead of a dead letter
+                raise ValueError("WAV fmt chunk smaller than PCM header")
             _, n_channels, sample_rate, _, block_align, _ = struct.unpack_from(
                 "<HHIIHH", payload, pos + 8
             )

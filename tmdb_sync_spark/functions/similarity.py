@@ -28,13 +28,13 @@ from pyspark.sql import functions as F
 
 from tmdb_sync_spark.io import parallel_table, table
 from tmdb_sync_spark.registry import register
-from tmdb_sync_spark.util import register_reset_hook
+from tmdb_sync_spark.util import file_fingerprint, register_reset_hook
 
 DIM = 64
 TOP_K = 5
 N_SIGN_BITS = 8
 
-_QUANT_SQL = """
+_QUANT_SQL = f"""
     WITH q AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -43,26 +43,34 @@ _QUANT_SQL = """
     ),
     n AS (
         SELECT vec_id, v,
-               CAST(list_aggregate(list_transform(generate_series(1, 64), i -> v[i] * v[i]),
+               CAST(list_aggregate(list_transform(generate_series(1, {DIM}), i -> v[i] * v[i]),
                                    'sum') AS BIGINT) AS nrm
         FROM q
     )
 """
 
 
-def _quantized_from(emb: DataFrame) -> DataFrame:
-    """vec_id, v (quantized BIGINT vector), nrm (exact squared norm)."""
-    v = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
+def _quant_expr(col: Column) -> Column:
+    """floor(x*1000 + 0.5) BIGINT quantization — the ONE definition both
+    projections below and ``_QUANT_SQL`` must stay bit-identical to."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
     )
-    df = emb.select("vec_id", v.alias("v"))
-    nrm = F.aggregate(
-        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+
+
+def _nrm_expr(v: Column) -> Column:
+    """Exact squared norm of an already-quantized attribute column."""
+    return F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return df.select("vec_id", "v", nrm.alias("nrm"))
+
+
+def _quantized_from(emb: DataFrame) -> DataFrame:
+    """vec_id, v (quantized BIGINT vector), nrm (exact squared norm)."""
+    df = emb.select("vec_id", _quant_expr(F.col("embedding")).alias("v"))
+    return df.select("vec_id", "v", _nrm_expr(F.col("v")).alias("nrm"))
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,21 +148,13 @@ def _bucketed(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
         F.when(F.element_at(F.col("embedding"), i + 1) >= 0, "1").otherwise("0")
         for i in range(n_bits)
     ]
-    v = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
-    )
     q = emb.select(
-        "vec_id", F.concat(*bits).alias("bucket"), v.alias("v")
+        "vec_id", F.concat(*bits).alias("bucket"),
+        _quant_expr(F.col("embedding")).alias("v"),
     )
-    nrm = F.aggregate(
-        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return q.select("vec_id", "bucket", "v", nrm.alias("nrm")).where(
-        F.col("nrm") > 0
-    )
+    return q.select(
+        "vec_id", "bucket", "v", _nrm_expr(F.col("v")).alias("nrm")
+    ).where(F.col("nrm") > 0)
 
 
 @register(
@@ -385,12 +385,11 @@ _CODEBOOK_MEMO: dict = {}
 register_reset_hook(_CODEBOOK_MEMO.clear)
 
 
-def _embeddings_fingerprint(sf_dir: str) -> tuple | None:
-    try:
-        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    except OSError:
-        return None          # let the read itself produce the real error
-    return (st.st_mtime_ns, st.st_size)
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    # shared stamp (util.file_fingerprint): unlike a bare os.stat, it
+    # descends a directory-of-parts layout, where a dir's own
+    # (mtime, size) can survive an in-place part-file rewrite unchanged
+    return file_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
 
 # centroids = the first N_CENTROIDS corpus vectors (deterministic in both
 # engines; a production build would k-means these, any fixed seed set works
