@@ -74,3 +74,29 @@ def test_user_state_fn_all_null_chunk_does_not_poison_extrema():
     r2 = out2.iloc[0]
     assert r2["n_events"] == 2
     assert r2["max_value"] is None and r2["min_value"] is None
+
+
+def test_events_stream_reads_directory_layout(spark, tmp_path):
+    """events.parquet as a DIRECTORY of part files (the layout the batch
+    reader supports) must stream every row: the file-source glob of
+    'events.parquet' matches no part-* leaf inside a directory, so the
+    source must load the dir directly (review finding — the glob form
+    silently streamed zero rows)."""
+    from tmdb_sync_spark.io import table
+    from tmdb_sync_spark.streaming.windows import st_tumbling_window
+
+    src = "/root/testdata/sf0.001"
+    batch = table(spark, src, "events")
+    # rewrite events as a directory of part files in a scratch sf dir
+    d = str(tmp_path)
+    batch.repartition(3).write.parquet(f"{d}/events.parquet")
+    assert len(
+        [f for f in __import__("os").listdir(f"{d}/events.parquet")
+         if f.endswith(".parquet")]
+    ) >= 2
+
+    out = st_tumbling_window(spark, d)
+    ref = st_tumbling_window(spark, src)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
