@@ -168,3 +168,43 @@ def test_write_partitioned_respects_live_merge_lock(spark, sf_dir, tmp_path):
             write_partitioned(orders, target, "o_year")
     finally:
         os.unlink(lock)
+
+
+def test_dir_lock_mutual_exclusion_under_contention(tmp_path):
+    """8 threads hammer one directory with wait-mode acquires around a
+    deliberately unsynchronized critical section; the lock alone must
+    serialize them (no overlap ever observed), including through the
+    stale-reclaim path seeded by a garbled lock file."""
+    import time as _time
+
+    from tmdb_sync_spark.util import acquire_dir_lock, release_dir_lock
+
+    target = str(tmp_path)
+    # seed a garbled lock so the first winners exercise reclaim too
+    with open(os.path.join(target, "_stress.lock"), "w") as fh:
+        fh.write("garbage\n")
+    active = [0]
+    overlaps = []
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(15):
+                lock = acquire_dir_lock(target, "_stress.lock", wait_s=60)
+                active[0] += 1
+                if active[0] != 1:
+                    overlaps.append(active[0])
+                _time.sleep(0.002)
+                active[0] -= 1
+                release_dir_lock(lock)
+        except BaseException as e:  # pragma: no cover - diagnostic
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert overlaps == []
+    assert not os.path.exists(os.path.join(target, "_stress.lock"))

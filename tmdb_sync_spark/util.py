@@ -40,8 +40,15 @@ def acquire_dir_lock(
     (:class:`ConcurrentWriterError`) — or, with ``wait_s``, polls until
     the holder releases — rather than corrupting the directory; a lock
     left by a crashed writer (dead pid, or unreadable contents) is
-    reclaimed via an atomic rename so exactly one contender wins the
-    reclaim and the others retry against the winner's fresh lock.
+    reclaimed under a short-lived ``O_EXCL`` reclaim MUTEX that
+    re-validates staleness before unlinking. The earlier claim-by-rename
+    reclaim had a TOCTOU the contention stress test caught red-handed:
+    a contender acting on a stale read could rename away the FRESH lock
+    a faster reclaimer had already installed, yielding two live holders.
+    Under the mutex the unlink provably removes the stale inode: while
+    the stale lock file exists no acquirer can ``os.link`` over it, only
+    the single mutex-holding reclaimer may remove it, and a lock
+    re-read as live is never touched.
 
     The lock appears WITH its pid payload in one atomic step
     (``os.link`` from a pre-written temp file, the create-exclusive that
@@ -98,15 +105,48 @@ def acquire_dir_lock(
                     "pid is NOT a writer (a crashed holder's pid was "
                     "recycled), verify and remove the lock file"
                 ) from None
-            # stale lock: claim-by-rename so concurrent reclaimers can't
-            # unlink each other's fresh locks — only the renamer proceeds
-            # to delete, everyone re-contends on the atomic link
-            claim = f"{lock_path}.reclaim.{os.getpid()}"
+            # stale lock: reclaim under the O_EXCL reclaim mutex, and
+            # RE-VALIDATE while holding it — our first read may predate
+            # a faster reclaimer's fresh lock
+            mutex = f"{lock_path}.reclaim"
             try:
-                os.rename(lock_path, claim)
+                st = os.stat(mutex)
+                # a reclaimer's critical section is microseconds; a
+                # mutex this old was abandoned by a crash — remove it
+                # (concurrent removers: second unlink is a no-op)
+                if time.time() - st.st_mtime > 10.0:
+                    try:
+                        os.unlink(mutex)
+                    except FileNotFoundError:
+                        pass
             except FileNotFoundError:
-                continue                  # another contender reclaimed it
-            os.unlink(claim)
+                pass
+            try:
+                rfd = os.open(mutex, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                time.sleep(0.01)          # another reclaimer is working
+                continue
+            try:
+                pid2 = None
+                try:
+                    with open(lock_path, "rb") as fh:
+                        pid2 = int(fh.read().split()[0])
+                except FileNotFoundError:
+                    continue              # released/reclaimed already
+                except (OSError, ValueError, IndexError):
+                    pass                  # still garbled → reclaimable
+                if pid2 is not None and _pid_alive(pid2):
+                    continue              # fresh live lock appeared — back off
+                try:
+                    os.unlink(lock_path)
+                except FileNotFoundError:  # pragma: no cover - benign race
+                    pass
+            finally:
+                os.close(rfd)
+                try:
+                    os.unlink(mutex)
+                except FileNotFoundError:  # pragma: no cover - stale sweep
+                    pass
     finally:
         try:
             os.unlink(tmp_path)
