@@ -44,7 +44,9 @@ from tmdb_sync_spark.util import reset_materialization_cache
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RAMP_ROOT = "/tmp/spark_graft_ramp"
-SCALES = [1, 4, 16]
+SCALES = [
+    int(s) for s in os.environ.get("SPARK_GRAFT_RAMP_SCALES", "1,4,16").split(",")
+]
 STRIDE_UNIT = 2310            # lcm(7,5,11,3,2): preserves media stripes
 
 GROUP_A = [
@@ -218,11 +220,15 @@ def main() -> None:
     print("fixed 4 bits: " + "  ".join(
         f"x{k}={v}" for k, v in fixed.items())
         + "  (x16 omitted: ~16x the x4 pair count)", flush=True)
-    bits_for = {1: 4, 4: 6, 16: 8}
+    import math
+
+    # hold bucket occupancy constant: +2 bits per 4x corpus (4/6/8/10...)
+    bits_for = {k: 4 + 2 * round(math.log(k, 4)) for k in SCALES}
     scaled = {k: timed(lambda k=k: pair_join(spark, dirs[k], bits_for[k]))
               for k in SCALES}
-    print("scaled bits (4/6/8): " + "  ".join(
-        f"x{k}={v}" for k, v in scaled.items()), flush=True)
+    print("scaled bits " + "/".join(str(bits_for[k]) for k in SCALES)
+          + ": " + "  ".join(f"x{k}={v}" for k, v in scaled.items()),
+          flush=True)
 
     print("\n== C. IVF probe, FIXED 40 queries, corpus ramp ==", flush=True)
     ivf = {k: timed(lambda k=k: ivf_fixed_queries(spark, dirs[k]))
