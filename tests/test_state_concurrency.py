@@ -77,3 +77,32 @@ def test_dead_letter_replay_is_idempotent(spark, sf_dir):
     # replay the same pages in a fresh run
     run_sync_top(spark, d, max_pages=5, resume=False, start_page=1)
     assert spark.read.parquet(f"{d}/errors").count() == n1
+
+
+def test_readers_never_see_a_partial_commit(spark, tmp_path):
+    """A poller loops read_cursor while a writer commits: with atomic
+    version publication the reader must never crash on a half-written
+    version dir and must observe pages monotonically."""
+    path = str(tmp_path / "cursors")
+    stop = threading.Event()
+    seen: list[int] = []
+    errors: list = []
+
+    def reader():
+        try:
+            while not stop.is_set():
+                seen.append(st.read_cursor(spark, path, "k")["page"])
+        except BaseException as e:  # pragma: no cover - diagnostic
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for page in range(1, 9):
+            st.write_cursor(spark, path, _cursor("k", page))
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors, errors
+    assert seen == sorted(seen)          # monotonic, no partial reads
+    assert seen[-1] == 8 or st.read_cursor(spark, path, "k")["page"] == 8
