@@ -13,6 +13,7 @@ from tmdb_sync_spark.sources.http_client import (
     HttpStatusError,
     TmdbApi,
     TransientHttpError,
+    RequestsTransport,
     UrllibTransport,
     error_record,
     request_with_retry,
@@ -141,9 +142,10 @@ def live_server():
         srv.server_close()
 
 
-def test_urllib_transport_200_and_params(live_server):
+@pytest.mark.parametrize("T", [UrllibTransport, RequestsTransport])
+def test_real_transport_200_and_params(live_server, T):
     base, _ = live_server
-    t = UrllibTransport(base, api_key="k123")
+    t = T(base, api_key="k123")
     out = t.request("/ok", {"page": 3, "include_adult": False})
     assert out["path"] == "/ok" and out["hit"] == 1
     # query string carries params AND the injected api key
@@ -153,9 +155,10 @@ def test_urllib_transport_200_and_params(live_server):
     assert "include_adult=false" in out["query"]
 
 
-def test_urllib_transport_404_taxonomy(live_server):
+@pytest.mark.parametrize("T", [UrllibTransport, RequestsTransport])
+def test_real_transport_404_taxonomy(live_server, T):
     base, _ = live_server
-    t = UrllibTransport(base)
+    t = T(base)
     with pytest.raises(HttpStatusError) as ei:
         t.request("/missing", {})
     assert ei.value.status_code == 404
@@ -163,9 +166,10 @@ def test_urllib_transport_404_taxonomy(live_server):
     assert rec["category"] == "http" and rec["status_code"] == 404
 
 
-def test_urllib_transport_5xx_retries_with_backoff(live_server):
+@pytest.mark.parametrize("T", [UrllibTransport, RequestsTransport])
+def test_real_transport_5xx_retries_with_backoff(live_server, T):
     base, hits = live_server
-    t = UrllibTransport(base)
+    t = T(base)
     waits: list[int] = []
     out = request_with_retry(
         t, "/flaky", {}, max_attempts=5, backoff=waits.append
@@ -174,22 +178,24 @@ def test_urllib_transport_5xx_retries_with_backoff(live_server):
     assert waits == [1, 2]   # linear backoff hook called per failed attempt
     # the default hook on the real transport is time.sleep(attempt)
     import time
-    assert UrllibTransport.backoff is time.sleep
+    assert T.backoff is time.sleep
 
 
-def test_urllib_transport_does_not_follow_redirects(live_server):
+@pytest.mark.parametrize("T", [UrllibTransport, RequestsTransport])
+def test_real_transport_does_not_follow_redirects(live_server, T):
     """httpx's default surfaces 3xx as a status error; the stdlib
     transport must behave identically or the env-selected fallback would
     change observable sync behavior on a redirecting base URL."""
     base, hits = live_server
-    t = UrllibTransport(base)
+    t = T(base)
     with pytest.raises(HttpStatusError) as ei:
         t.request("/moved", {})
     assert ei.value.status_code == 302
     assert "/ok" not in hits   # the redirect target was never fetched
 
 
-def test_urllib_transport_connection_failure_is_transient():
+@pytest.mark.parametrize("T", [UrllibTransport, RequestsTransport])
+def test_real_transport_connection_failure_is_transient(T):
     import socket
 
     # grab a port with nothing listening on it
@@ -197,7 +203,7 @@ def test_urllib_transport_connection_failure_is_transient():
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
-    t = UrllibTransport(f"http://127.0.0.1:{port}")
+    t = T(f"http://127.0.0.1:{port}")
     with pytest.raises(TransientHttpError):
         t.request("/ok", {})
 
@@ -349,14 +355,24 @@ def test_api_over_live_socket_end_to_end(live_server):
 
 def test_get_api_env_selects_real_transport(live_server, monkeypatch):
     """TMDB_API_BASE opts the process into a real-socket transport via
-    get_api without touching any other code — and falls back from httpx
-    (absent here) to the stdlib transport."""
+    get_api without touching any other code — httpx (absent here) falls
+    back to the pooled requests.Session (present), and when THAT is
+    unavailable too, to the zero-dependency stdlib transport."""
     import tmdb_sync_spark.sources.http_client as hc
 
     base, hits = live_server
     monkeypatch.setenv("TMDB_API_BASE", base)
     monkeypatch.setattr(hc, "_API", None)   # reset the process singleton
     api = hc.get_api()
-    assert isinstance(api.transport, UrllibTransport)
+    assert isinstance(api.transport, RequestsTransport)
     assert api.details(7)["path"] == "/movie/7" and hits["/movie/7"] == 1
+
+    def no_requests(*a, **k):
+        raise ImportError("requests unavailable")
+
+    monkeypatch.setattr(hc, "RequestsTransport", no_requests)
+    monkeypatch.setattr(hc, "_API", None)
+    api = hc.get_api()
+    assert isinstance(api.transport, UrllibTransport)
+    assert api.details(8)["path"] == "/movie/8" and hits["/movie/8"] == 1
     monkeypatch.setattr(hc, "_API", None)   # don't leak into other tests

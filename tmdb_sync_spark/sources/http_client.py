@@ -202,6 +202,50 @@ class HttpxTransport:
         return resp.json()
 
 
+class RequestsTransport:
+    """Pooled third-party client over ``requests.Session`` — the same
+    policy as :class:`HttpxTransport` (connect/read timeouts, no
+    redirects, identical status taxonomy, lowercase booleans). Unlike
+    httpx, ``requests`` IS present in this container, so the
+    pooled-library variant of the seam is genuinely integration-tested
+    against a live local ``http.server`` (tests/test_http_client.py);
+    httpx remains first choice when installed. Timeout semantics match
+    httpx's per-operation model (connect bound + between-bytes read
+    bound); the stricter TOTAL body deadline is the urllib transport's
+    extra."""
+
+    backoff = staticmethod(time.sleep)   # linear, app/sync_top.py:117
+
+    def __init__(self, base_url: str, api_key: str | None = None,
+                 timeout: tuple[float, float] = (10.0, 30.0)) -> None:
+        import requests   # third-party; import-gated like httpx
+
+        self._base = base_url.rstrip("/")
+        self._api_key = api_key
+        self._timeout = timeout          # (connect, read) app/tmdb_client.py:14
+        self._session = requests.Session()
+
+    def request(self, endpoint: str, params: dict) -> dict:
+        if self._api_key:
+            params = {**params, "api_key": self._api_key}
+        params = {
+            k: (str(v).lower() if isinstance(v, bool) else v)
+            for k, v in params.items()
+        }
+        try:
+            resp = self._session.get(
+                self._base + endpoint, params=params,
+                timeout=self._timeout, allow_redirects=False,
+            )
+        except Exception as e:   # DNS/conn/timeouts → retryable
+            raise TransientHttpError(str(e)) from e
+        if resp.status_code in (429, 500, 502, 503, 504):
+            raise TransientHttpError(f"HTTP {resp.status_code}")
+        if resp.status_code != 200:
+            raise HttpStatusError(resp.status_code, resp.text)
+        return resp.json()
+
+
 class UrllibTransport:
     """Stdlib real-socket transport — the same status taxonomy and retry
     contract as :class:`HttpxTransport` with zero dependencies, so the
@@ -358,10 +402,14 @@ def get_api() -> TmdbApi:
     if _API is None:
         base = os.environ.get("TMDB_API_BASE")
         if base:
+            key = os.environ.get("TMDB_API_KEY")
             try:
-                transport = HttpxTransport(base, os.environ.get("TMDB_API_KEY"))
-            except ImportError:   # no httpx → stdlib transport, same policy
-                transport = UrllibTransport(base, os.environ.get("TMDB_API_KEY"))
+                transport = HttpxTransport(base, key)
+            except ImportError:
+                try:   # no httpx → pooled requests.Session, same policy
+                    transport = RequestsTransport(base, key)
+                except ImportError:   # stdlib last — zero dependencies
+                    transport = UrllibTransport(base, key)
         else:
             transport = FixtureTransport()
         _API = TmdbApi(transport)
