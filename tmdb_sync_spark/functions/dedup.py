@@ -19,6 +19,7 @@ divisions.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -96,8 +97,15 @@ def shingled(docs: DataFrame, *keep: str) -> DataFrame:
     )
 
 
-def minhash_signature(docs: DataFrame) -> DataFrame:
+def minhash_signature(docs: DataFrame, carry: Sequence[str] = ()) -> DataFrame:
     """doc_id + h0..h7 minhash signature columns for (doc_id, text) rows.
+
+    ``carry`` rides extra per-doc columns (constant within a doc_id)
+    through the signature aggregation via ``first`` — so a caller that
+    needs both the signature AND doc-level attributes downstream can
+    stage ONE table instead of two full passes over the corpus
+    (pipeline_curation's kept-corpus stage; parquet column pruning then
+    serves each consumer just its columns).
 
     Shape: explode shingles → TWO md5 digests per shingle → slice each
     128-bit digest into four disjoint 8-hex (32-bit) chunks = 8
@@ -118,20 +126,25 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
     # HOF work and pinning it to the single scan partition. The outer
     # variant is exempt from the rule and identical here: both branches
     # of _shingles_from yield a non-empty array.
-    exploded = shingled(docs).select(
-        "doc_id", F.explode_outer("shingles").alias("s")
+    carry = list(carry)
+    exploded = shingled(docs, *carry).select(
+        "doc_id", *carry, F.explode_outer("shingles").alias("s")
     )
     d0 = F.md5(F.col("s").cast("binary"))
     d1 = F.md5(F.concat(F.lit("x|"), F.col("s")).cast("binary"))
     hashed = exploded.select(
         "doc_id",
+        *carry,
         *[
             F.substring(d0 if i < 4 else d1, 1 + 8 * (i % 4), 8).alias(f"x{i}")
             for i in range(N_HASHES)
         ],
     )
     return hashed.groupBy("doc_id").agg(
-        *[F.min(f"x{i}").alias(f"h{i}") for i in range(N_HASHES)]
+        # carry columns are constant per doc_id, so first() is
+        # deterministic and rides the same map-side partial aggregation
+        *[F.first(c).alias(c) for c in carry],
+        *[F.min(f"x{i}").alias(f"h{i}") for i in range(N_HASHES)],
     )
 
 

@@ -108,51 +108,50 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact dedup: one shuffle on the (uniform) md5 key, min_by keeps the
     # smallest doc_id — identical to dd_exact's canonical-id policy.
-    # Staging tables, not persist(): the filtered corpus feeds BOTH the
-    # signature branch and the final anti-join, and the signature fans
-    # out into three branches of one downstream action — a lazily-filled
-    # executor cache can race (concurrent branches each recompute the
-    # md5-heavy shingling before the cache fills) and holds the whole
-    # kept corpus in executor storage, a real cost cliff at 100 TB.
-    # materialize_once runs each stage exactly once into a scratch
-    # parquet table (keyed on sf_dir — bounded /tmp across invocations)
-    # and every consumer reads the files; nothing lives in storage memory.
+    # ONE staging table, not persist() and not two: the kept corpus used
+    # to stage once for itself and once for its signature — two full
+    # passes. The signature aggregation now CARRIES the doc-level
+    # summary columns (constant per doc, F.first through the same
+    # map-side combine), so a single scratch parquet table serves both
+    # the banded self-join (reads doc_id+h*) and the final summary
+    # (reads doc_id+lang+q+ntok) — parquet column pruning splits the
+    # reads, nothing lives in executor storage, and at 100 TB one whole
+    # write+read of the kept corpus disappears. (A lazily-filled cache
+    # instead of staging would race: the signature fans out to three
+    # branches of one action, each recomputing the md5-heavy shingling
+    # before the cache fills.)
     from tmdb_sync_spark.util import file_fingerprint, materialize_once
 
-    # content fingerprint in both keys: a driver-side regeneration of
-    # documents.parquet must miss these caches, not serve stale stages
+    # content fingerprint in the key: a driver-side regeneration of
+    # documents.parquet must miss this cache, not serve a stale stage
     docs_fp = file_fingerprint(f"{sf_dir}/documents.parquet")
     row = F.struct("doc_id", "text", "lang", "q", "ntok")
-    kept_exact = materialize_once(
+    kept_exact = (
         quality.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
         .agg(F.min_by(row, "doc_id").alias("r"))
-        .select("r.*"),
-        cache_key=("cur_kept", sf_dir, docs_fp),
-        prefix="cur_kept_",
+        .select("r.*")
+        # spread the md5-heavy shingling across the cluster: the dedup
+        # agg's output partitioning is the md5 key's, which is fine, but
+        # AQE may coalesce it small at this SF — pin the CPU-bound
+        # stage's parallelism before it
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    staged = materialize_once(
+        minhash_signature(kept_exact, carry=["lang", "q", "ntok"]),
+        cache_key=("cur_kept_sig", sf_dir, docs_fp),
+        prefix="cur_kept_sig_",
     )
 
     # near-dup candidates: banded minhash equi-join (dd_minhash_lsh's
     # shared shape), then the overlap filter picks real near-dups.
-    # repartition first: the staged table's files coalesce into very few
-    # input splits (maxPartitionBytes), which would serialize the
-    # md5-heavy shingling onto one core — spread the CPU-bound stage
-    # across the cluster before it, not after.
-    sig = materialize_once(
-        minhash_signature(
-            kept_exact.select("doc_id", "text")
-            .repartition(spark.sparkContext.defaultParallelism)
-        ),
-        cache_key=("cur_sig", sf_dir, docs_fp),
-        prefix="cur_sig_",
-    )
     drops = (
-        banded_pairs_with_overlap(sig)
+        banded_pairs_with_overlap(staged)
         .where(F.col("n_equal_hashes") >= NEAR_DUP_MIN)
         .select(F.col("doc_b").alias("drop_id"))
         .distinct()
     )
-    final = kept_exact.join(
-        drops, kept_exact.doc_id == drops.drop_id, "left_anti"
+    final = staged.select("doc_id", "lang", "q", "ntok").join(
+        drops, staged.doc_id == drops.drop_id, "left_anti"
     )
     return (
         final.groupBy("lang")
