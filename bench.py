@@ -8,11 +8,12 @@ Each query is executed to completion with the noop sink (full compute,
 no driver-side result transfer) after a short JVM warmup.
 
 Environment knobs:
-- SPARK_GRAFT_BENCH_REPS (default 2): timed executions per query. Run 1
+- SPARK_GRAFT_BENCH_REPS (default 4): timed executions per query. Run 1
   is always "cold" (includes whole-stage-codegen compile); "warm" is the
-  MEDIAN of runs 2..N, so with the default the driver cost is unchanged
-  and a local re-baseline can ask for e.g. 4 reps and get a noise-robust
-  median.
+  MEDIAN of runs 2..N (3 warm reps by default), so the recorded artifact
+  is noise-robust and a single JIT-tier-up outlier (e.g. the documented
+  dd_embedding_cosine 2.355 → 0.674 warm-up step) can never masquerade
+  as a regression. Set to 2 for a quick single-warm-rep iteration loop.
 The JSON line embeds `table_rows` (row count per input table at this SF)
 so a driver-side regeneration of /root/testdata is visible in the bench
 artifact itself — r4's events 60k→100k growth was only discovered by
@@ -114,7 +115,7 @@ def main() -> None:
         if os.path.exists(p):
             table_rows[t] = spark.read.parquet(p).count()
 
-    reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)

@@ -234,6 +234,122 @@ def test_crash_at_any_fs_step_replays_to_invariant(
     assert {k: (y, p) for k, y, p in post} == expected
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tmap=keymaps,
+    smap=keymaps,
+    # an overwrite's fs steps: pre-manifest replace, per-partition
+    # rename-aside/install/delete, post-manifest replace, staging cleanup
+    # — the cap reaches past the last so the no-crash path gets examples
+    crash_after=hs.integers(min_value=0, max_value=22),
+)
+def test_overwrite_crash_at_any_fs_step_replays_to_new_table(
+    spark, tmap, smap, crash_after
+):
+    """Crash sweep for the full-overwrite path (r5 verdict wrong-item 1):
+    ``write_partitioned`` now routes through the merge's staging +
+    rename-aside swap + leftover-recovery protocol, so dying before the
+    (crash_after+1)-th filesystem mutation and replaying the overwrite
+    must yield EXACTLY the new table — old partitions fully gone
+    (including years the new data no longer has), every new partition
+    installed, no dot-prefixed leftovers, no staging residue. The
+    pre-protocol implementation overwrote in place and a crash mid-write
+    left a partial table no replay could distinguish from real data."""
+    if not tmap:
+        tmap = {0: 0}
+    if not smap:
+        smap = {5: 2}
+    d = tempfile.mkdtemp(prefix="ow_crash_")
+    target_dir = f"{d}/t"
+    tdf = spark.createDataFrame(
+        [(k, v, k * 10.0) for k, v in tmap.items()],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    write_partitioned(tdf, target_dir, "y", manifest_key="k")
+    ndf = spark.createDataFrame(
+        [(k, v, k * 100.0) for k, v in smap.items()],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+
+    state = {"armed": True, "n": 0}
+    real = {
+        "rename": os.rename, "replace": os.replace,
+        "move": shutil.move, "rmtree": shutil.rmtree,
+    }
+
+    def guard(*paths):
+        if state["armed"] and any(str(p).startswith(d) for p in paths):
+            state["n"] += 1
+            if state["n"] > crash_after:
+                raise _InjectedCrash(f"fs step {state['n']}")
+
+    def make(name):
+        fn = real[name]
+
+        def wrapped(p, *a, **k):
+            guard(p, *(a[:1]))
+            return fn(p, *a, **k)
+
+        return wrapped
+
+    try:
+        os.rename, os.replace = make("rename"), make("replace")
+        shutil.move, shutil.rmtree = make("move"), make("rmtree")
+        crashed = False
+        try:
+            write_partitioned(ndf, target_dir, "y", manifest_key="k")
+        except _InjectedCrash:
+            crashed = True
+        state["armed"] = False
+        if crashed:   # the process died; the caller replays the overwrite
+            write_partitioned(ndf, target_dir, "y", manifest_key="k")
+    finally:
+        state["armed"] = False
+        os.rename, os.replace = real["rename"], real["replace"]
+        shutil.move, shutil.rmtree = real["move"], real["rmtree"]
+
+    post = [
+        (r["k"], r["y"], r["price"])
+        for r in spark.read.parquet(target_dir).collect()
+    ]
+    expected = {k: (v, k * 100.0) for k, v in smap.items()}
+    assert len(post) == len(expected), "overwrite semantics: new rows only"
+    assert {k: (y, p) for k, y, p in post} == expected
+    # dir protocol fully settled: exactly the new partitions, no hidden
+    # leftovers, no staging dir
+    want_dirs = {
+        "y=__HIVE_DEFAULT_PARTITION__" if v is None else f"y={v}"
+        for v in smap.values()
+    }
+    have = sorted(os.listdir(target_dir))
+    assert {e for e in have if e.startswith("y=")} == want_dirs
+    assert not [e for e in have if e.startswith(".")]
+    assert not os.path.exists(target_dir + "__staging")
+
+
+def test_overwrite_drops_stale_manifest_when_unmaintained(spark):
+    """An overwrite WITHOUT manifest_key must not leave a previous
+    merge's manifest describing rows that no longer exist — stale ranges
+    would mis-prune the next merge's moved-key probe."""
+    from tmdb_sync_spark.plans import manifest as km
+
+    d = tempfile.mkdtemp(prefix="ow_manifest_")
+    target_dir = f"{d}/t"
+    df1 = spark.createDataFrame([(1, 2000, 1.0)], "k BIGINT, y INT, p DOUBLE")
+    write_partitioned(df1, target_dir, "y", manifest_key="k")
+    assert os.path.exists(os.path.join(target_dir, km.MANIFEST_NAME))
+    df2 = spark.createDataFrame([(9, 2001, 9.0)], "k BIGINT, y INT, p DOUBLE")
+    write_partitioned(df2, target_dir, "y")          # unmaintained overwrite
+    assert not os.path.exists(os.path.join(target_dir, km.MANIFEST_NAME))
+    # and the table is exactly the new data
+    assert [(r.k, r.y) for r in spark.read.parquet(target_dir).collect()] \
+        == [(9, 2001)]
+
+
 def test_duplicate_source_keys_fail_loudly(spark):
     """SQL MERGE forbids multiple source rows matching one target row
     (Delta raises the same); emitting one output row per matched pair
@@ -246,6 +362,14 @@ def test_duplicate_source_keys_fail_loudly(spark):
                                    "id INT, v STRING")
     with pytest.raises(Exception, match="multiple source rows"):
         merge_into(target, source, ["id"]).collect()
+    # the guard rides EVERY output column (ADVICE r5): a consumer that
+    # projects away all but one column — or only counts — must still trip
+    # it, or projection pruning silently waives the contract
+    with pytest.raises(Exception, match="multiple source rows"):
+        merge_into(target, source, ["id"]).select("curated").collect()
+    with pytest.raises(Exception, match="multiple source rows"):
+        merge_into(target, source, ["id"], with_action=True) \
+            .select(ACTION_COL).collect()
     # unique-key sources still merge fine
     ok = merge_into(
         target, spark.createDataFrame([(1, "new")], "id INT, v STRING"),

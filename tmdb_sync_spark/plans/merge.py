@@ -86,9 +86,12 @@ def merge_into(
     t_exists = F.coalesce(F.col(f"t.{_T_MARK}"), F.lit(False))
     s_exists = F.coalesce(F.col(f"s.{_S_MARK}"), F.lit(False))
     # assert_true yields NULL when the predicate holds and raises
-    # otherwise; folding it into the first projected column (isNull() is
-    # then always true) forces per-row evaluation — a bare unreferenced
-    # guard column would be pruned by the optimizer.
+    # otherwise; folding it into EVERY projected column (isNull() is then
+    # always true) forces per-row evaluation no matter which columns a
+    # downstream consumer keeps — a guard on only one column would be
+    # defeated by projection pruning (`merge(...).select("v")`), and a
+    # bare unreferenced guard column would be pruned outright. The window
+    # count itself is computed once; the per-column If is a cheap branch.
     guard = F.assert_true(
         F.col(f"s.{_SRC_N}").isNull() | (F.col(f"s.{_SRC_N}") == 1),
         F.lit(
@@ -112,14 +115,12 @@ def merge_into(
             .when(t_exists, F.col(f"t.{c}"))
             .otherwise(ins)
         )
-        if not out:
-            merged = F.when(guard.isNull(), merged)
-        out.append(merged.alias(c))
+        out.append(F.when(guard.isNull(), merged).alias(c))
     if with_action:
-        out.append(
+        action = (
             F.when(~t_exists, F.lit("insert"))
             .when(~s_exists, F.lit("noop"))
             .otherwise(F.lit("update"))
-            .alias(ACTION_COL)
         )
+        out.append(F.when(guard.isNull(), action).alias(ACTION_COL))
     return joined.select(*out)

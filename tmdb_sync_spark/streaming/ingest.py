@@ -28,6 +28,7 @@ bookkeeping.
 
 from __future__ import annotations
 
+import itertools
 import os
 from datetime import datetime, timezone
 
@@ -64,6 +65,15 @@ ERROR_SCHEMA = (
 
 def _now() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)   # naive UTC (F5)
+
+
+# Per-run token for the staged-feed cache (ADVICE r5): without it, a
+# resume=False re-sync over the same (page, n) window within one
+# application would serve the PREVIOUS run's feed snapshot from scratch
+# parquet instead of re-fetching — invisible with the deterministic
+# fixture, silently stale against a live API. itertools.count() is
+# atomic under the GIL, so concurrent runs each get a distinct token.
+_RUN_SEQ = itertools.count()
 
 
 def _build_source(feed: DataFrame) -> DataFrame:
@@ -113,6 +123,7 @@ def run_sync_top(
     cursors_path = f"{state_dir}/cursors"
     errors_path = f"{state_dir}/errors"
 
+    run_token = next(_RUN_SEQ)
     cursor = st.read_cursor(spark, cursors_path, CURSOR_KEY)
     page = (cursor["page"] + 1) if resume and start_page is None else (start_page or 1)
     inserted = updated = 0
@@ -127,7 +138,7 @@ def run_sync_top(
         # engine uses for every fanned-out intermediate (util.py).
         feed = materialize_once(
             discover(spark, mode="top", start_page=page, max_pages=n),
-            cache_key=("ingest_feed", state_dir, page, n),
+            cache_key=("ingest_feed", run_token, state_dir, page, n),
             prefix="ingest_feed_",
         )
         src = _build_source(feed).cache()

@@ -73,8 +73,14 @@ def acquire_dir_lock(
     lock_path = os.path.join(target_dir, lock_name)
     tmp_path = f"{lock_path}.tmp.{os.getpid()}.{threading.get_ident()}"
     deadline = time.monotonic() + wait_s
+    # payload: "pid held_since tid" — tid lets release_dir_lock verify
+    # in-process ownership too (two threads of one pid are distinct
+    # holders); readers of fields[0]/[1] are unaffected by the third field
     with open(tmp_path, "wb") as fh:
-        fh.write(f"{os.getpid()} {time.time():.3f}\n".encode())
+        fh.write(
+            f"{os.getpid()} {time.time():.3f} {threading.get_ident()}\n"
+            .encode()
+        )
     try:
         while True:
             try:
@@ -127,26 +133,45 @@ def acquire_dir_lock(
                 time.sleep(0.01)          # another reclaimer is working
                 continue
             try:
-                pid2 = None
+                # Validate through an open fd so the inode we judge stale
+                # is provably the inode we unlink. The mutex narrows the
+                # race; the inode pin closes the residue the 10 s
+                # abandoned-mutex sweep reopens: a reclaimer paused past
+                # the sweep can have its mutex swept, a second reclaimer
+                # finishes and a NEW writer locks — the resumed first
+                # reclaimer must not unlink that fresh lock.
                 try:
-                    with open(lock_path, "rb") as fh:
-                        pid2 = int(fh.read().split()[0])
+                    lfd = os.open(lock_path, os.O_RDONLY)
                 except FileNotFoundError:
                     continue              # released/reclaimed already
-                except (OSError, ValueError, IndexError):
-                    pass                  # still garbled → reclaimable
-                if pid2 is not None and _pid_alive(pid2):
-                    continue              # fresh live lock appeared — back off
                 try:
+                    pid2 = None
+                    try:
+                        pid2 = int(os.read(lfd, 256).split()[0])
+                    except (OSError, ValueError, IndexError):
+                        pass              # still garbled → reclaimable
+                    if pid2 is not None and _pid_alive(pid2):
+                        continue          # fresh live lock appeared — back off
+                    stale_ino = os.fstat(lfd).st_ino
+                finally:
+                    os.close(lfd)
+                try:
+                    if os.stat(mutex).st_ino != os.fstat(rfd).st_ino:
+                        continue          # our mutex was swept — lost the section
+                    if os.stat(lock_path).st_ino != stale_ino:
+                        continue          # a different (fresh) lock replaced it
                     os.unlink(lock_path)
                 except FileNotFoundError:  # pragma: no cover - benign race
                     pass
             finally:
-                os.close(rfd)
+                # remove only OUR mutex inode — after a sweep, the name may
+                # belong to a later reclaimer whose section is live
                 try:
-                    os.unlink(mutex)
+                    if os.stat(mutex).st_ino == os.fstat(rfd).st_ino:
+                        os.unlink(mutex)
                 except FileNotFoundError:  # pragma: no cover - stale sweep
                     pass
+                os.close(rfd)
     finally:
         try:
             os.unlink(tmp_path)
@@ -155,8 +180,29 @@ def acquire_dir_lock(
 
 
 def release_dir_lock(lock_path: str) -> None:
-    """Release a lock from :func:`acquire_dir_lock`; quiet if an outside
-    actor (or a directory-clearing overwrite) already removed it."""
+    """Release a lock from :func:`acquire_dir_lock` — ONLY if its payload
+    identifies the calling thread as the holder. Quiet if already gone.
+
+    A blind unlink has a real failure mode (ADVICE r5): if an outside
+    actor removed our lock mid-run (a crashed sweep, a directory-clearing
+    actor) and ANOTHER writer has since installed a fresh lock, the blind
+    unlink deletes that live writer's lock and silently admits a third
+    writer. Verifying pid+tid from the payload means we can only ever
+    remove a lock we provably hold; a garbled or foreign lock is left for
+    the acquire-side reclaim protocol."""
+    try:
+        with open(lock_path, "rb") as fh:
+            fields = fh.read().split()
+        pid = int(fields[0])
+        tid = int(fields[2]) if len(fields) > 2 else None
+    except FileNotFoundError:
+        return
+    except (OSError, ValueError, IndexError):
+        return                      # garbled → not provably ours
+    if pid != os.getpid():
+        return
+    if tid is not None and tid != threading.get_ident():
+        return
     try:
         os.unlink(lock_path)
     except FileNotFoundError:
