@@ -86,13 +86,10 @@ def test_ivf_scorer_matches_inline_literal_reference(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from tmdb_sync_spark.functions import similarity as sim
-    from tmdb_sync_spark.io import table
 
-    cents = (
-        sim._quantized_from(table(spark, sf_dir, "embeddings"))
-        .where((F.col("vec_id") < sim.N_CENTROIDS) & (F.col("nrm") > 0))
-        .collect()
-    )
+    # same trained codebook the operator uses — the contract under test
+    # is the scorer's ORDERING, which must hold for any codebook
+    cents = sim._train_codebook(spark, sf_dir)
     qd = sim._quantized(spark, sf_dir).where(F.col("nrm") > 0)
     dists = F.array(
         *[
