@@ -100,3 +100,99 @@ def test_events_stream_reads_directory_layout(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+def test_watermark_evicts_state_across_micro_batches(spark, tmp_path):
+    """r5 verdict item 6: the windows run real readStream but as one-shot
+    AvailableNow drains — this proves the watermark actually EVICTS state
+    on a multi-trigger run. Three files (one event-hour each, an hour
+    apart) fed one-per-trigger with a 10-minute watermark: event time
+    advances past each previous hour's windows, so append mode emits them
+    finalized and the state store drops their rows. Asserted from the
+    query's own progress telemetry (stateOperators numRowsRemoved /
+    numRowsTotal), and every emitted window equals the batch aggregate."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    rows_per_hour = 30
+    all_rows = []
+    for h in range(3):
+        # minutes 0,2,..,58 — both half-hour windows of each hour get rows
+        rows = [
+            (int(h * rows_per_hour + m), f"2024-01-01 0{h}:{2 * m:02d}:00")
+            for m in range(rows_per_hour)
+        ]
+        all_rows += rows
+        df = spark.createDataFrame(rows, "user_id BIGINT, ts_s STRING").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        stage = tmp_path / f"stage{h}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(
+            p for p in os.listdir(stage) if p.endswith(".parquet")
+        )
+        dst = src_dir / f"{h}.parquet"
+        shutil.move(str(stage / part), str(dst))
+        # FileStreamSource orders by (modTime, path): make arrival order
+        # explicit so each trigger sees exactly one advancing hour
+        os.utime(dst, (time.time() + h, time.time() + h))
+
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "4")
+    sub.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        sub.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(batch_df, _epoch):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progresses) >= 3, "one micro-batch per file"
+    state = [p["stateOperators"][0] for p in q.recentProgress]
+    removed = sum(s["numRowsRemoved"] for s in state)
+    assert removed > 0, "watermark never evicted any state rows"
+    # finalized hours are gone from the store: far fewer rows than the
+    # 6 half-hour windows the data holds
+    assert state[-1]["numRowsTotal"] < 6
+
+    # emitted (finalized) windows match the batch aggregate exactly
+    emitted = {
+        (r["ws"], r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(emitted) >= 4, "hours 0 and 1 (4 windows) must finalize"
+    batch_df = spark.createDataFrame(
+        all_rows, "user_id BIGINT, ts_s STRING"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    expect = {
+        (r["ws"], r["n"])
+        for r in batch_df.groupBy(
+            F.window("ts", "30 minutes").alias("w")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n").collect()
+    }
+    assert emitted <= expect, "an emitted window diverged from batch"

@@ -209,7 +209,15 @@ def banded_pairs_with_overlap(sig: DataFrame) -> DataFrame:
     so candidate generation is a single shuffle on the band key; never an
     O(n²) cross join. Shared by ``dd_minhash_lsh`` and the curation
     pipeline's near-dup stage.
+
+    Skew guard (r5 verdict item 5): the band equi-join goes through
+    :func:`functions.pairs.tiled_self_pairs`, so a degenerate corpus that
+    collapses into one hot band (the 94 s affine-generator incident) is
+    triangle-tiled across sub-buckets instead of handed to one task;
+    results are bit-identical — the tiling is an exact cover.
     """
+    from tmdb_sync_spark.functions.pairs import tiled_self_pairs
+
     band_cols = F.array(
         *[
             F.concat(F.lit(f"{j}:"), F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))
@@ -217,11 +225,12 @@ def banded_pairs_with_overlap(sig: DataFrame) -> DataFrame:
         ]
     )
     bands = sig.select("doc_id", F.explode(band_cols).alias("band_key"))
-    a, c = bands.alias("a"), bands.alias("c")
     pairs = (
-        a.join(c, "band_key")
-        .where(F.col("a.doc_id") < F.col("c.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        tiled_self_pairs(bands, "band_key", "doc_id")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
     sa, sb = sig.alias("sa"), sig.alias("sb")
@@ -498,24 +507,19 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE computing min reachable id — same fixpoint, declaratively.
     """
     from tmdb_sync_spark.functions.similarity import (
-        DUP_THRESHOLD, N_DUP_BITS, _bucketed, _dot,
+        DUP_THRESHOLD, _dup_candidate_pairs,
     )
 
-    b = _bucketed(spark, sf_dir, N_DUP_BITS)
-    left = b.select(F.col("vec_id").alias("u"), "bucket",
-                    F.col("v").alias("av"), F.col("nrm").alias("anrm"))
-    right = b.select(F.col("vec_id").alias("w"),
-                     F.col("bucket").alias("b_bucket"),
-                     F.col("v").alias("bv"), F.col("nrm").alias("bnrm"))
-    sim = _dot(F.col("av"), F.col("bv")) / (
-        F.sqrt(F.col("anrm")) * F.sqrt(F.col("bnrm"))
-    )
+    # skew-tiled bucket self-join over the staged bucket table
+    # (similarity._dup_candidate_pairs): a hot LSH bucket fans out
+    # across sub-tiles instead of one quadratic task
     edges = (
-        left.join(right, (F.col("bucket") == F.col("b_bucket"))
-                  & (F.col("u") < F.col("w")))
-        .select("u", "w", sim.alias("s"))
-        .where(F.col("s") >= DUP_THRESHOLD)
-        .select("u", "w")
+        _dup_candidate_pairs(spark, sf_dir)
+        .where(F.col("cosine_sim") >= DUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("w"),
+        )
         .localCheckpoint()
     )
     labels = min_label_components(edges)
@@ -528,7 +532,9 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def min_label_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+def min_label_components(
+    edges: DataFrame, max_rounds: int = 64, stats: dict | None = None
+) -> DataFrame:
     """Connected components of an undirected edge list ``(u, w)`` →
     ``(v, label)`` where label = min node id in v's component.
 
@@ -596,4 +602,6 @@ def min_label_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             .count()
         )
         labels = jumped
+    if stats is not None:
+        stats["rounds"] = rounds   # observability for the scale ramp
     return labels

@@ -340,32 +340,56 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     signs), then the exact quantized cosine keeps pairs ≥ threshold.
 
     Scale shape: the pair space shrinks from O(n²) to Σ bucket², and the
-    candidate join is a hash join on ``bucket`` — one shuffle each side,
-    AQE skew-split if a bucket is hot. Raising N_DUP_BITS trades recall
-    for balance; production near-dup at 100 TB uses the same plan with
-    more planes and banded re-ranking.
+    candidate join is a hash join on ``bucket`` — one shuffle each side.
+    Raising N_DUP_BITS trades recall for balance, and a degenerate
+    corpus that still collapses into a hot bucket is triangle-tiled by
+    :func:`functions.pairs.tiled_self_pairs` (r5's manufactured 94 s
+    incident): the hot key's pair space rides every core instead of one
+    task, with bit-identical output. Production near-dup at 100 TB uses
+    the same plan with more planes and banded re-ranking.
     """
-    b = _bucketed(spark, sf_dir, N_DUP_BITS)
-    left = b.select(
-        F.col("vec_id").alias("a_id"), F.col("bucket"),
-        F.col("v").alias("av"), F.col("nrm").alias("anrm"),
-    )
-    right = b.select(
-        F.col("vec_id").alias("b_id"), F.col("bucket").alias("b_bucket"),
-        F.col("v").alias("bv"), F.col("nrm").alias("bnrm"),
-    )
-    sim = _dot(F.col("av"), F.col("bv")) / (
-        F.sqrt(F.col("anrm")) * F.sqrt(F.col("bnrm"))
-    )
+    p = _dup_candidate_pairs(spark, sf_dir)
     return (
-        left.join(
-            right,
-            (F.col("bucket") == F.col("b_bucket"))
-            & (F.col("a_id") < F.col("b_id")),
+        p.select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            "cosine_sim",
         )
-        .select("a_id", "b_id", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= DUP_THRESHOLD)
         .orderBy("a_id", "b_id")
+    )
+
+
+def _dup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tiled sign-LSH candidate pairs with their exact cosine —
+    shared by ``dd_embedding_cosine`` and ``dd_cluster_components``.
+
+    The bucketed projection (quantize + norm per row) is staged to
+    scratch parquet first: the tiling's hot-group count plus the two
+    join sides then read cheap columnar parquet (pruned to the columns
+    each branch needs) instead of re-running the 64-element HOFs three
+    times — the same staging-table discipline as ``dd_minhash_lsh``'s
+    signature. The cosine rides as a ``sym`` pair expression so the
+    threshold filter pushes into the join in its plain symmetric form
+    (see ``tiled_self_pairs``).
+    """
+    from tmdb_sync_spark.functions.pairs import tiled_self_pairs
+    from tmdb_sync_spark.util import materialize_once
+
+    b = materialize_once(
+        _bucketed(spark, sf_dir, N_DUP_BITS),
+        cache_key=(
+            "dup_buckets", sf_dir, N_DUP_BITS, _embeddings_fingerprint(sf_dir)
+        ),
+        prefix="dup_buckets_",
+    )
+    return tiled_self_pairs(
+        b, "bucket", "vec_id",
+        sym={
+            "cosine_sim": lambda l, r: _dot(l["v"], r["v"]) / (
+                F.sqrt(l["nrm"]) * F.sqrt(r["nrm"])
+            )
+        },
     )
 
 
