@@ -201,9 +201,14 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def banded_pairs_with_overlap(sig: DataFrame) -> DataFrame:
+def banded_pairs_with_overlap(
+    sig: DataFrame,
+    probe_key: tuple | None = None,
+    probe_fingerprint: tuple | None = None,
+) -> DataFrame:
     """Candidate pairs ``(doc_a, doc_b, n_equal_hashes)`` from a minhash
-    signature frame via banded LSH.
+    signature frame via banded LSH. ``probe_key``/``probe_fingerprint``
+    pass through to the skew guard's memoized hot-band probe.
 
     One exploded band table + ONE equi-join — instead of a join per band —
     so candidate generation is a single shuffle on the band key; never an
@@ -226,7 +231,10 @@ def banded_pairs_with_overlap(sig: DataFrame) -> DataFrame:
     )
     bands = sig.select("doc_id", F.explode(band_cols).alias("band_key"))
     pairs = (
-        tiled_self_pairs(bands, "band_key", "doc_id")
+        tiled_self_pairs(
+            bands, "band_key", "doc_id",
+            probe_key=probe_key, probe_fingerprint=probe_fingerprint,
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -293,7 +301,11 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="mh_sig_",
     )
 
-    cand = banded_pairs_with_overlap(sig)
+    cand = banded_pairs_with_overlap(
+        sig,
+        probe_key=("mh_bands", sf_dir),
+        probe_fingerprint=file_fingerprint(docs_path),
+    )
     return cand.select(
         "doc_a",
         "doc_b",

@@ -43,7 +43,7 @@ the ``id`` tie-break reduces to one.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Tile side bound: a hot group is split so no tile's build side exceeds
@@ -51,6 +51,16 @@ from pyspark.sql import functions as F
 # pair evaluations per tile — seconds of work, far below straggler
 # territory — while normal corpora (bucket sizes ≪ cap) never tile.
 SKEW_PAIR_CAP = 4096
+
+# (applicationId, probe_key, cap) -> (probe_fingerprint, hot rows).
+# The probe answer is derived table metadata, so it follows the IVF
+# codebook memo's fingerprint discipline (fingerprint in the VALUE — a
+# rewrite replaces the entry). Deliberately NOT wired to the
+# reset-hooks flush: a stale probe answer can only mis-choose the PLAN
+# (an un-hot group tiled, or a hot one joined naively — the pre-guard
+# behavior), never the RESULT, since both branches are exact covers.
+_HOT_MEMO: dict = {}
+_HOT_MEMO_LIMIT = 10_000
 
 
 def _pair_output(pairs: DataFrame, sym: dict | None) -> DataFrame:
@@ -71,6 +81,8 @@ def tiled_self_pairs(
     id_col: str,
     cap: int = SKEW_PAIR_CAP,
     sym: dict | None = None,
+    probe_key: tuple | None = None,
+    probe_fingerprint: tuple | None = None,
 ) -> DataFrame:
     """All unordered within-``key`` row pairs of ``df`` as struct columns
     ``a`` / ``b`` (full input rows, ``a[id_col] < b[id_col]``), each pair
@@ -93,10 +105,21 @@ def tiled_self_pairs(
     one plain expression the naive join evaluates.
 
     Cost when nothing is hot: exactly the naive join plus ONE bounded
-    probe job (``groupBy(key).count`` capped at the first hot group —
-    map-side partials, tiny shuffle). Feed this function a STAGED/cheap
-    frame when its projection is expensive, since the probe scans it
-    once more.
+    probe job (``groupBy(key).count`` — map-side partials, tiny
+    shuffle). Feed this function a STAGED/cheap frame when its
+    projection is expensive, since the probe scans it once more.
+
+    ``probe_key`` (+ ``probe_fingerprint``, e.g. a
+    ``util.file_fingerprint`` of the source table) memoizes the probe
+    answer per application: the hot-group list is derived table
+    metadata, so repeat invocations over unchanged content skip the
+    probe job entirely — and the memoized list doubles as the
+    driver-side build of the salting broadcast, removing the hot-agg
+    recompute from the tiled branch too. Staleness here is
+    performance-only by construction (both branches are exact covers),
+    so the memo needs no reset hook. Lists past ``_HOT_MEMO_LIMIT``
+    groups are not memoized (the tiled branch then recomputes the
+    hot frame distributively).
 
     The hot-group probe runs at PLAN TIME (driver-side, like the IVF
     codebook collect): the input frame must be deterministic between
@@ -119,14 +142,34 @@ def tiled_self_pairs(
         F.col("_k").alias("_k2"), F.col("_id").alias("_id2"),
         F.col("_r").alias("_r2"),
     )
-    # bounded probe: is ANY group oversized? (limit(1) stops at the first)
-    if not hot.limit(1).count():
+    # bounded plan-time probe, memoized per (application, probe_key,
+    # table fingerprint) when the caller identifies the source content
+    spark = df.sparkSession
+    mk = (
+        (spark.sparkContext.applicationId, probe_key, cap)
+        if probe_key is not None else None
+    )
+    hot_rows = None
+    if mk is not None:
+        memo = _HOT_MEMO.get(mk)
+        if memo is not None and memo[0] == probe_fingerprint:
+            hot_rows = memo[1]
+    if hot_rows is None:
+        hot_rows = hot.take(_HOT_MEMO_LIMIT + 1)
+        if mk is not None and len(hot_rows) <= _HOT_MEMO_LIMIT:
+            _HOT_MEMO[mk] = (probe_fingerprint, hot_rows)
+
+    if not hot_rows:
         pairs = base.join(
             base2,
             (F.col("_k") == F.col("_k2")) & (F.col("_id") < F.col("_id2")),
         )
         return _pair_output(pairs, sym)
 
+    if len(hot_rows) <= _HOT_MEMO_LIMIT:
+        # the collected list doubles as the broadcast build side — the
+        # salting join then needs no second pass over the hot aggregate
+        hot = spark.createDataFrame(hot_rows, hot.schema)
     salted = (
         base.join(F.broadcast(hot), "_k", "left")
         .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))

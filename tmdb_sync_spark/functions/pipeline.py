@@ -145,7 +145,11 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup candidates: banded minhash equi-join (dd_minhash_lsh's
     # shared shape), then the overlap filter picks real near-dups.
     drops = (
-        banded_pairs_with_overlap(staged)
+        banded_pairs_with_overlap(
+            staged,
+            probe_key=("cur_bands", sf_dir),
+            probe_fingerprint=docs_fp,
+        )
         .where(F.col("n_equal_hashes") >= NEAR_DUP_MIN)
         .select(F.col("doc_b").alias("drop_id"))
         .distinct()

@@ -385,6 +385,8 @@ def _dup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sqrt(l["nrm"]) * F.sqrt(r["nrm"])
             )
         },
+        probe_key=("dup_buckets", sf_dir, N_DUP_BITS),
+        probe_fingerprint=_embeddings_fingerprint(sf_dir),
     )
 
 
