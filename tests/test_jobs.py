@@ -131,3 +131,23 @@ def test_unread_results_survive_eviction_of_read_ones(spark):
         runner.wait(runner.launch(lambda: None), timeout=30)
     final = runner.wait(mine, timeout=30)
     assert final["state"] == "done" and final["result"] == {"answer": 42}
+
+
+def test_resync_stages_a_fresh_feed_per_run(spark):
+    """ADVICE r5: within one application, a resume=False re-sync over
+    the same pages must MISS the staged-feed cache (per-run token in the
+    key) — against a live API the old behavior silently replayed the
+    previous run's discover snapshot."""
+    from tmdb_sync_spark import util
+
+    d = scratch_dir("resync_test_")
+    before = {k for k in util._MAT_CACHE if "ingest_feed" in k}
+    run_sync_top(spark, d, max_pages=2, resume=False)
+    new1 = {k for k in util._MAT_CACHE if "ingest_feed" in k} - before
+    assert new1, "first run staged no feed"
+    run_sync_top(spark, d, max_pages=2, resume=False)
+    new2 = {k for k in util._MAT_CACHE if "ingest_feed" in k} - before - new1
+    # the second run staged its OWN feed (fresh token) instead of
+    # replaying the first run's snapshot
+    assert len(new2) == len(new1) > 0, \
+        "re-sync served the previous run's feed"

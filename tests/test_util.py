@@ -221,3 +221,41 @@ def test_materialize_once_under_contention(monkeypatch):
     # 5 distinct keys → exactly 5 writes total across 320 calls
     assert sum(writes.values()) == 5
     util.reset_materialization_cache()
+
+
+def test_release_dir_lock_only_removes_own_lock(tmp_path):
+    """ADVICE r5: release must verify the payload identifies the caller
+    — a blind unlink could remove a successor writer's live lock after
+    ours was externally cleared."""
+    import os
+    import threading
+
+    from tmdb_sync_spark import util
+
+    d = str(tmp_path)
+    lock = util.acquire_dir_lock(d, "_t.lock")
+    # 1. foreign-pid lock is left alone
+    os.unlink(lock)
+    with open(lock, "wb") as fh:
+        fh.write(b"999999 123.0 1\n")      # not our pid
+    util.release_dir_lock(lock)
+    assert os.path.exists(lock), "released a lock we do not hold"
+    # 2. same pid, different thread id → still refused
+    with open(lock, "wb") as fh:
+        fh.write(
+            f"{os.getpid()} 123.0 {threading.get_ident() + 1}\n".encode()
+        )
+    util.release_dir_lock(lock)
+    assert os.path.exists(lock), "released another thread's lock"
+    # 3. garbled payload → left for the acquire-side reclaim protocol
+    with open(lock, "wb") as fh:
+        fh.write(b"not-a-pid\n")
+    util.release_dir_lock(lock)
+    assert os.path.exists(lock)
+    os.unlink(lock)
+    # 4. our own lock IS released
+    lock2 = util.acquire_dir_lock(d, "_t.lock")
+    util.release_dir_lock(lock2)
+    assert not os.path.exists(lock2)
+    # 5. already-gone lock: quiet no-op
+    util.release_dir_lock(lock2)
