@@ -84,3 +84,43 @@ def test_duplicate_ids_never_pair(spark):
             for r in tiled_self_pairs(df, "k", "id", cap=cap).collect()
         ]
         assert sorted(got) == [(1, 2), (1, 2), (1, 2)]
+
+
+def test_exact_cover_property(spark):
+    """Hypothesis sweep: arbitrary group layouts (including negative and
+    duplicate ids, multiple hot groups, cap down to 1) — the tiled
+    output must equal the naive enumeration every time."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hs
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        layout=hs.lists(
+            hs.tuples(
+                hs.sampled_from(["g0", "g1", "g2"]),
+                hs.integers(min_value=-20, max_value=20),
+            ),
+            min_size=0,
+            max_size=24,
+        ),
+        cap=hs.integers(min_value=1, max_value=6),
+    )
+    def run(layout, cap):
+        rows = [(k, i, f"p{n}") for n, (k, i) in enumerate(layout)]
+        if not rows:
+            return
+        df = spark.createDataFrame(
+            rows, "k STRING, id BIGINT, payload STRING"
+        )
+        got = sorted(
+            (r["a"]["k"], r["a"]["id"], r["b"]["id"],
+             r["a"]["payload"], r["b"]["payload"])
+            for r in tiled_self_pairs(df, "k", "id", cap=cap).collect()
+        )
+        assert got == _naive_pairs(rows)
+
+    run()

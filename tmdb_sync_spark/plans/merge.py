@@ -58,10 +58,14 @@ def merge_into(
       the same error): two source rows for one key would emit two output
       rows for that key, breaking the unique-key invariant the merge
       maintains. Enforced IN the plan via a per-key window count +
-      ``assert_true``, so the violation fails the job loudly at execution
-      instead of silently corrupting the table. The window partitions on
-      the same keys the join shuffles on, so it rides the exchange the
-      join needs anyway.
+      ``assert_true`` folded into EVERY output column (ADVICE r5:
+      single-column folding was defeated by projection pruning), so the
+      violation fails the job loudly for any consumer that materializes
+      at least one column. The one consumer shape the guard cannot reach
+      is a bare ``.count()``, which prunes every column; row counts of a
+      corrupt merge are meaningless anyway, and all write paths project
+      full rows. The window partitions on the same keys the join
+      shuffles on, so it rides the exchange the join needs anyway.
     - **NULL keys are real values** — presence is decided by literal
       marker columns added to each side before the join, never by
       ``isNotNull`` on a key column: the join condition is null-safe, so
