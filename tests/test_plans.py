@@ -187,3 +187,26 @@ def test_merge_target_scan_partition_pruned(spark, sf_dir):
     # aggregate — the pruning proof for the MERGE lives in
     # test_partitioned_merge.py. Here: partition column present.
     assert "o_year" in plan
+
+
+def test_tiled_branch_repartition_survives_aqe(spark, sf_dir):
+    """The skew guard's tiled branch must keep its explicit-count
+    exchanges: AQE's byte-based coalescing folded the tiles into one
+    partition in the first draft, recreating the straggler (measured
+    44 s tiled vs 25 s naive). REPARTITION_BY_NUM is the shape AQE never
+    coalesces — pin that it's what the plan contains, and that the pair
+    work actually lands on >1 partition."""
+    from pyspark.sql import functions as F
+
+    from tmdb_sync_spark.functions.pairs import tiled_self_pairs
+    from tmdb_sync_spark.functions.similarity import N_DUP_BITS, _bucketed
+
+    b = _bucketed(spark, sf_dir, N_DUP_BITS)
+    # tiny cap → every bucket is "hot" → the tiled branch engages
+    tiled = tiled_self_pairs(b, "bucket", "vec_id", cap=8)
+    plan = tiled._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("REPARTITION_BY_NUM") >= 2, plan[:2000]
+    dist = (
+        tiled.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    assert len(dist) > 1, "tiles collapsed onto one partition"
