@@ -82,6 +82,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8"),
     )
     sub.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    # State-store provider knob. Default = Spark's in-heap HDFS-backed
+    # store: fastest at the bench's state sizes (≤ ~200k rows). At the
+    # 64× events ramp (~13M pre-agg state rows) the in-heap store hits
+    # the single-JVM heap wall — 32 state partitions OOMed outright —
+    # while RocksDB (off-heap, the production choice for large state)
+    # ran it at any partition count and ~10% faster at 8
+    # (COVERAGE.md round-6 ramp notes). Set to 'rocksdb' when keyed
+    # state per executor outgrows the heap.
+    if os.environ.get("SPARK_GRAFT_STREAM_STATE_PROVIDER", "").lower() == (
+        "rocksdb"
+    ):
+        sub.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     # also pins UTC (+ nanosAsLong iff the footer is NANOS-encoded)
     batch = table(sub, sf_dir, "events")
     raw_ts = sub.read.parquet(
