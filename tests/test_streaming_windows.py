@@ -179,20 +179,27 @@ def test_watermark_evicts_state_across_micro_batches(spark, tmp_path):
     # 6 half-hour windows the data holds
     assert state[-1]["numRowsTotal"] < 6
 
-    # emitted (finalized) windows match the batch aggregate exactly
+    # append mode must emit EXACTLY the finalizable windows (end ≤ final
+    # watermark = global max event time − 10 min; the trailing no-data
+    # micro-batch flushes them), each equal to the batch aggregate
     emitted = {
         (r["ws"], r["n"])
         for r in spark.read.parquet(out).collect()
     }
-    assert len(emitted) >= 4, "hours 0 and 1 (4 windows) must finalize"
     batch_df = spark.createDataFrame(
         all_rows, "user_id BIGINT, ts_s STRING"
     ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    max_ts = batch_df.agg(F.max("ts")).first()[0]
     expect = {
         (r["ws"], r["n"])
         for r in batch_df.groupBy(
             F.window("ts", "30 minutes").alias("w")
         ).agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("ws"), "n").collect()
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
+        .collect()
+        if (max_ts - r["we"]).total_seconds() >= 600
     }
-    assert emitted <= expect, "an emitted window diverged from batch"
+    assert len(expect) >= 4, "hours 0 and 1 (4 windows) must be finalizable"
+    assert emitted == expect, (
+        "append-mode emissions diverge from the finalizable batch windows"
+    )
