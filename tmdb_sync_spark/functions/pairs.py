@@ -64,6 +64,14 @@ _HOT_MEMO_LIMIT = 10_000
 
 
 def _pair_output(pairs: DataFrame, sym: dict | None) -> DataFrame:
+    # The payload struct deliberately duplicates key and id (full input
+    # rows) instead of carrying only the non-key columns: a "lean
+    # payload" rewrite that reconstructed a/b by name from the top-level
+    # join columns was A/B-measured 60% SLOWER end-to-end (curation
+    # 2.1 → 3.5 s, minhash 1.2 → 2.2 s) — the per-row struct
+    # reconstruction through the role CaseWhen costs far more than the
+    # duplicated bytes save at these widths. Rejected; re-evaluate only
+    # if a profile shows the candidate-join shuffle is byte-bound.
     a_first = F.col("_id") < F.col("_id2")
     return pairs.select(
         F.when(a_first, F.col("_r")).otherwise(F.col("_r2")).alias("a"),
