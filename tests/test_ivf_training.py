@@ -150,3 +150,31 @@ def test_empty_corpus_fails_loudly(spark, tmp_path):
     sim._CODEBOOK_MEMO.clear()
     with pytest.raises(ValueError, match="no usable vectors"):
         sim.ann_ivf_topk(spark, str(d))
+
+
+def test_trained_ivf_oracle_parity_on_clustered_corpus(spark, clustered_dir):
+    """The driver checks ann_ivf_topk's oracle only on its isotropic
+    embeddings, where k-means barely moves the centroids; run the same
+    Spark-vs-DuckDB comparison on the CLUSTERED corpus, where the
+    training actually relocates every centroid across both Lloyd
+    structures — a divergence in init ordering, sampling, assignment
+    tie-breaks, or the round-half-up mean shows up here first."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from tests.test_oracle_parity import canon
+
+    import pandas as pd
+
+    sim._CODEBOOK_MEMO.clear()
+    sdf = entry_mod.queries()["ann_ivf_topk"](spark, clustered_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{clustered_dir}/embeddings.parquet')"
+    )
+    odf = con.execute(entry_mod.oracle_sql()["ann_ivf_topk"]).df()
+    a, b = canon(sdf), canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b, obj="ann_ivf_topk@clustered")
