@@ -224,3 +224,53 @@ def test_break_merge_lock_escape_hatch(tmp_path):
     # table is acquirable again
     lock2 = _acquire_merge_lock(target)
     os.unlink(lock2)
+
+
+def test_concurrent_overwrites_one_table_never_interleave(spark, tmp_path):
+    """Two threads overwriting one table with DIFFERENT data: each
+    attempt either completes or raises ConcurrentMergeError — and the
+    final table is exactly ONE writer's dataset, with no hidden
+    leftovers and no staging residue. The staging+swap rework must not
+    have loosened the single-writer discipline."""
+    import threading
+
+    target = str(tmp_path / "t")
+    d0 = spark.createDataFrame(
+        [(i, i % 3, 0.0) for i in range(300)], "k BIGINT, y INT, p DOUBLE"
+    )
+    write_partitioned(d0, target, "y")     # table exists before the race
+
+    datasets = {
+        1: [(i, i % 4, 1.0) for i in range(400)],
+        2: [(i, i % 5, 2.0) for i in range(500)],
+    }
+    outcomes = {}
+
+    def run(tag):
+        df = spark.createDataFrame(
+            datasets[tag], "k BIGINT, y INT, p DOUBLE"
+        )
+        try:
+            write_partitioned(df, target, "y")
+            outcomes[tag] = "ok"
+        except ConcurrentMergeError:
+            outcomes[tag] = "locked"
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert len(outcomes) == 2 and "ok" in outcomes.values()
+
+    spark.catalog.refreshByPath(target)
+    rows = [(r.k, r.y, r.p) for r in spark.read.parquet(target).collect()]
+    winners = [t for t, o in outcomes.items() if o == "ok"]
+    # final state is exactly one successful writer's dataset — which one
+    # depends on scheduling when both succeeded serially
+    assert sorted(rows) in [sorted(datasets[t]) for t in winners], (
+        f"table is a mix; outcomes={outcomes}"
+    )
+    assert not [e for e in os.listdir(target) if e.startswith(".")]
+    assert not os.path.exists(target + "__staging")
+    assert not os.path.exists(os.path.join(target, MERGE_LOCK_NAME))
