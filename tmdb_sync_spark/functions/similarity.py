@@ -12,6 +12,13 @@ ambiguity) and all dot products / norms are exact BIGINT sums; the final
 cosine is one IEEE-deterministic expression ``dot / (sqrt(na)*sqrt(nb))``.
 This mirrors production practice at 100 TB: int8/int16-quantized vectors
 for the candidate pass, full precision only for re-ranking.
+
+Magnitude contract: quantized components must keep ``Σ v[i]²`` inside
+int64 (components ≲ 4e8 at DIM=64 — embeddings are unit-ish, quantized
+~±1000, so the headroom is ~10⁵×). A corpus that violates it fails
+LOUDLY and consistently in both engines: the session runs ANSI mode
+(Spark 4 default — long overflow throws) and DuckDB errors on BIGINT
+overflow; neither silently wraps.
 """
 
 from __future__ import annotations
