@@ -178,3 +178,57 @@ def test_trained_ivf_oracle_parity_on_clustered_corpus(spark, clustered_dir):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) > 0
     pd.testing.assert_frame_equal(a, b, obj="ann_ivf_topk@clustered")
+
+
+def test_codebook_mirror_duckdb_on_random_corpora(spark, tmp_path):
+    """Compare the TRAINED CODEBOOK itself (not just the final query)
+    against a DuckDB replay of the training CTEs, over several
+    deterministic pseudo-random corpora — zero vectors, duplicated
+    positions, sub-N_CENTROIDS sizes, empty Lloyd samples. Any drift in
+    init ordering, sampling, assignment tie-breaks, recenter rounding,
+    or the empty-cluster fallback diverges HERE, one stage before the
+    query-level oracles can see it."""
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    cases = {
+        "plain": rng.normal(0, 0.3, (40, sim.DIM)),
+        # duplicate positions → distance ties broken by cid
+        "dups": np.repeat(rng.normal(0, 0.3, (5, sim.DIM)), 8, axis=0),
+        # fewer usable vectors than centroids
+        "tiny": rng.normal(0, 0.3, (5, sim.DIM)),
+        # sample (vec_id % 4 == 0) rows are all zero → empty Lloyd
+        # sample → codebook must stay at the init book
+        "zero_sample": np.where(
+            (np.arange(24) % 4 == 0)[:, None],
+            0.0, rng.normal(0, 0.3, (24, sim.DIM))
+        ),
+    }
+    for name, x in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({
+                "vec_id": np.arange(len(x), dtype=np.int64),
+                "embedding": [r.astype(np.float32).tolist() for r in x],
+            }),
+            str(d / "embeddings.parquet"),
+        )
+        sim._CODEBOOK_MEMO.clear()
+        cents = sim._train_codebook(spark, str(d))
+        got = [(r.vec_id, [int(v) for v in r.v], int(r.nrm)) for r in cents]
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')"
+        )
+        sql = (
+            sim._QUANT_SQL + "," + sim._kmeans_sql()
+            + " SELECT cid, cv, cnrm FROM cent ORDER BY cid"
+        )
+        want = [
+            (int(cid), [int(v) for v in cv], int(cnrm))
+            for cid, cv, cnrm in con.execute(sql).fetchall()
+        ]
+        assert got == want, f"codebook mirror diverged on corpus {name!r}"
