@@ -362,14 +362,18 @@ def test_duplicate_source_keys_fail_loudly(spark):
                                    "id INT, v STRING")
     with pytest.raises(Exception, match="multiple source rows"):
         merge_into(target, source, ["id"]).collect()
-    # the guard rides EVERY output column (ADVICE r5): a consumer that
-    # projects away all but one column — or only counts — must still trip
-    # it, or projection pruning silently waives the contract
+    # the guard is a Filter above the join (round 6; supersedes the r5
+    # per-column folding): projection pruning removes columns, never
+    # filters, so EVERY consumer shape must trip it — a single projected
+    # column, the action column alone, and the shape the per-column form
+    # could not reach: a bare .count() that prunes every column.
     with pytest.raises(Exception, match="multiple source rows"):
         merge_into(target, source, ["id"]).select("curated").collect()
     with pytest.raises(Exception, match="multiple source rows"):
         merge_into(target, source, ["id"], with_action=True) \
             .select(ACTION_COL).collect()
+    with pytest.raises(Exception, match="multiple source rows"):
+        merge_into(target, source, ["id"]).count()
     # unique-key sources still merge fine
     ok = merge_into(
         target, spark.createDataFrame([(1, "new")], "id INT, v STRING"),

@@ -58,14 +58,17 @@ def merge_into(
       the same error): two source rows for one key would emit two output
       rows for that key, breaking the unique-key invariant the merge
       maintains. Enforced IN the plan via a per-key window count +
-      ``assert_true`` folded into EVERY output column (ADVICE r5:
-      single-column folding was defeated by projection pruning), so the
-      violation fails the job loudly for any consumer that materializes
-      at least one column. The one consumer shape the guard cannot reach
-      is a bare ``.count()``, which prunes every column; row counts of a
-      corrupt merge are meaningless anyway, and all write paths project
-      full rows. The window partitions on the same keys the join
-      shuffles on, so it rides the exchange the join needs anyway.
+      ``assert_true`` inside a ``Filter`` directly above the join.
+      Projection pruning removes unreferenced *columns* but can never
+      remove a ``Filter`` (it changes row counts), so the guard fires
+      for EVERY consumer shape — ``.select("one_col")``, ``.count()``
+      (which prunes all columns and defeated the r5 per-column folding),
+      or a full write. The filter predicate is ``assert_true(...).isNull()``
+      — always true when the contract holds, raising otherwise — and is
+      evaluated once per row instead of once per column per row, which
+      also returns the +0.13 s the per-column folding cost j1. The window
+      count partitions on the same keys the join shuffles on, so it rides
+      the exchange the join needs anyway.
     - **NULL keys are real values** — presence is decided by literal
       marker columns added to each side before the join, never by
       ``isNotNull`` on a key column: the join condition is null-safe, so
@@ -86,16 +89,14 @@ def merge_into(
         lambda a, b: a & b,
         [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
     )
-    joined = t.join(s, cond, "full_outer")
-    t_exists = F.coalesce(F.col(f"t.{_T_MARK}"), F.lit(False))
-    s_exists = F.coalesce(F.col(f"s.{_S_MARK}"), F.lit(False))
     # assert_true yields NULL when the predicate holds and raises
-    # otherwise; folding it into EVERY projected column (isNull() is then
-    # always true) forces per-row evaluation no matter which columns a
-    # downstream consumer keeps — a guard on only one column would be
-    # defeated by projection pruning (`merge(...).select("v")`), and a
-    # bare unreferenced guard column would be pruned outright. The window
-    # count itself is computed once; the per-column If is a cheap branch.
+    # otherwise, so `.where(guard.isNull())` passes every conforming row
+    # and fails the job on the first violation. A Filter cannot be
+    # removed by projection pruning (unlike the r5 per-column folding,
+    # which a bare `.count()` defeated), cannot be constant-folded (the
+    # predicate is data-dependent), and cannot be pushed below the full
+    # outer join (it does not filter null-extended rows), so it is
+    # evaluated exactly once per joined row for every consumer shape.
     guard = F.assert_true(
         F.col(f"s.{_SRC_N}").isNull() | (F.col(f"s.{_SRC_N}") == 1),
         F.lit(
@@ -104,6 +105,9 @@ def merge_into(
             "multi-row matches)"
         ),
     )
+    joined = t.join(s, cond, "full_outer").where(guard.isNull())
+    t_exists = F.coalesce(F.col(f"t.{_T_MARK}"), F.lit(False))
+    s_exists = F.coalesce(F.col(f"s.{_S_MARK}"), F.lit(False))
 
     out: list[Column] = []
     for c in target.columns:
@@ -119,12 +123,12 @@ def merge_into(
             .when(t_exists, F.col(f"t.{c}"))
             .otherwise(ins)
         )
-        out.append(F.when(guard.isNull(), merged).alias(c))
+        out.append(merged.alias(c))
     if with_action:
         action = (
             F.when(~t_exists, F.lit("insert"))
             .when(~s_exists, F.lit("noop"))
             .otherwise(F.lit("update"))
         )
-        out.append(F.when(guard.isNull(), action).alias(ACTION_COL))
+        out.append(action.alias(ACTION_COL))
     return joined.select(*out)
