@@ -331,6 +331,113 @@ def test_overwrite_crash_at_any_fs_step_replays_to_new_table(
     assert not os.path.exists(target_dir + "__staging")
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tmap=keymaps,
+    smap=keymaps,
+    crash_after=hs.integers(min_value=0, max_value=22),
+)
+def test_overwrite_crash_recovery_yields_old_or_new_never_a_mix(
+    spark, tmap, smap, crash_after
+):
+    """TABLE-level atomicity (round 6): per-partition swaps alone leave a
+    crash mid-loop as a mix of old and new partitions. With the
+    roll-forward journal, RECOVERY ALONE (the next writer's entry — here
+    ``_recover_leftovers`` directly, no overwrite re-run) must resolve
+    the table to EXACTLY one of the two committed states, decided by the
+    journal: present at crash time (staging had committed) → the new
+    table; absent → the old table, with staging discarded. Either way
+    the protocol residue (journal, staging, dot-dirs) is fully swept."""
+    from tmdb_sync_spark.plans.partitioned import (
+        OVERWRITE_JOURNAL_NAME,
+        _recover_leftovers,
+    )
+
+    if not tmap:
+        tmap = {0: 0}
+    if not smap:
+        smap = {5: 2}
+    d = tempfile.mkdtemp(prefix="ow_atomic_")
+    target_dir = f"{d}/t"
+    tdf = spark.createDataFrame(
+        [(k, v, k * 10.0) for k, v in tmap.items()],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    write_partitioned(tdf, target_dir, "y", manifest_key="k")
+    ndf = spark.createDataFrame(
+        [(k, v, k * 100.0) for k, v in smap.items()],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+
+    state = {"armed": True, "n": 0}
+    real = {
+        "rename": os.rename, "replace": os.replace,
+        "move": shutil.move, "rmtree": shutil.rmtree,
+    }
+
+    def guard(*paths):
+        if state["armed"] and any(str(p).startswith(d) for p in paths):
+            state["n"] += 1
+            if state["n"] > crash_after:
+                raise _InjectedCrash(f"fs step {state['n']}")
+
+    def make(name):
+        fn = real[name]
+
+        def wrapped(p, *a, **k):
+            guard(p, *(a[:1]))
+            return fn(p, *a, **k)
+
+        return wrapped
+
+    try:
+        os.rename, os.replace = make("rename"), make("replace")
+        shutil.move, shutil.rmtree = make("move"), make("rmtree")
+        crashed = False
+        try:
+            write_partitioned(ndf, target_dir, "y", manifest_key="k")
+        except _InjectedCrash:
+            crashed = True
+        state["armed"] = False
+        committed = os.path.exists(
+            os.path.join(target_dir, OVERWRITE_JOURNAL_NAME)
+        )
+        if crashed:
+            _recover_leftovers(target_dir)   # what the next writer does
+            spark.catalog.refreshByPath(target_dir)
+        else:
+            committed = True                 # clean run IS the new table
+    finally:
+        state["armed"] = False
+        os.rename, os.replace = real["rename"], real["replace"]
+        shutil.move, shutil.rmtree = real["move"], real["rmtree"]
+
+    src = smap if committed else tmap
+    mult = 100.0 if committed else 10.0
+    expected = {k: (v, k * mult) for k, v in src.items()}
+    post = [
+        (r["k"], r["y"], r["price"])
+        for r in spark.read.parquet(target_dir).collect()
+    ]
+    assert len(post) == len(expected), (
+        "recovery must land on exactly one committed state"
+    )
+    assert {k: (y, p) for k, y, p in post} == expected
+    want_dirs = {
+        "y=__HIVE_DEFAULT_PARTITION__" if v is None else f"y={v}"
+        for v in src.values()
+    }
+    have = sorted(os.listdir(target_dir))
+    assert {e for e in have if e.startswith("y=")} == want_dirs
+    assert not [e for e in have if e.startswith(".")]
+    assert OVERWRITE_JOURNAL_NAME not in have
+    assert not os.path.exists(target_dir + "__staging")
+
+
 def test_overwrite_drops_stale_manifest_when_unmaintained(spark):
     """An overwrite WITHOUT manifest_key must not leave a previous
     merge's manifest describing rows that no longer exist — stale ranges

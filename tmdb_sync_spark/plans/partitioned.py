@@ -49,6 +49,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
+import json
 import os
 import shutil
 
@@ -88,18 +89,32 @@ def write_partitioned(
     arriving in the cleared window could race. Now the new table is
     written to a staging dir first (a crash there leaves the live table
     untouched), then installed with the same dot-prefixed rename-aside
-    ``_swap_partition`` the merge uses: every crash window leaves each
-    partition either old, new, or recoverable via
-    :func:`_recover_leftovers` on the next writer's entry — never half a
-    partition, and never an invisible one. Partitions absent from the new
-    data are deleted through the ``.del`` protocol (finished, never
-    restored, by recovery). The table's ``_merge.lock`` is held
-    throughout and the directory is never cleared, so overwrite and merge
-    are now fully mutually exclusive."""
+    ``_swap_partition`` the merge uses. The table's ``_merge.lock`` is
+    held throughout and the directory is never cleared, so overwrite and
+    merge are fully mutually exclusive.
+
+    TABLE-level atomicity via a roll-forward journal: per-partition swaps
+    alone would leave a crash mid-loop as a MIX of old and new partitions
+    — atomic per partition but a semantically torn table for a full
+    overwrite (unlike a merge, whose partial application is completed by
+    re-running the same batch). So once staging has committed, the full
+    swap plan (installs + deletes + manifest key) is journaled to
+    ``_overwrite.journal`` by atomic rename, and every writer's entry
+    point (:func:`_recover_leftovers`, under the lock) ROLLS FORWARD a
+    pending journal before doing anything else: remaining staged
+    partitions install, remaining deletes finish, the exact manifest is
+    rebuilt from the installed footers, and only then is the journal
+    removed. The commit point is the journal rename — before it, a crash
+    discards staging and the old table stands; after it, every entry
+    completes the new table. This is the same write-ahead-intent role a
+    real table format's commit log plays (Delta's _delta_log, Iceberg's
+    metadata pointer), reduced to one file + deterministic replay.
+    Partitions absent from the new data are deleted through the ``.del``
+    protocol (finished, never restored, by recovery)."""
     lock = _acquire_merge_lock(path)
     try:
         _recover_leftovers(path)
-        staging = path.rstrip("/") + "__staging"
+        staging = _staging_dir(path)
         if cluster_by:
             df = df.sortWithinPartitions(partition_col, *cluster_by)
         df.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
@@ -113,9 +128,15 @@ def write_partitioned(
         ] if os.path.isdir(path) else []
         # staged partitions install; existing ones with no staged twin are
         # full-overwrite deletes (handled by _swap_partition's .del path)
-        swap_names = staged_names + [
-            n for n in sorted(existing) if n not in staged_names
-        ]
+        deletes = [n for n in sorted(existing) if n not in staged_names]
+        swap_names = staged_names + deletes
+        # COMMIT POINT: journal the swap plan (atomic rename). Before
+        # this, a crash leaves the old table + a discardable staging dir;
+        # after it, recovery rolls the overwrite FORWARD to completion.
+        _write_overwrite_journal(
+            path, staging, partition_col, staged_names, deletes,
+            manifest_key,
+        )
         manifest_path = os.path.join(path, km.MANIFEST_NAME)
         if manifest_key:
             staged_ranges = {
@@ -142,6 +163,7 @@ def write_partitioned(
             _swap_partition(path, staging, n)
         if manifest_key:
             km.save(path, manifest_key, partition_col, staged_ranges)
+        os.unlink(os.path.join(path, OVERWRITE_JOURNAL_NAME))
         shutil.rmtree(staging, ignore_errors=True)
         df.sparkSession.catalog.refreshByPath(path)
     finally:
@@ -220,6 +242,105 @@ def break_merge_lock(target_dir: str) -> bool:
         return False
 
 
+OVERWRITE_JOURNAL_NAME = "_overwrite.journal"
+
+
+def _staging_dir(target_dir: str) -> str:
+    return target_dir.rstrip("/") + "__staging"
+
+
+def _write_overwrite_journal(
+    target_dir: str, staging: str, partition_col: str,
+    installs: Sequence[str], deletes: Sequence[str],
+    manifest_key: str | None,
+) -> None:
+    """Atomically (tmp + rename) record a full overwrite's swap plan.
+
+    The journal is the overwrite's commit point: its existence means
+    staging is complete (it is written only after Spark's staging write
+    returns) and the new table MUST be installed; recovery replays it to
+    completion. Underscore-prefixed, so Spark's file listing skips it."""
+    jpath = os.path.join(target_dir, OVERWRITE_JOURNAL_NAME)
+    tmp = f"{jpath}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "staging": staging,
+                "partition_col": partition_col,
+                "installs": list(installs),
+                "deletes": list(deletes),
+                "manifest_key": manifest_key,
+            },
+            fh,
+        )
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, jpath)
+
+
+def _replay_overwrite_journal(target_dir: str) -> None:
+    """Complete (or discard) an interrupted full overwrite. Lock held.
+
+    - Journal present → staging committed before the crash: roll the
+      overwrite FORWARD. Staged partitions still in staging install via
+      the normal swap; ones already moved out are already installed
+      (any half-swap residue is a dot-prefixed dir the generic leftover
+      pass finishes). Deletes re-run idempotently. The manifest is
+      rebuilt EXACT from the installed partitions' footers (the staged
+      files, post-move), then the journal is removed — so a crash inside
+      replay itself just replays again.
+    - No journal but a staging dir → the overwrite crashed before its
+      commit point: the old table is the truth, staging is discarded.
+      (This also sweeps a crashed MERGE's staging, which its re-run
+      would otherwise rewrite from scratch anyway.)
+
+    A garbled journal is raised loudly rather than guessed at: after
+    partial swaps the swap plan CANNOT be reconstructed from directory
+    listings (an installed partition is indistinguishable from a
+    pre-existing one scheduled for deletion), and the atomic-rename
+    write means garble only happens through outside interference."""
+    jpath = os.path.join(target_dir, OVERWRITE_JOURNAL_NAME)
+    staging = _staging_dir(target_dir)
+    if not os.path.exists(jpath):
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+        return
+    try:
+        with open(jpath) as fh:
+            j = json.load(fh)
+        installs, deletes = j["installs"], j["deletes"]
+        partition_col, manifest_key = j["partition_col"], j["manifest_key"]
+        staging = j["staging"]
+    except (OSError, ValueError, KeyError, TypeError) as e:
+        raise ConcurrentWriterError(
+            f"unreadable overwrite journal {jpath!r} — cannot replay a "
+            "half-applied overwrite without its swap plan; inspect the "
+            "table and remove the journal by hand"
+        ) from e
+    for n in installs:
+        if os.path.isdir(os.path.join(staging, n)):
+            _swap_partition(target_dir, staging, n)
+        # else: already moved into the table; a half-finished swap left a
+        # dot-prefixed dir the caller's generic leftover pass handles
+    for n in deletes:
+        _swap_partition(target_dir, staging, n)  # src absent → .del path
+    if manifest_key:
+        km.save(
+            target_dir, manifest_key, partition_col,
+            {
+                n: km.footer_range(os.path.join(target_dir, n), manifest_key)
+                for n in installs
+            },
+        )
+    else:
+        mp = os.path.join(target_dir, km.MANIFEST_NAME)
+        if os.path.exists(mp):
+            os.unlink(mp)
+    os.unlink(jpath)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def _recover_leftovers(target_dir: str) -> None:
     """Restore dot-prefixed ``.{pdir}.old`` dirs left by an interrupted swap.
 
@@ -232,9 +353,15 @@ def _recover_leftovers(target_dir: str) -> None:
     Here: ``dst`` missing → the swap died mid-window, restore ``old`` as
     ``dst``; ``dst`` present → the swap completed and only the final
     cleanup was skipped, drop the stale copy.
+
+    Runs a pending full-overwrite journal to completion FIRST
+    (:func:`_replay_overwrite_journal`): the journal's replay uses the
+    same swap primitive, and its own residue is exactly the dot-prefixed
+    leftovers the generic pass below then finishes.
     """
     if not os.path.isdir(target_dir):
         return
+    _replay_overwrite_journal(target_dir)
     for entry in os.listdir(target_dir):
         if not entry.startswith("."):
             continue
@@ -462,7 +589,7 @@ def _merge_locked(
         not_matched_insert=not_matched_insert,
         with_action=count_actions,
     )
-    staging = target_dir.rstrip("/") + "__staging"
+    staging = _staging_dir(target_dir)
     counts: dict | None = None
     if count_actions:
         merged = merged.persist()
