@@ -438,6 +438,41 @@ def test_overwrite_crash_recovery_yields_old_or_new_never_a_mix(
     assert not os.path.exists(target_dir + "__staging")
 
 
+def test_garbled_overwrite_journal_raises_never_guesses(spark):
+    """A journal that cannot be parsed must fail the next writer LOUDLY:
+    after partial swaps the plan cannot be reconstructed from listings
+    (an installed partition looks identical to a pre-existing one
+    scheduled for deletion), and the atomic-rename write means garble
+    only happens through outside interference — guessing could delete
+    live data."""
+    import pytest
+
+    from tmdb_sync_spark.plans.partitioned import (
+        OVERWRITE_JOURNAL_NAME,
+        _recover_leftovers,
+    )
+    from tmdb_sync_spark.util import ConcurrentWriterError
+
+    d = tempfile.mkdtemp(prefix="ow_garble_")
+    target_dir = f"{d}/t"
+    df = spark.createDataFrame([(1, 2000, 1.0)],
+                               "k BIGINT, y INT, price DOUBLE")
+    write_partitioned(df, target_dir, "y")
+    with open(os.path.join(target_dir, OVERWRITE_JOURNAL_NAME), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ConcurrentWriterError, match="overwrite journal"):
+        _recover_leftovers(target_dir)
+    # and the entry points surface it too (merge shown; overwrite shares
+    # the same recovery entry)
+    with pytest.raises(ConcurrentWriterError, match="overwrite journal"):
+        merge_into_partitioned(
+            spark, target_dir,
+            spark.createDataFrame([(2, 2000, 2.0)],
+                                  "k BIGINT, y INT, price DOUBLE"),
+            ["k"], "y",
+        )
+
+
 def test_overwrite_drops_stale_manifest_when_unmaintained(spark):
     """An overwrite WITHOUT manifest_key must not leave a previous
     merge's manifest describing rows that no longer exist — stale ranges
