@@ -403,30 +403,36 @@ def test_overwrite_crash_recovery_yields_old_or_new_never_a_mix(
         except _InjectedCrash:
             crashed = True
         state["armed"] = False
-        committed = os.path.exists(
+        # journal present at crash time → staging had committed → recovery
+        # MUST produce the new table. Journal absent is ambiguous on its
+        # own: either the overwrite never committed (old table must
+        # stand) or it fully completed and removed its journal (new) —
+        # the invariant is old XOR new, never a mix.
+        journal_at_crash = os.path.exists(
             os.path.join(target_dir, OVERWRITE_JOURNAL_NAME)
         )
         if crashed:
             _recover_leftovers(target_dir)   # what the next writer does
             spark.catalog.refreshByPath(target_dir)
-        else:
-            committed = True                 # clean run IS the new table
     finally:
         state["armed"] = False
         os.rename, os.replace = real["rename"], real["replace"]
         shutil.move, shutil.rmtree = real["move"], real["rmtree"]
 
-    src = smap if committed else tmap
-    mult = 100.0 if committed else 10.0
-    expected = {k: (v, k * mult) for k, v in src.items()}
-    post = [
-        (r["k"], r["y"], r["price"])
+    old_state = {k: (v, k * 10.0) for k, v in tmap.items()}
+    new_state = {k: (v, k * 100.0) for k, v in smap.items()}
+    post = {
+        r["k"]: (r["y"], r["price"])
         for r in spark.read.parquet(target_dir).collect()
-    ]
-    assert len(post) == len(expected), (
-        "recovery must land on exactly one committed state"
+    }
+    assert post == old_state or post == new_state, (
+        "recovery must land on exactly one committed state, never a mix"
     )
-    assert {k: (y, p) for k, y, p in post} == expected
+    if journal_at_crash or not crashed:
+        assert post == new_state, (
+            "a journaled (committed) overwrite must roll FORWARD"
+        )
+    src = smap if post == new_state else tmap
     want_dirs = {
         "y=__HIVE_DEFAULT_PARTITION__" if v is None else f"y={v}"
         for v in src.values()

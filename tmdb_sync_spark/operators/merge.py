@@ -154,7 +154,9 @@ def _partitioned_merge_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         write_partitioned(orders, target, "o_year",
                           manifest_key="o_orderkey")
-        base = spark.read.parquet(target)
+        from tmdb_sync_spark.plans.partitioned import read_partitioned
+
+        base = read_partitioned(spark, target)
         updates = (
             base.where(
                 (F.col("o_orderkey") % 100 == 0)
@@ -219,7 +221,9 @@ def j1_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     physically (file mtimes) in tests/test_partitioned_merge.py.
     """
     t = _partitioned_merge_dir(spark, sf_dir)
-    post = spark.read.parquet(t)
+    from tmdb_sync_spark.plans.partitioned import read_partitioned
+
+    post = read_partitioned(spark, t)
     return (
         post.groupBy("o_year")
         .agg(

@@ -135,7 +135,7 @@ def write_partitioned(
         # after it, recovery rolls the overwrite FORWARD to completion.
         _write_overwrite_journal(
             path, staging, partition_col, staged_names, deletes,
-            manifest_key,
+            manifest_key, _schema_record(df.schema, partition_col),
         )
         manifest_path = os.path.join(path, km.MANIFEST_NAME)
         if manifest_key:
@@ -163,6 +163,7 @@ def write_partitioned(
             _swap_partition(path, staging, n)
         if manifest_key:
             km.save(path, manifest_key, partition_col, staged_ranges)
+        _save_schema_record(path, _schema_record(df.schema, partition_col))
         os.unlink(os.path.join(path, OVERWRITE_JOURNAL_NAME))
         shutil.rmtree(staging, ignore_errors=True)
         df.sparkSession.catalog.refreshByPath(path)
@@ -244,15 +245,74 @@ def break_merge_lock(target_dir: str) -> bool:
 
 OVERWRITE_JOURNAL_NAME = "_overwrite.journal"
 
+# Table schema persisted beside the data (underscore-prefixed → invisible
+# to Spark's file listing). Spark cannot infer a schema from a partitioned
+# table with ZERO partitions (an empty overwrite writes no files at all;
+# a merge can legitimately empty every partition), so the writers persist
+# the read-back schema here and :func:`read_partitioned` degrades an
+# empty table to an empty frame of it — the same role a table format's
+# log plays in keeping empty tables readable.
+SCHEMA_NAME = "_table_schema.json"
+
 
 def _staging_dir(target_dir: str) -> str:
     return target_dir.rstrip("/") + "__staging"
 
 
+def _schema_record(schema, partition_col: str) -> dict:
+    """Serialize a writer frame's schema in READ-BACK column order:
+    Spark appends partition columns after the data columns when reading
+    a partitioned layout, so the persisted empty-table schema must too —
+    consumers then see identical column order either way."""
+    from pyspark.sql.types import StructType
+
+    fields = [f for f in schema.fields if f.name != partition_col] + [
+        f for f in schema.fields if f.name == partition_col
+    ]
+    return {
+        "partition_col": partition_col,
+        "schema": StructType(fields).jsonValue(),
+    }
+
+
+def _save_schema_record(target_dir: str, rec: dict) -> None:
+    sp = os.path.join(target_dir, SCHEMA_NAME)
+    tmp = f"{sp}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, sp)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table maintained by :func:`write_partitioned` /
+    :func:`merge_into_partitioned`, degrading an EMPTY table (zero
+    partition dirs — schema inference impossible) to an empty frame of
+    the schema persisted at write time. A table that fails to read while
+    partition dirs exist is genuinely broken and re-raises."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        sp = os.path.join(path, SCHEMA_NAME)
+        if os.path.exists(sp):
+            with open(sp) as fh:
+                rec = json.load(fh)
+            pcol = rec["partition_col"]
+            has_parts = os.path.isdir(path) and any(
+                km._is_part_dir(e, pcol) for e in os.listdir(path)
+            )
+            if not has_parts:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(rec["schema"])
+                )
+        raise
+
+
 def _write_overwrite_journal(
     target_dir: str, staging: str, partition_col: str,
     installs: Sequence[str], deletes: Sequence[str],
-    manifest_key: str | None,
+    manifest_key: str | None, schema_record: dict,
 ) -> None:
     """Atomically (tmp + rename) record a full overwrite's swap plan.
 
@@ -270,6 +330,7 @@ def _write_overwrite_journal(
                 "installs": list(installs),
                 "deletes": list(deletes),
                 "manifest_key": manifest_key,
+                "schema_record": schema_record,
             },
             fh,
         )
@@ -336,6 +397,8 @@ def _replay_overwrite_journal(target_dir: str) -> None:
         mp = os.path.join(target_dir, km.MANIFEST_NAME)
         if os.path.exists(mp):
             os.unlink(mp)
+    if j.get("schema_record"):
+        _save_schema_record(target_dir, j["schema_record"])
     os.unlink(jpath)
     if os.path.isdir(staging):
         shutil.rmtree(staging, ignore_errors=True)
@@ -712,6 +775,11 @@ def _merge_locked(
         post.update(staged_ranges)
         km.save(target_dir, keys[0], partition_col, post)
     shutil.rmtree(staging, ignore_errors=True)
+    # keep the empty-table degrade current: a merge can empty every
+    # partition, and read_partitioned then needs this schema
+    _save_schema_record(
+        target_dir, _schema_record(to_write.schema, partition_col)
+    )
     # Spark's session-wide FileStatusCache would otherwise serve the old
     # listing (deleted part files) to subsequent reads of this path.
     spark.catalog.refreshByPath(target_dir)
