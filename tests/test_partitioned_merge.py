@@ -634,3 +634,49 @@ def test_ingest_loop_prunes_partitions(spark):
         else:
             assert after[y] == before[y], f"untouched partition {y} rewritten"
     assert spark.read.parquet(movies).count() == n0
+
+
+def test_empty_table_roundtrip_matches_populated_readback_schema(spark):
+    """The persisted schema record must reproduce, for an EMPTY table,
+    exactly what a populated read-back would show — including column
+    ORDER (Spark appends the partition column last on read) and exotic
+    types the JSON round-trip could mangle (nested struct, array,
+    decimal, timestamp)."""
+    import tempfile
+
+    from tmdb_sync_spark.plans.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    d = tempfile.mkdtemp(prefix="schema_rt_")
+    schema = (
+        "k BIGINT, y INT, tags ARRAY<STRING>, "
+        "meta STRUCT<w: INT, ratio: DECIMAL(10,4)>, seen TIMESTAMP"
+    )
+    populated = spark.createDataFrame(
+        [(1, 2000, ["a"], (3, None), None)], schema
+    )
+    write_partitioned(populated, f"{d}/full", "y")
+    full_back = read_partitioned(spark, f"{d}/full")
+
+    empty = spark.createDataFrame([], schema)
+    write_partitioned(empty, f"{d}/empty", "y")
+    empty_back = read_partitioned(spark, f"{d}/empty")
+
+    assert empty_back.count() == 0
+    assert empty_back.columns == full_back.columns
+    assert [f.dataType for f in empty_back.schema.fields] == [
+        f.dataType for f in full_back.schema.fields
+    ]
+    # and the empty table is a valid MERGE target: the bootstrap-merge
+    # path reads it through the same degrade
+    from tmdb_sync_spark.plans.partitioned import merge_into_partitioned
+
+    merge_into_partitioned(
+        spark, f"{d}/empty",
+        spark.createDataFrame([(7, 1999, ["x"], (1, None), None)], schema),
+        keys=["k"], partition_col="y",
+    )
+    rows = spark.read.parquet(f"{d}/empty").collect()
+    assert [(r["k"], r["y"]) for r in rows] == [(7, 1999)]
