@@ -530,6 +530,19 @@ def test_duplicate_source_keys_fail_loudly(spark):
     assert [(r.id, r.v, r.curated) for r in ok] == [(1, "new", "keepme")]
 
 
+def test_source_only_columns_rejected_loudly(spark):
+    """A source column the target lacks would be silently dropped (the
+    output schema is the target's) — a renamed upstream field would lose
+    its data row by row with no signal. merge_into refuses driver-side."""
+    import pytest
+
+    target = spark.createDataFrame([(1, "old")], "id INT, v STRING")
+    source = spark.createDataFrame([(1, "new", "oops")],
+                                   "id INT, v STRING, extra STRING")
+    with pytest.raises(ValueError, match="extra"):
+        merge_into(target, source, ["id"])
+
+
 def test_null_keys_match_and_preserve_target_columns(spark):
     """The join condition is null-safe, so a matched NULL key must
     classify as an UPDATE: presence comes from marker columns, never

@@ -75,9 +75,25 @@ def merge_into(
       a matched all-NULL key must classify as an update (it previously
       fell through to the insert branch and silently dropped every
       preserved target column).
+    - **Source-only columns are rejected** (driver-side ``ValueError``):
+      the output schema is the target's, so a source column the target
+      lacks would be silently dropped row by row — a renamed or newly
+      added upstream field deserves a loud failure, not quiet data loss.
     """
     matched_update = dict(matched_update or {})
     not_matched_insert = dict(not_matched_insert or {})
+    # Schema evolution is out of scope, and silently DROPPING a source
+    # column the target lacks is the worst version of that (Mongo $set
+    # would add the field; SQL MERGE with UPDATE SET * errors): a caller
+    # shipping a renamed/new column would lose it row by row with no
+    # signal. Driver-side check, zero runtime cost.
+    extra = [c for c in source.columns if c not in target.columns]
+    if extra:
+        raise ValueError(
+            f"merge_into: source columns {extra} do not exist in the "
+            "target; schema evolution is not supported — project them "
+            "away, or add them to the target first"
+        )
     src = (
         source.withColumn(
             _SRC_N, F.count(F.lit(1)).over(Window.partitionBy(*keys))
