@@ -541,6 +541,16 @@ def test_source_only_columns_rejected_loudly(spark):
                                    "id INT, v STRING, extra STRING")
     with pytest.raises(ValueError, match="extra"):
         merge_into(target, source, ["id"])
+    # same family: a typo'd merge-expression key would never be read
+    from pyspark.sql import functions as F
+
+    ok_source = spark.createDataFrame([(1, "new")], "id INT, v STRING")
+    with pytest.raises(ValueError, match="matched_update"):
+        merge_into(target, ok_source, ["id"],
+                   matched_update={"vv": F.lit("typo")})
+    with pytest.raises(ValueError, match="not_matched_insert"):
+        merge_into(target, ok_source, ["id"],
+                   not_matched_insert={"vv": F.lit("typo")})
 
 
 def test_null_keys_match_and_preserve_target_columns(spark):

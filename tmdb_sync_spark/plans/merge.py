@@ -94,6 +94,20 @@ def merge_into(
             "target; schema evolution is not supported — project them "
             "away, or add them to the target first"
         )
+    # Same family of silent loss: the merge expressions are looked up BY
+    # target column name, so a typo'd mapping key would simply never be
+    # read and the intended override would quietly not happen.
+    for label, mapping in (
+        ("matched_update", matched_update),
+        ("not_matched_insert", not_matched_insert),
+    ):
+        unknown = [c for c in mapping if c not in target.columns]
+        if unknown:
+            raise ValueError(
+                f"merge_into: {label} names columns {unknown} that do "
+                "not exist in the target — the expressions would be "
+                "silently ignored"
+            )
     src = (
         source.withColumn(
             _SRC_N, F.count(F.lit(1)).over(Window.partitionBy(*keys))
