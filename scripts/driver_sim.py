@@ -1,7 +1,7 @@
 """Simulate the external driver: plain SparkSession (no engine session
 factory, non-UTC-pinned), run entry() smoke + every queries() entry at
 sf0.01 against oracle_sql() via DuckDB, order-insensitive compare."""
-import sys, math, time
+import os, sys, math, time
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
@@ -13,7 +13,7 @@ spark = (SparkSession.builder.master("local[8]")
 import __spark_entry__ as E
 import duckdb, pandas as pd, numpy as np
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
