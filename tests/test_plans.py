@@ -210,3 +210,23 @@ def test_tiled_branch_repartition_survives_aqe(spark, sf_dir):
         tiled.groupBy(F.spark_partition_id().alias("p")).count().collect()
     )
     assert len(dist) > 1, "tiles collapsed onto one partition"
+
+
+def test_merge_guard_filter_survives_every_consumer_shape(spark):
+    """The duplicate-source-key guard is a Filter above the merge join;
+    its enforcement depends on the optimizer NEVER eliminating it. Pin
+    that `raise_error` survives into the OPTIMIZED plan for the three
+    consumer shapes that matter — full materialization, single-column
+    projection, and the all-columns-pruned `.count()` — so a Spark
+    upgrade whose BooleanSimplification/PruneFilters behavior changes
+    fails here instead of silently waiving the contract."""
+    from tmdb_sync_spark.plans.merge import merge_into
+
+    target = spark.createDataFrame([(1, "a", "c")],
+                                   "id INT, v STRING, curated STRING")
+    source = spark.createDataFrame([(1, "b")], "id INT, v STRING")
+    merged = merge_into(target, source, ["id"])
+    for df in (merged, merged.select("curated"),
+               merged.groupBy().count()):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "raise_error" in plan, plan[:2000]
