@@ -242,6 +242,112 @@ def test_crash_at_any_fs_step_replays_to_invariant(
 @given(
     tmap=keymaps,
     smap=keymaps,
+    crash_after=hs.integers(min_value=0, max_value=22),
+)
+def test_merge_crash_recovery_alone_rolls_forward(
+    spark, tmap, smap, crash_after
+):
+    """The merge commits through the shared swap journal (round 6):
+    RECOVERY ALONE — no batch re-run — must resolve a crashed merge to
+    exactly one committed state. Journal present at crash → the fully
+    merged post-state (the ordered replay preserves the
+    delete-before-insert moved-key discipline); journal absent → the
+    batch never applied and the pre-merge table stands untouched.
+    This upgrades the older contract ('replay the idempotent batch'),
+    which healed only if some caller actually re-ran the sync."""
+    from tmdb_sync_spark.plans.partitioned import (
+        SWAP_JOURNAL_NAME,
+        _recover_leftovers,
+    )
+
+    if not tmap:
+        tmap = {0: 0}
+    d = tempfile.mkdtemp(prefix="pm_roll_")
+    target_dir = f"{d}/t"
+    tdf = spark.createDataFrame(
+        [(k, v, k * 10.0) for k, v in tmap.items()],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+    write_partitioned(tdf, target_dir, "y")
+    sdf = spark.createDataFrame(
+        [(k, v, k * 100.0) for k, v in smap.items()],
+        "k BIGINT, y INT, price DOUBLE",
+    )
+
+    state = {"armed": True, "n": 0}
+    real = {
+        "rename": os.rename, "replace": os.replace,
+        "move": shutil.move, "rmtree": shutil.rmtree,
+    }
+
+    def guard(*paths):
+        if state["armed"] and any(str(p).startswith(d) for p in paths):
+            state["n"] += 1
+            if state["n"] > crash_after:
+                raise _InjectedCrash(f"fs step {state['n']}")
+
+    def make(name):
+        fn = real[name]
+
+        def wrapped(p, *a, **k):
+            guard(p, *(a[:1]))
+            return fn(p, *a, **k)
+
+        return wrapped
+
+    try:
+        os.rename, os.replace = make("rename"), make("replace")
+        shutil.move, shutil.rmtree = make("move"), make("rmtree")
+        crashed = False
+        try:
+            merge_into_partitioned(
+                spark, target_dir, sdf, keys=["k"], partition_col="y"
+            )
+        except _InjectedCrash:
+            crashed = True
+        state["armed"] = False
+        journal_at_crash = os.path.exists(
+            os.path.join(target_dir, SWAP_JOURNAL_NAME)
+        )
+        if crashed:
+            _recover_leftovers(target_dir)   # the next writer's entry
+            spark.catalog.refreshByPath(target_dir)
+    finally:
+        state["armed"] = False
+        os.rename, os.replace = real["rename"], real["replace"]
+        shutil.move, shutil.rmtree = real["move"], real["rmtree"]
+
+    pre_state = {k: (v, k * 10.0) for k, v in tmap.items()}
+    merged_state = {
+        k: (smap[k] if k in smap else tmap[k],
+            k * 100.0 if k in smap else k * 10.0)
+        for k in set(tmap) | set(smap)
+    }
+    post = {
+        r["k"]: (r["y"], r["price"])
+        for r in spark.read.parquet(target_dir).collect()
+    }
+    assert post == pre_state or post == merged_state, (
+        "recovery must land on exactly one committed state, never a mix"
+    )
+    if journal_at_crash or not crashed:
+        assert post == merged_state, (
+            "a journaled (committed) merge must roll FORWARD"
+        )
+    have = sorted(os.listdir(target_dir))
+    assert not [e for e in have if e.startswith(".")]
+    assert SWAP_JOURNAL_NAME not in have
+    assert not os.path.exists(target_dir + "__staging")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tmap=keymaps,
+    smap=keymaps,
     # an overwrite's fs steps: pre-manifest replace, per-partition
     # rename-aside/install/delete, post-manifest replace, staging cleanup
     # — the cap reaches past the last so the no-crash path gets examples
@@ -353,7 +459,7 @@ def test_overwrite_crash_recovery_yields_old_or_new_never_a_mix(
     table; absent → the old table, with staging discarded. Either way
     the protocol residue (journal, staging, dot-dirs) is fully swept."""
     from tmdb_sync_spark.plans.partitioned import (
-        OVERWRITE_JOURNAL_NAME,
+        SWAP_JOURNAL_NAME,
         _recover_leftovers,
     )
 
@@ -409,7 +515,7 @@ def test_overwrite_crash_recovery_yields_old_or_new_never_a_mix(
         # stand) or it fully completed and removed its journal (new) —
         # the invariant is old XOR new, never a mix.
         journal_at_crash = os.path.exists(
-            os.path.join(target_dir, OVERWRITE_JOURNAL_NAME)
+            os.path.join(target_dir, SWAP_JOURNAL_NAME)
         )
         if crashed:
             _recover_leftovers(target_dir)   # what the next writer does
@@ -440,7 +546,7 @@ def test_overwrite_crash_recovery_yields_old_or_new_never_a_mix(
     have = sorted(os.listdir(target_dir))
     assert {e for e in have if e.startswith("y=")} == want_dirs
     assert not [e for e in have if e.startswith(".")]
-    assert OVERWRITE_JOURNAL_NAME not in have
+    assert SWAP_JOURNAL_NAME not in have
     assert not os.path.exists(target_dir + "__staging")
 
 
@@ -454,7 +560,7 @@ def test_garbled_overwrite_journal_raises_never_guesses(spark):
     import pytest
 
     from tmdb_sync_spark.plans.partitioned import (
-        OVERWRITE_JOURNAL_NAME,
+        SWAP_JOURNAL_NAME,
         _recover_leftovers,
     )
     from tmdb_sync_spark.util import ConcurrentWriterError
@@ -464,13 +570,13 @@ def test_garbled_overwrite_journal_raises_never_guesses(spark):
     df = spark.createDataFrame([(1, 2000, 1.0)],
                                "k BIGINT, y INT, price DOUBLE")
     write_partitioned(df, target_dir, "y")
-    with open(os.path.join(target_dir, OVERWRITE_JOURNAL_NAME), "w") as fh:
+    with open(os.path.join(target_dir, SWAP_JOURNAL_NAME), "w") as fh:
         fh.write("{not json")
-    with pytest.raises(ConcurrentWriterError, match="overwrite journal"):
+    with pytest.raises(ConcurrentWriterError, match="swap journal"):
         _recover_leftovers(target_dir)
     # and the entry points surface it too (merge shown; overwrite shares
     # the same recovery entry)
-    with pytest.raises(ConcurrentWriterError, match="overwrite journal"):
+    with pytest.raises(ConcurrentWriterError, match="swap journal"):
         merge_into_partitioned(
             spark, target_dir,
             spark.createDataFrame([(2, 2000, 2.0)],

@@ -96,21 +96,20 @@ def write_partitioned(
     TABLE-level atomicity via a roll-forward journal: per-partition swaps
     alone would leave a crash mid-loop as a MIX of old and new partitions
     — atomic per partition but a semantically torn table for a full
-    overwrite (unlike a merge, whose partial application is completed by
-    re-running the same batch). So once staging has committed, the full
-    swap plan (installs + deletes + manifest key) is journaled to
-    ``_overwrite.journal`` by atomic rename, and every writer's entry
-    point (:func:`_recover_leftovers`, under the lock) ROLLS FORWARD a
-    pending journal before doing anything else: remaining staged
-    partitions install, remaining deletes finish, the exact manifest is
-    rebuilt from the installed footers, and only then is the journal
-    removed. The commit point is the journal rename — before it, a crash
+    overwrite. So once staging has committed, the full swap plan
+    (ordered installs + deletes, the exact post-swap manifest, the
+    schema record) is journaled to ``_swap.journal`` by atomic rename,
+    and every writer's entry point (:func:`_recover_leftovers`, under
+    the lock) ROLLS FORWARD a pending journal before doing anything
+    else. The commit point is the journal rename — before it, a crash
     discards staging and the old table stands; after it, every entry
     completes the new table. This is the same write-ahead-intent role a
     real table format's commit log plays (Delta's _delta_log, Iceberg's
-    metadata pointer), reduced to one file + deterministic replay.
-    Partitions absent from the new data are deleted through the ``.del``
-    protocol (finished, never restored, by recovery)."""
+    metadata pointer), reduced to one file + deterministic replay; the
+    partitioned MERGE commits through the same journal
+    (:func:`_write_swap_journal`). Partitions absent from the new data
+    are deleted through the ``.del`` protocol (finished, never restored,
+    by recovery)."""
     lock = _acquire_merge_lock(path)
     try:
         _recover_leftovers(path)
@@ -130,19 +129,29 @@ def write_partitioned(
         # full-overwrite deletes (handled by _swap_partition's .del path)
         deletes = [n for n in sorted(existing) if n not in staged_names]
         swap_names = staged_names + deletes
-        # COMMIT POINT: journal the swap plan (atomic rename). Before
-        # this, a crash leaves the old table + a discardable staging dir;
-        # after it, recovery rolls the overwrite FORWARD to completion.
-        _write_overwrite_journal(
-            path, staging, partition_col, staged_names, deletes,
-            manifest_key, _schema_record(df.schema, partition_col),
-        )
+        schema_rec = _schema_record(df.schema, partition_col)
         manifest_path = os.path.join(path, km.MANIFEST_NAME)
         if manifest_key:
             staged_ranges = {
                 n: km.footer_range(os.path.join(staging, n), manifest_key)
                 for n in staged_names
             }
+            manifest_plan = {"key": manifest_key, "post": staged_ranges}
+        else:
+            # a manifest maintained by earlier merges no longer describes
+            # the table once it's overwritten; drop it so the next merge
+            # re-harvests footer stats instead of pruning on stale ranges
+            manifest_plan = {"drop": True}
+        # COMMIT POINT: journal the swap plan (atomic rename). Before
+        # this, a crash leaves the old table + a discardable staging dir;
+        # after it, recovery rolls the overwrite FORWARD to completion.
+        _write_swap_journal(
+            path, staging, partition_col,
+            [[n, "install"] for n in staged_names]
+            + [[n, "delete"] for n in deletes],
+            manifest_plan, schema_rec,
+        )
+        if manifest_key:
             # pre-swap superset write: old ∪ staged per installed
             # partition, old ranges retained for pending deletes — a
             # crash anywhere in the swap loop leaves the manifest
@@ -155,16 +164,13 @@ def write_partitioned(
                 )
             km.save(path, manifest_key, partition_col, pre)
         elif os.path.exists(manifest_path):
-            # a manifest maintained by earlier merges no longer describes
-            # the table once it's overwritten; drop it so the next merge
-            # re-harvests footer stats instead of pruning on stale ranges
             os.unlink(manifest_path)
         for n in swap_names:
             _swap_partition(path, staging, n)
         if manifest_key:
             km.save(path, manifest_key, partition_col, staged_ranges)
-        _save_schema_record(path, _schema_record(df.schema, partition_col))
-        os.unlink(os.path.join(path, OVERWRITE_JOURNAL_NAME))
+        _save_schema_record(path, schema_rec)
+        os.unlink(os.path.join(path, SWAP_JOURNAL_NAME))
         shutil.rmtree(staging, ignore_errors=True)
         df.sparkSession.catalog.refreshByPath(path)
     finally:
@@ -243,7 +249,7 @@ def break_merge_lock(target_dir: str) -> bool:
         return False
 
 
-OVERWRITE_JOURNAL_NAME = "_overwrite.journal"
+SWAP_JOURNAL_NAME = "_swap.journal"
 
 # Table schema persisted beside the data (underscore-prefixed → invisible
 # to Spark's file listing). Spark cannot infer a schema from a partitioned
@@ -309,27 +315,31 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
         raise
 
 
-def _write_overwrite_journal(
+def _write_swap_journal(
     target_dir: str, staging: str, partition_col: str,
-    installs: Sequence[str], deletes: Sequence[str],
-    manifest_key: str | None, schema_record: dict,
+    ops: Sequence, manifest_plan: dict | None, schema_record: dict,
 ) -> None:
-    """Atomically (tmp + rename) record a full overwrite's swap plan.
+    """Atomically (tmp + rename) record a writer's swap plan — the
+    COMMIT POINT shared by full overwrite and partitioned MERGE.
 
-    The journal is the overwrite's commit point: its existence means
-    staging is complete (it is written only after Spark's staging write
-    returns) and the new table MUST be installed; recovery replays it to
-    completion. Underscore-prefixed, so Spark's file listing skips it."""
-    jpath = os.path.join(target_dir, OVERWRITE_JOURNAL_NAME)
+    The journal's existence means staging is complete (it is written
+    only after Spark's staging write returns) and the post-state MUST be
+    installed; recovery replays it to completion. ``ops`` is the ORDERED
+    ``[name, "install"|"delete"]`` list (order carries the merge's
+    delete-before-insert moved-key discipline). ``manifest_plan`` is
+    ``None`` (leave the manifest alone), ``{"drop": True}`` (overwrite
+    without a key: a stale manifest must not survive), or
+    ``{"key": k, "post": {...}}`` (the exact post-swap manifest to
+    install). Underscore-prefixed, so Spark's file listing skips it."""
+    jpath = os.path.join(target_dir, SWAP_JOURNAL_NAME)
     tmp = f"{jpath}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(
             {
                 "staging": staging,
                 "partition_col": partition_col,
-                "installs": list(installs),
-                "deletes": list(deletes),
-                "manifest_key": manifest_key,
+                "ops": [list(op) for op in ops],
+                "manifest": manifest_plan,
                 "schema_record": schema_record,
             },
             fh,
@@ -339,28 +349,28 @@ def _write_overwrite_journal(
     os.rename(tmp, jpath)
 
 
-def _replay_overwrite_journal(target_dir: str) -> None:
-    """Complete (or discard) an interrupted full overwrite. Lock held.
+def _replay_swap_journal(target_dir: str) -> None:
+    """Complete (or discard) an interrupted overwrite/merge. Lock held.
 
     - Journal present → staging committed before the crash: roll the
-      overwrite FORWARD. Staged partitions still in staging install via
-      the normal swap; ones already moved out are already installed
-      (any half-swap residue is a dot-prefixed dir the generic leftover
-      pass finishes). Deletes re-run idempotently. The manifest is
-      rebuilt EXACT from the installed partitions' footers (the staged
-      files, post-move), then the journal is removed — so a crash inside
-      replay itself just replays again.
-    - No journal but a staging dir → the overwrite crashed before its
-      commit point: the old table is the truth, staging is discarded.
-      (This also sweeps a crashed MERGE's staging, which its re-run
-      would otherwise rewrite from scratch anyway.)
+      write FORWARD, in journal order. Install ops whose staged dir is
+      still in staging run the normal swap; ones already moved out are
+      done (any half-swap residue is a dot-prefixed dir the caller's
+      generic leftover pass finishes). Delete ops re-run idempotently.
+      The journal's exact post-swap manifest and schema record are then
+      installed and the journal removed — a crash inside replay itself
+      just replays again.
+    - No journal but a staging dir → the writer crashed before its
+      commit point: the current table is the truth (an uncommitted
+      overwrite never happened; an uncommitted merge batch is simply
+      not applied — its caller re-runs it), staging is discarded.
 
     A garbled journal is raised loudly rather than guessed at: after
     partial swaps the swap plan CANNOT be reconstructed from directory
     listings (an installed partition is indistinguishable from a
     pre-existing one scheduled for deletion), and the atomic-rename
     write means garble only happens through outside interference."""
-    jpath = os.path.join(target_dir, OVERWRITE_JOURNAL_NAME)
+    jpath = os.path.join(target_dir, SWAP_JOURNAL_NAME)
     staging = _staging_dir(target_dir)
     if not os.path.exists(jpath):
         if os.path.isdir(staging):
@@ -369,34 +379,32 @@ def _replay_overwrite_journal(target_dir: str) -> None:
     try:
         with open(jpath) as fh:
             j = json.load(fh)
-        installs, deletes = j["installs"], j["deletes"]
-        partition_col, manifest_key = j["partition_col"], j["manifest_key"]
+        ops = [(n, kind) for n, kind in j["ops"]]
+        partition_col = j["partition_col"]
+        manifest_plan = j["manifest"]
         staging = j["staging"]
     except (OSError, ValueError, KeyError, TypeError) as e:
         raise ConcurrentWriterError(
-            f"unreadable overwrite journal {jpath!r} — cannot replay a "
-            "half-applied overwrite without its swap plan; inspect the "
+            f"unreadable swap journal {jpath!r} — cannot replay a "
+            "half-applied write without its swap plan; inspect the "
             "table and remove the journal by hand"
         ) from e
-    for n in installs:
-        if os.path.isdir(os.path.join(staging, n)):
-            _swap_partition(target_dir, staging, n)
-        # else: already moved into the table; a half-finished swap left a
-        # dot-prefixed dir the caller's generic leftover pass handles
-    for n in deletes:
+    for n, kind in ops:
+        if kind == "install" and not os.path.isdir(os.path.join(staging, n)):
+            # already moved into the table; a half-finished swap left a
+            # dot-prefixed dir the caller's generic leftover pass handles
+            continue
         _swap_partition(target_dir, staging, n)  # src absent → .del path
-    if manifest_key:
-        km.save(
-            target_dir, manifest_key, partition_col,
-            {
-                n: km.footer_range(os.path.join(target_dir, n), manifest_key)
-                for n in installs
-            },
-        )
-    else:
-        mp = os.path.join(target_dir, km.MANIFEST_NAME)
-        if os.path.exists(mp):
-            os.unlink(mp)
+    if manifest_plan:
+        if manifest_plan.get("drop"):
+            mp = os.path.join(target_dir, km.MANIFEST_NAME)
+            if os.path.exists(mp):
+                os.unlink(mp)
+        else:
+            km.save(
+                target_dir, manifest_plan["key"], partition_col,
+                manifest_plan["post"],
+            )
     if j.get("schema_record"):
         _save_schema_record(target_dir, j["schema_record"])
     os.unlink(jpath)
@@ -417,14 +425,14 @@ def _recover_leftovers(target_dir: str) -> None:
     ``dst``; ``dst`` present → the swap completed and only the final
     cleanup was skipped, drop the stale copy.
 
-    Runs a pending full-overwrite journal to completion FIRST
-    (:func:`_replay_overwrite_journal`): the journal's replay uses the
+    Runs a pending swap journal to completion FIRST
+    (:func:`_replay_swap_journal`): the journal's replay uses the
     same swap primitive, and its own residue is exactly the dot-prefixed
     leftovers the generic pass below then finishes.
     """
     if not os.path.isdir(target_dir):
         return
-    _replay_overwrite_journal(target_dir)
+    _replay_swap_journal(target_dir)
     for entry in os.listdir(target_dir):
         if not entry.startswith("."):
             continue
@@ -748,6 +756,7 @@ def _merge_locked(
     maintain = detect_moved_keys or os.path.exists(
         os.path.join(target_dir, km.MANIFEST_NAME)
     )
+    manifest_plan = None
     if maintain:
         if manifest is None:
             manifest = km.load(target_dir, keys[0], partition_col)
@@ -757,7 +766,10 @@ def _merge_locked(
         }
         # pre-swap safety write: union(old, staged) per swapped partition
         # — a superset range is always safe; a crash anywhere in the swap
-        # window leaves the manifest over-inclusive, never wrong
+        # window leaves the manifest over-inclusive, never wrong. The
+        # post-swap exact state (installed partitions get their staged
+        # ranges, emptied ones drop out) is computed NOW so the journal
+        # can carry it for replay.
         pre = dict(manifest)
         for n in swap_names:
             if n in staged_ranges:
@@ -765,21 +777,35 @@ def _merge_locked(
                     km.union_range(manifest[n], staged_ranges[n])
                     if n in manifest else staged_ranges[n]
                 )
+        post = {p: r for p, r in pre.items() if p not in swap_names}
+        post.update(staged_ranges)
+        manifest_plan = {"key": keys[0], "post": post}
+    schema_rec = _schema_record(to_write.schema, partition_col)
+    # COMMIT POINT (round 6): the merge used to rely on "re-run the
+    # idempotent batch" to repair a crash mid-swap — correct, but only if
+    # someone re-runs it. Journaling the ordered swap plan (the
+    # delete-before-insert moved-key order rides in the list) makes a
+    # crashed merge roll FORWARD at the next writer's entry instead:
+    # before this rename the batch simply never applied (staging is
+    # discarded); after it, recovery completes it. Same protocol and
+    # replay code as the full overwrite.
+    _write_swap_journal(
+        target_dir, staging, partition_col,
+        [[n, "install" if n in staged_names else "delete"]
+         for n in swap_names],
+        manifest_plan, schema_rec,
+    )
+    if maintain:
         km.save(target_dir, keys[0], partition_col, pre)
     for n in swap_names:
         _swap_partition(target_dir, staging, n)
     if maintain:
-        # post-swap exact write: installed partitions get their staged
-        # ranges, emptied (deleted) partitions drop out
-        post = {p: r for p, r in pre.items() if p not in swap_names}
-        post.update(staged_ranges)
         km.save(target_dir, keys[0], partition_col, post)
-    shutil.rmtree(staging, ignore_errors=True)
     # keep the empty-table degrade current: a merge can empty every
     # partition, and read_partitioned then needs this schema
-    _save_schema_record(
-        target_dir, _schema_record(to_write.schema, partition_col)
-    )
+    _save_schema_record(target_dir, schema_rec)
+    os.unlink(os.path.join(target_dir, SWAP_JOURNAL_NAME))
+    shutil.rmtree(staging, ignore_errors=True)
     # Spark's session-wide FileStatusCache would otherwise serve the old
     # listing (deleted part files) to subsequent reads of this path.
     spark.catalog.refreshByPath(target_dir)
