@@ -22,6 +22,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tmdb_sync_spark.plans.partitioned import read_partitioned
 from tmdb_sync_spark.registry import register
 from tmdb_sync_spark.sources import fixture
 from tmdb_sync_spark.streaming import state as st
@@ -116,7 +117,7 @@ def st1_st3_ingest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``app/catalog/upsert.py:68,91``); dead-lettered ids are absent.
     """
     d = scenario_dir(spark)
-    movies = spark.read.parquet(f"{d}/movies")
+    movies = read_partitioned(spark, f"{d}/movies")
     return movies.select(
         "id", "year", "is_animated",
         F.coalesce("title_ru", "title", "name").alias("display_title"),
@@ -175,7 +176,7 @@ def st4_a8_cursor_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("category") == "other", 1).otherwise(0))
          .cast("long").alias("n_other_errors"),
     )
-    n_movies = spark.read.parquet(f"{d}/movies").agg(
+    n_movies = read_partitioned(spark, f"{d}/movies").agg(
         F.count(F.lit(1)).alias("n_movies"))
     return cursor.crossJoin(err_counts).crossJoin(n_movies)
 
@@ -241,7 +242,7 @@ def w1_j4_frames_moderation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the pipeline's MERGE output, not recomputed from scratch.
     """
     d = scenario_dir(spark)
-    movies = spark.read.parquet(f"{d}/movies")
+    movies = read_partitioned(spark, f"{d}/movies")
     from tmdb_sync_spark.sources.enrich import (
         best_path_expr,
         fetch_frames,
