@@ -672,3 +672,121 @@ def test_null_keys_match_and_preserve_target_columns(spark):
     r = rows[0]
     assert (r.id, r.v, r.curated, r[ACTION_COL]) == (None, "new", "precious",
                                                      "update")
+
+
+# an operation: kind, key->partition map, crash step (None = clean run)
+_chaos_op = hs.tuples(
+    hs.sampled_from(["merge", "overwrite"]),
+    keymaps,
+    hs.one_of(hs.none(), hs.integers(min_value=0, max_value=22)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=hs.lists(_chaos_op, min_size=1, max_size=4))
+def test_writer_chaos_model(spark, ops):
+    """Model-based chaos over the WHOLE writer stack: a random sequence
+    of merges and full overwrites, each optionally crashed at a random
+    filesystem step and then recovered, must keep the on-disk table
+    equal to a driver-side model at every step — the committed-state
+    rule (journal at crash → the op applied; no journal → it didn't)
+    composes across arbitrary writer interleavings, including
+    overwrite-after-crashed-merge and an overwrite to EMPTY."""
+    from tmdb_sync_spark.plans.partitioned import (
+        SWAP_JOURNAL_NAME,
+        _recover_leftovers,
+        read_partitioned,
+    )
+
+    d = tempfile.mkdtemp(prefix="chaos_")
+    target_dir = f"{d}/t"
+    schema = "k BIGINT, y INT, price DOUBLE"
+    spark.createDataFrame([], schema)  # warm schema parse
+    model: dict = {}
+    write_partitioned(spark.createDataFrame([], schema), target_dir, "y",
+                      manifest_key="k")
+
+    real = {
+        "rename": os.rename, "replace": os.replace,
+        "move": shutil.move, "rmtree": shutil.rmtree,
+    }
+    state = {"armed": False, "n": 0, "cap": 0}
+
+    def guard(*paths):
+        if state["armed"] and any(str(p).startswith(d) for p in paths):
+            state["n"] += 1
+            if state["n"] > state["cap"]:
+                raise _InjectedCrash(f"fs step {state['n']}")
+
+    def make(name):
+        fn = real[name]
+
+        def wrapped(p, *a, **k):
+            guard(p, *(a[:1]))
+            return fn(p, *a, **k)
+
+        return wrapped
+
+    def table_state():
+        return {
+            r["k"]: (r["y"], r["price"])
+            for r in read_partitioned(spark, target_dir).collect()
+        }
+
+    try:
+        os.rename, os.replace = make("rename"), make("replace")
+        shutil.move, shutil.rmtree = make("move"), make("rmtree")
+        for i, (kind, kmap, crash_after) in enumerate(ops):
+            df = spark.createDataFrame(
+                [(k, v, k * 1.0 + i) for k, v in kmap.items()], schema
+            )
+            post = (
+                {k: (v, k * 1.0 + i) for k, v in kmap.items()}
+                if kind == "overwrite"
+                else {**model, **{k: (v, k * 1.0 + i)
+                                  for k, v in kmap.items()}}
+            )
+            state.update(n=0, cap=crash_after or 0, armed=crash_after is not None)
+            crashed = False
+            try:
+                if kind == "overwrite":
+                    write_partitioned(df, target_dir, "y", manifest_key="k")
+                else:
+                    merge_into_partitioned(
+                        spark, target_dir, df, keys=["k"], partition_col="y"
+                    )
+            except _InjectedCrash:
+                crashed = True
+            state["armed"] = False
+            if crashed:
+                committed = os.path.exists(
+                    os.path.join(target_dir, SWAP_JOURNAL_NAME)
+                )
+                _recover_leftovers(target_dir)
+                spark.catalog.refreshByPath(target_dir)
+                # journal absent is ambiguous for a crash AFTER the
+                # journal was removed (op fully applied): accept either
+                # committed state, but journal-present must roll forward
+                now = table_state()
+                if committed:
+                    assert now == post, "journaled op must roll forward"
+                else:
+                    assert now in (model, post), "mix of two states"
+                model = now
+            else:
+                model = post
+                assert table_state() == model
+    finally:
+        state["armed"] = False
+        os.rename, os.replace = real["rename"], real["replace"]
+        shutil.move, shutil.rmtree = real["move"], real["rmtree"]
+
+    # protocol residue fully settled after the final recovery
+    have = sorted(os.listdir(target_dir))
+    assert SWAP_JOURNAL_NAME not in have
+    assert not [e for e in have if e.startswith(".")]
+    assert not os.path.exists(target_dir + "__staging")
