@@ -680,3 +680,82 @@ def test_empty_table_roundtrip_matches_populated_readback_schema(spark):
     )
     rows = spark.read.parquet(f"{d}/empty").collect()
     assert [(r["k"], r["y"]) for r in rows] == [(7, 1999)]
+
+
+def test_ingest_crash_then_resume_converges(spark):
+    """End-to-end crash/resume over the LIVE ingest loop: kill the sync
+    at an arbitrary filesystem step of its movies-table write (bootstrap
+    overwrite or batch merge — both commit through the swap journal),
+    then resume. The next run's entry recovery rolls any journaled write
+    forward and the cursor granularity replays at most one un-committed
+    batch, so the final movies table and cursor must equal an uncrashed
+    control run's exactly. Counters may legitimately reclassify replayed
+    inserts as updates; the table is the contract."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from tmdb_sync_spark.streaming import state as st
+    from tmdb_sync_spark.streaming.ingest import CURSOR_KEY, run_sync_top
+
+    class _Crash(Exception):
+        pass
+
+    control = tempfile.mkdtemp(prefix="ingest_ctl_")
+    run_sync_top(spark, control, max_pages=5, resume=True)
+    ctl_movies = {
+        (r["id"], r["content_type"]): (r["year"], r["title"])
+        for r in spark.read.parquet(f"{control}/movies").collect()
+    }
+    ctl_cursor = st.read_cursor(spark, f"{control}/cursors", CURSOR_KEY)
+
+    real = {
+        "rename": _os.rename, "replace": _os.replace,
+        "move": _shutil.move, "rmtree": _shutil.rmtree,
+    }
+    for crash_after in (0, 2, 5, 9, 14):
+        d = tempfile.mkdtemp(prefix="ingest_crash_")
+        marker = f"{d}/movies"     # only the table protocol's fs steps
+        state = {"n": 0, "armed": True}
+
+        def guard(*paths, _state=state, _marker=marker, _ca=crash_after):
+            if _state["armed"] and any(
+                str(p).startswith(_marker) for p in paths
+            ):
+                _state["n"] += 1
+                if _state["n"] > _ca:
+                    raise _Crash(f"fs step {_state['n']}")
+
+        def make(name, _guard=guard):
+            fn = real[name]
+
+            def wrapped(p, *a, **k):
+                _guard(p, *(a[:1]))
+                return fn(p, *a, **k)
+
+            return wrapped
+
+        try:
+            _os.rename, _os.replace = make("rename"), make("replace")
+            _shutil.move, _shutil.rmtree = make("move"), make("rmtree")
+            try:
+                run_sync_top(spark, d, max_pages=5, resume=True)
+                crashed = False
+            except _Crash:
+                crashed = True
+            state["armed"] = False
+        finally:
+            state["armed"] = False
+            _os.rename, _os.replace = real["rename"], real["replace"]
+            _shutil.move, _shutil.rmtree = real["move"], real["rmtree"]
+
+        if crashed:
+            run_sync_top(spark, d, max_pages=5, resume=True)
+        spark.catalog.refreshByPath(f"{d}/movies")
+        got = {
+            (r["id"], r["content_type"]): (r["year"], r["title"])
+            for r in spark.read.parquet(f"{d}/movies").collect()
+        }
+        assert got == ctl_movies, f"divergence at crash_after={crash_after}"
+        cur = st.read_cursor(spark, f"{d}/cursors", CURSOR_KEY)
+        assert cur["page"] == ctl_cursor["page"]

@@ -289,6 +289,29 @@ def _save_schema_record(target_dir: str, rec: dict) -> None:
     os.replace(tmp, sp)
 
 
+def table_exists(path: str) -> bool:
+    """Has this table ever COMMITTED? A bare ``os.path.isdir`` is wrong:
+    acquiring the writer lock ``makedirs`` the directory, so a writer
+    that crashed before its commit point leaves an existing-but-empty
+    dir that was never a table (found live: the ingest bootstrap check
+    took the merge route after a crashed bootstrap, and the empty-table
+    degrade then built the movies table from the source schema —
+    without ``created_at``). A table exists iff something committed:
+    a schema record, a pending swap journal (the commit happened; the
+    next writer's recovery materializes it), or partition dirs from a
+    pre-schema-record writer."""
+    if not os.path.isdir(path):
+        return False
+    if os.path.exists(os.path.join(path, SCHEMA_NAME)):
+        return True
+    if os.path.exists(os.path.join(path, SWAP_JOURNAL_NAME)):
+        return True
+    return any(
+        "=" in e and not e.startswith((".", "_"))
+        for e in os.listdir(path)
+    )
+
+
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a table maintained by :func:`write_partitioned` /
     :func:`merge_into_partitioned`, degrading an EMPTY table (zero

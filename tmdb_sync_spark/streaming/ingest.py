@@ -169,7 +169,13 @@ def run_sync_top(
             ).parquet(errors_path)
 
             ok = src.where(~(failed | skipped)).drop("page")
-            if not os.path.isdir(movies_path):
+            # table_exists, not isdir: the lock's makedirs leaves an
+            # existing-but-empty dir after a pre-commit bootstrap crash,
+            # and the merge route would then rebuild the table from the
+            # SOURCE schema — silently dropping created_at
+            from tmdb_sync_spark.plans.partitioned import table_exists
+
+            if not table_exists(movies_path):
                 # bootstrap: first batch creates the partitioned table —
                 # every row is an insert, created_at = synced_at
                 # ($setOnInsert on the insert branch, app/catalog/upsert.py:91)
