@@ -106,3 +106,19 @@ def test_readers_never_see_a_partial_commit(spark, tmp_path):
     assert not errors, errors
     assert seen == sorted(seen)          # monotonic, no partial reads
     assert seen[-1] == 8 or st.read_cursor(spark, path, "k")["page"] == 8
+
+
+def test_version_retention_bounds_disk_and_listing(spark, tmp_path):
+    """A long-lived sync commits a cursor per batch; without retention
+    the state dir accumulates one version dir per commit forever.
+    Retention keeps the newest STATE_RETAIN and only ever deletes below
+    them, so the latest version (and the page-monotonic contract) is
+    untouched."""
+    path = str(tmp_path / "cursors")
+    for page in range(1, 2 * st.STATE_RETAIN + 1):
+        st.write_cursor(spark, path, _cursor("k", page))
+    import os as _os
+
+    vs = sorted(d for d in _os.listdir(path) if d.startswith("v"))
+    assert len(vs) == st.STATE_RETAIN
+    assert st.read_cursor(spark, path, "k")["page"] == 2 * st.STATE_RETAIN

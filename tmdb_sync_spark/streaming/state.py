@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,7 +60,29 @@ def commit(df: DataFrame, path: str) -> str:
     )
     df.write.mode("overwrite").parquet(staging)
     os.rename(staging, target)
+    _retain_versions(path)
     return target
+
+
+# Versions kept per state table. Without retention a long-lived sync
+# accumulates one dir per cursor commit FOREVER — unbounded disk and a
+# listdir that slows every read (the scale failure Delta's VACUUM
+# exists for). K=8 gives concurrent pollers an 8-commit grace window:
+# a reader that resolved latest_version() keeps a readable snapshot
+# unless it lags 8 further commits before opening it (sub-second
+# commits → a practically unreachable lag, and the same class of
+# retention race every table format documents).
+STATE_RETAIN = 8
+
+
+def _retain_versions(path: str) -> None:
+    """Delete all but the newest ``STATE_RETAIN`` versions. Runs under
+    the caller's commit lock; only ever removes versions BELOW the
+    retained set, so ``latest_version`` (highest wins) never sees a
+    partially-deleted dir even if a crash interrupts the sweep."""
+    vs = sorted(d for d in os.listdir(path) if _V_RE.match(d))
+    for d in vs[:-STATE_RETAIN]:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def read_state(spark: SparkSession, path: str) -> DataFrame | None:
