@@ -25,7 +25,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tmdb_sync_spark.functions.text import tokens_expr
+from tmdb_sync_spark.functions.text import WS_SQL, tokens_expr
 from tmdb_sync_spark.io import parallel_table, table
 from tmdb_sync_spark.registry import register
 
@@ -36,7 +36,7 @@ def shingle_sql(src: str = "documents") -> str:
     """DuckDB CTEs ``toks``/``sh`` computing 3-word shingles of ``src``."""
     return rf"""
     toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text), '[{WS_SQL}]+') AS t
         FROM {src}
     ),
     sh AS (
@@ -319,11 +319,11 @@ _NIBBLE = "89abcdef"  # high bit of a hex nibble
 
 @register(
     "dd_simhash_fingerprint",
-    oracle=r"""
+    oracle=rf"""
     WITH toks AS (
         SELECT doc_id,
-               regexp_split_to_array(trim(text), '\s+') AS t,
-               list_transform(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+               regexp_split_to_array(trim(text), '[{WS_SQL}]+') AS t,
+               list_transform(list_distinct(regexp_split_to_array(trim(text), '[{WS_SQL}]+')),
                               x -> md5(x)) AS hs
         FROM documents
     ),

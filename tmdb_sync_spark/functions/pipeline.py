@@ -37,6 +37,7 @@ from tmdb_sync_spark.functions.dedup import (
     shingle_sql,
 )
 from tmdb_sync_spark.functions.text import (
+    WS_SQL,
     QUALITY_SQL,
     quality_score_expr,
     tokens_expr,
@@ -60,7 +61,7 @@ _N_EQUAL = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(N_HASHES))
     WITH quality AS (
         SELECT doc_id, text, lang,
                {QUALITY_SQL} AS q,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+               len(regexp_split_to_array(trim(text), '[{WS_SQL}]+')) AS ntok
         FROM documents
     ),
     kept_q AS (SELECT * FROM quality WHERE q >= {QUALITY_MIN}),

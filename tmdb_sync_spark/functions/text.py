@@ -6,8 +6,10 @@ All pure Catalyst expressions — tokenization via ``split``, per-token work
 via array higher-order functions. No explode: one row in, one row out, so
 the operators scale linearly with document count and never shuffle.
 
-Cross-engine notes: whitespace tokenization is ``split(trim(text),'\\s+')``
-in Spark ≡ ``regexp_split_to_array`` in DuckDB; token-length sums fold to
+Cross-engine notes: whitespace tokenization is ``split(trim(text), WS+'+')``
+in Spark ≡ ``regexp_split_to_array`` in DuckDB over the SAME explicit
+whitespace class (``WS_CHARS`` — never bare ``\s``, whose definition
+differs between Java regex and RE2); token-length sums fold to
 INT (exact); ratios are single double divisions of exact ints.
 """
 
@@ -20,13 +22,26 @@ from tmdb_sync_spark.io import parallel_table
 from tmdb_sync_spark.registry import register
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
-BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# The whitespace class, spelled out EXPLICITLY for both engines: Java
+# regex (Spark) defines \s as [ \t\n\x0B\f\r] while RE2 (DuckDB) defines
+# it as [ \t\n\f\r] — a vertical tab (U+000B) tokenizes differently and
+# every downstream feature diverges (found live by a hostile-unicode
+# corpus probe: doc "tab\tand\nnewline\rand\x0Bvtab mix" produced 6
+# Spark tokens vs 5 DuckDB tokens and shifted seven feature columns).
+# WS_CHARS feeds Spark patterns; WS_SQL is the same class for DuckDB
+# regex literals (standard SQL strings pass backslashes through).
+WS_CHARS = r" \t\n\r\f\x0B"
+WS = rf"[{WS_CHARS}]"
+WS_SQL = r" \t\n\r\f\x0B"
+
+BPE_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
 
 _STOP_SQL = "['the','a','and','of','to','in','is']"
 
 
 def _tokens(col: Column) -> Column:
-    return F.split(F.trim(col), r"\s+")
+    return F.split(F.trim(col), WS + "+")
 
 
 # Public single source of the whitespace tokenizer: every operator that
@@ -65,7 +80,7 @@ def quality_score_expr(
     if n_stop is None:
         n_stop = stopword_count_expr(t)
     n_punct = F.length(text) - F.length(
-        F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")
+        F.regexp_replace(text, rf"[^A-Za-z0-9{WS_CHARS}]", "")
     )
     stop_ratio = n_stop / n_tokens
     return (
@@ -77,11 +92,11 @@ def quality_score_expr(
 
 # DuckDB twin of quality_score_expr over a relation exposing ``text``.
 QUALITY_SQL = (
-    "(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 10 THEN 0.5 ELSE 0.0 END"
-    f" + CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+    f"(CASE WHEN len(regexp_split_to_array(trim(text), '[{WS_SQL}]+')) >= 10 THEN 0.5 ELSE 0.0 END"
+    f" + CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '[{WS_SQL}]+'),"
     f" x -> list_contains({_STOP_SQL}, lower(x)))) AS INT)"
-    " / len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END"
-    " + CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 5"
+    f" / len(regexp_split_to_array(trim(text), '[{WS_SQL}]+')) BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END"
+    f" + CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9{WS_SQL}]', '', 'g'))) * 5"
     " < length(trim(text)) THEN 0.2 ELSE 0.0 END)"
 )
 
@@ -104,10 +119,10 @@ def _marker_sql(lang: str) -> str:
     oracle=rf"""
     WITH toks AS (
         SELECT doc_id, lang AS lang_label,
-               regexp_split_to_array(trim(text), '\s+') AS t,
+               regexp_split_to_array(trim(text), '[{WS_SQL}]+') AS t,
                length(trim(text)) AS trimmed_len,
-               length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+               length(text) - length(regexp_replace(text, '[^A-Za-z0-9{WS_SQL}]', '', 'g')) AS n_punct,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_SQL}]')) AS n_bpe_tokens
         FROM documents
     ),
     scored AS (
@@ -215,9 +230,9 @@ def tx_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tx_ngram_topk",
-    oracle=r"""
+    oracle=rf"""
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[{WS_SQL}]+') AS t
         FROM documents
     ),
     grams AS (
@@ -245,7 +260,7 @@ def tx_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallel_table(spark, sf_dir, "documents").withColumn(
         # materialized first — element_at inside the lambda must read an
         # attribute, not re-run the split per bigram (see tx_text_features)
-        "_toks", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        "_toks", F.split(F.lower(F.trim(F.col("text"))), WS + "+")
     )
     t = F.col("_toks")
     grams = docs.where(F.size(t) >= 2).select(
