@@ -25,6 +25,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tmdb_sync_spark.functions.similarity import _VALID_SQL
 from tmdb_sync_spark.functions.text import WS_SQL, tokens_expr
 from tmdb_sync_spark.io import parallel_table, table
 from tmdb_sync_spark.registry import register
@@ -459,12 +460,13 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd_cluster_components",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE q AS (
         SELECT vec_id,
                list_transform(embedding,
                               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
         FROM embeddings
+        WHERE {_VALID_SQL}
     ),
     n AS (
         SELECT vec_id, v,

@@ -41,12 +41,32 @@ DIM = 64
 TOP_K = 5
 N_SIGN_BITS = 8
 
+# Vector validity contract, enforced identically in BOTH engines BEFORE
+# any arithmetic: embedding present, exactly DIM components, every
+# component a finite non-NULL float. Without it the engines diverge
+# SILENTLY on malformed vectors (found by a hostile-embeddings probe):
+# Spark's floor() clamps Infinity to Long.MAX (then the norm multiply
+# overflows loudly) and floors NaN to 0 (silently wrong!), DuckDB's
+# BIGINT cast errors on both; Spark's fold-based norm propagates a NULL
+# component to a NULL norm while DuckDB's list_aggregate('sum') skips
+# NULLs; and a wrong-length vector sums all its components in Spark but
+# only the first DIM in DuckDB. Production pipelines dead-letter such
+# rows; here they are excluded by this one shared predicate (the
+# similarity operators' contract — a malformed vector can't meaningfully
+# match anything), and huge-but-finite magnitudes keep the documented
+# loud ANSI overflow in both engines.
+_VALID_SQL = (
+    f"embedding IS NOT NULL AND len(embedding) = {{dim}} "
+    "AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
+).format(dim=DIM)
+
 _QUANT_SQL = f"""
     WITH q AS (
         SELECT vec_id,
                list_transform(embedding,
                               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
         FROM embeddings
+        WHERE {_VALID_SQL}
     ),
     n AS (
         SELECT vec_id, v,
@@ -74,9 +94,41 @@ def _nrm_expr(v: Column) -> Column:
     )
 
 
+def _valid_expr(col: Column) -> Column:
+    """Spark twin of ``_VALID_SQL`` — see that constant's comment."""
+    return (
+        col.isNotNull()
+        & (F.size(col) == DIM)
+        & F.forall(
+            col,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x)
+            & (F.abs(x) != F.lit(float("inf"))),
+        )
+    )
+
+
+def _guarded_quant(col: Column) -> Column:
+    """Quantization gated INSIDE a CaseWhen on the validity predicate:
+    a bare ``.where(valid)`` before the projection is not enough,
+    because Catalyst pushes consumer filters (``nrm > 0``) down and can
+    order them AHEAD of the validity filter in the combined predicate —
+    the norm arithmetic then runs on a garbage row (observed live: an
+    Infinity component floor-clamped to Long.MAX overflowed the norm
+    multiply despite the upstream filter). CaseWhen evaluates its value
+    branch lazily, so however Catalyst reorders, no arithmetic touches
+    an invalid vector — it quantizes to NULL and every consumer's
+    ``nrm > 0`` / join drops it."""
+    return F.when(_valid_expr(col), _quant_expr(col))
+
+
 def _quantized_from(emb: DataFrame) -> DataFrame:
-    """vec_id, v (quantized BIGINT vector), nrm (exact squared norm)."""
-    df = emb.select("vec_id", _quant_expr(F.col("embedding")).alias("v"))
+    """vec_id, v (quantized BIGINT vector), nrm (exact squared norm).
+    Malformed vectors are excluded by the validity contract
+    (``_VALID_SQL``) before any arithmetic."""
+    df = emb.select(
+        "vec_id", _guarded_quant(F.col("embedding")).alias("v")
+    ).where(F.col("v").isNotNull())
     return df.select("vec_id", "v", _nrm_expr(F.col("v")).alias("nrm"))
 
 
@@ -157,7 +209,7 @@ def _bucketed(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
     ]
     q = emb.select(
         "vec_id", F.concat(*bits).alias("bucket"),
-        _quant_expr(F.col("embedding")).alias("v"),
+        _guarded_quant(F.col("embedding")).alias("v"),
     )
     return q.select(
         "vec_id", "bucket", "v", _nrm_expr(F.col("v")).alias("nrm")
