@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tmdb_sync_spark.io import table
+from tmdb_sync_spark.operators.scalars import nan_to_null
 from tmdb_sync_spark.registry import register
 
 
@@ -140,7 +141,7 @@ def a4_a5_report_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS inserted,
                CAST(SUM(CASE WHEN value <= 50.0 OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated,
                MAX(ts) AS cursor_ts,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1
     ),
@@ -184,7 +185,7 @@ def a8_sk_salted_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("value") <= 50.0) | F.col("value").isNull(), 1).otherwise(0)
         ).alias("pupd"),
         F.max("ts").alias("pts"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
+        F.sum(nan_to_null(F.col("value")).cast("decimal(18,6)")).alias("psum"),
     )
     agg = partial.groupBy("event_type").agg(
         F.sum("pn").alias("processed"),

@@ -13,8 +13,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from tmdb_sync_spark.io import table
 from tmdb_sync_spark.registry import register
+
+# NaN-measure convention, shared by every aggregate over a DOUBLE metric
+# column (events.value): NaN behaves as NULL — the row still counts
+# toward COUNT(*), but never contributes to SUM/MAX/MIN. Without making
+# this EXPLICIT in both engines they diverge silently (found by a
+# hostile-events probe): Spark's ANSI cast(NaN AS DECIMAL) yields NULL —
+# the sum quietly skips it — while DuckDB raises on the same cast, and
+# DuckDB's MAX treats NaN as greater-than-everything while the stateful
+# kernel's pandas max skips it. One expression per engine, same rule.
+NAN_VALUE_SQL = "CASE WHEN isnan(value) THEN NULL ELSE value END"
+
+
+def nan_to_null(col: Column) -> Column:
+    """Spark twin of ``NAN_VALUE_SQL`` (NULL passes through unchanged)."""
+    return F.when(F.isnan(col), F.lit(None)).otherwise(col)
 
 
 @register(

@@ -35,10 +35,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from tmdb_sync_spark.io import events_ts_norm, table
+from tmdb_sync_spark.operators.scalars import nan_to_null
 from tmdb_sync_spark.registry import register
 from tmdb_sync_spark.util import scratch_dir
 
-_SUM = 'CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)'
+# NaN-measure convention: see operators.scalars.NAN_VALUE_SQL
+_SUM = ('CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END'
+        ' AS DECIMAL(18,6))) AS DOUBLE)')
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,11 +160,15 @@ def _run_to_parquet(agg: DataFrame, mode: str) -> str:
 @register(
     "st_tumbling_window",
     oracle=f"""
+    -- event-time windows REQUIRE an event time: Structured Streaming
+    -- drops NULL-event-time rows before windowing, so the batch oracle
+    -- must too, or the NULL-window group diverges (hostile-events probe)
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
            {_SUM} AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -182,7 +189,7 @@ def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            F.sum(nan_to_null(F.col("value")).cast("decimal(18,6)")).cast("double")
              .alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"),
@@ -196,10 +203,10 @@ def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH slides AS (
         SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, *
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         UNION ALL
         SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE, *
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT window_start, event_type,
            COUNT(*) AS n_events,
@@ -228,7 +235,7 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "event_type", "user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+            F.sum(nan_to_null(F.col("value")).cast("decimal(18,6)")).alias("sv"),
         )
     )
     per_user = spark.read.parquet(_run_to_parquet(pre, "complete"))
@@ -255,6 +262,16 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
         FROM events
+        -- NULL event times belong to no window (streaming drops them),
+        -- and PRE-EPOCH events are late-on-arrival for the session
+        -- merge: Structured Streaming's initial watermark is the epoch
+        -- (0), and the merge drops events whose session end precedes it
+        -- (hostile-events probe: a 1900 event emitted from the tumbling
+        -- window, which does no late filtering in complete mode, but
+        -- never from the session merge). Event-time sessionization's
+        -- supported domain is post-epoch timestamps.
+        WHERE ts IS NOT NULL
+          AND ts + INTERVAL 30 MINUTE > TIMESTAMP '1970-01-01 00:00:00'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     s AS (
@@ -283,7 +300,7 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            F.sum(nan_to_null(F.col("value")).cast("decimal(18,6)")).cast("double")
              .alias("sum_value"),
         )
         .select("user_id",
@@ -345,8 +362,8 @@ def _user_state_fn(key, pdfs, state):
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           MAX(value) AS max_value,
-           MIN(value) AS min_value,
+           MAX(CASE WHEN isnan(value) THEN NULL ELSE value END) AS max_value,
+           MIN(CASE WHEN isnan(value) THEN NULL ELSE value END) AS min_value,
            MIN(ts) AS first_ts,
            MAX(ts) AS last_ts
     FROM events
