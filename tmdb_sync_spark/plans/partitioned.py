@@ -64,6 +64,7 @@ from tmdb_sync_spark.util import (
     ConcurrentWriterError,
     acquire_dir_lock,
     release_dir_lock,
+    fsync_dir,
 )
 
 
@@ -286,6 +287,8 @@ def _save_schema_record(target_dir: str, rec: dict) -> None:
     tmp = f"{sp}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(rec, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, sp)
 
 
@@ -370,6 +373,9 @@ def _write_swap_journal(
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, jpath)
+    # the COMMIT POINT must survive power loss, not just process crash:
+    # the rename lives in the directory entry — fsync the dir too
+    fsync_dir(target_dir)
 
 
 def _replay_swap_journal(target_dir: str) -> None:

@@ -20,7 +20,11 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tmdb_sync_spark.util import acquire_dir_lock, release_dir_lock
+from tmdb_sync_spark.util import (
+    acquire_dir_lock,
+    fsync_dir,
+    release_dir_lock,
+)
 
 CURSOR_SCHEMA = (
     "key STRING, page INT, inserted BIGINT, updated BIGINT, ts TIMESTAMP"
@@ -60,6 +64,9 @@ def commit(df: DataFrame, path: str) -> str:
     )
     df.write.mode("overwrite").parquet(staging)
     os.rename(staging, target)
+    # version publication IS the commit — make the rename power-loss
+    # durable (util.fsync_dir), not merely process-crash safe
+    fsync_dir(path)
     _retain_versions(path)
     return target
 

@@ -209,6 +209,26 @@ def release_dir_lock(lock_path: str) -> None:
         pass
 
 
+def fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a just-completed rename inside it survives
+    power loss, not merely process crash. ``fsync`` on the renamed file
+    alone persists its CONTENT; the rename itself lives in the directory
+    entry, which is its own inode with its own dirty state — the
+    distinction every commit-log implementation (and SQLite/Postgres WAL
+    lore) handles. Quiet on platforms/filesystems that refuse directory
+    fds (the rename is still process-crash-safe there)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def scratch_dir(prefix: str) -> str:
     """mkdtemp + removal at interpreter exit.
 
