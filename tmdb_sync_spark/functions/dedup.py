@@ -26,7 +26,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tmdb_sync_spark.functions.similarity import _VALID_SQL
-from tmdb_sync_spark.functions.text import WS_SQL, tokens_expr
+from tmdb_sync_spark.functions.text import WS_SQL, tokens_expr, trim_sql
+
+_TRIM = trim_sql("text")
 from tmdb_sync_spark.io import parallel_table, table
 from tmdb_sync_spark.registry import register
 
@@ -37,7 +39,7 @@ def shingle_sql(src: str = "documents") -> str:
     """DuckDB CTEs ``toks``/``sh`` computing 3-word shingles of ``src``."""
     return rf"""
     toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '[{WS_SQL}]+') AS t
+        SELECT doc_id, regexp_split_to_array({_TRIM}, '[{WS_SQL}]+') AS t
         FROM {src}
     ),
     sh AS (
@@ -323,8 +325,8 @@ _NIBBLE = "89abcdef"  # high bit of a hex nibble
     oracle=rf"""
     WITH toks AS (
         SELECT doc_id,
-               regexp_split_to_array(trim(text), '[{WS_SQL}]+') AS t,
-               list_transform(list_distinct(regexp_split_to_array(trim(text), '[{WS_SQL}]+')),
+               regexp_split_to_array({_TRIM}, '[{WS_SQL}]+') AS t,
+               list_transform(list_distinct(regexp_split_to_array({_TRIM}, '[{WS_SQL}]+')),
                               x -> md5(x)) AS hs
         FROM documents
     ),

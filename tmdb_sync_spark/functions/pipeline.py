@@ -41,7 +41,10 @@ from tmdb_sync_spark.functions.text import (
     QUALITY_SQL,
     quality_score_expr,
     tokens_expr,
+    trim_sql,
 )
+
+_TRIM = trim_sql("text")
 from tmdb_sync_spark.io import parallel_table
 from tmdb_sync_spark.registry import register
 
@@ -61,7 +64,7 @@ _N_EQUAL = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(N_HASHES))
     WITH quality AS (
         SELECT doc_id, text, lang,
                {QUALITY_SQL} AS q,
-               len(regexp_split_to_array(trim(text), '[{WS_SQL}]+')) AS ntok
+               len(regexp_split_to_array({_TRIM}, '[{WS_SQL}]+')) AS ntok
         FROM documents
     ),
     kept_q AS (SELECT * FROM quality WHERE q >= {QUALITY_MIN}),

@@ -1,4 +1,4 @@
-"""Text-analysis operators: token stats, quality scoring, language ID,
+r"""Text-analysis operators: token stats, quality scoring, language ID,
 document fingerprinting (SURVEY.md Phase 5; generalizes the reference's
 string layer P9/F-ops to corpus analytics).
 
@@ -6,8 +6,9 @@ All pure Catalyst expressions — tokenization via ``split``, per-token work
 via array higher-order functions. No explode: one row in, one row out, so
 the operators scale linearly with document count and never shuffle.
 
-Cross-engine notes: whitespace tokenization is ``split(trim(text), WS+'+')``
-in Spark ≡ ``regexp_split_to_array`` in DuckDB over the SAME explicit
+Cross-engine notes: whitespace tokenization is ``split(trim_ws(text),
+WS+'+')`` in Spark ≡ ``regexp_split_to_array(trim_sql(text), ...)`` in
+DuckDB over the SAME explicit
 whitespace class (``WS_CHARS`` — never bare ``\s``, whose definition
 differs between Java regex and RE2); token-length sums fold to
 INT (exact); ratios are single double divisions of exact ints.
@@ -40,8 +41,26 @@ BPE_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
 _STOP_SQL = "['the','a','and','of','to','in','is']"
 
 
+def trim_ws(col: Column) -> Column:
+    """Trim exactly ``WS_CHARS`` from both ends. The builtins are NOT
+    interchangeable across engines: Spark's ``trim`` strips ASCII space
+    only (a leading tab survives and yields a phantom empty first token),
+    while DuckDB's strips full Unicode whitespace (a non-breaking space
+    U+00A0 disappears even though the tokenizer's contract says NBSP is
+    a token character). Found live by the hypothesis tokenizer-parity
+    generator on doc ``'\\xa0'`` — spelled out here as a regex over the
+    same explicit class both engines tokenize with."""
+    return F.regexp_replace(col, rf"^{WS}+|{WS}+$", "")
+
+
+def trim_sql(expr: str = "text") -> str:
+    """DuckDB twin of :func:`trim_ws` — same explicit class, never the
+    builtin ``trim`` (Unicode-aware, diverges on NBSP et al.)."""
+    return f"regexp_replace({expr}, '^[{WS_SQL}]+|[{WS_SQL}]+$', '', 'g')"
+
+
 def _tokens(col: Column) -> Column:
-    return F.split(F.trim(col), WS + "+")
+    return F.split(trim_ws(col), WS + "+")
 
 
 # Public single source of the whitespace tokenizer: every operator that
@@ -86,18 +105,20 @@ def quality_score_expr(
     return (
         F.when(n_tokens >= 10, 0.5).otherwise(0.0)
         + F.when(stop_ratio.between(0.05, 0.6), 0.3).otherwise(0.0)
-        + F.when(n_punct * 5 < F.length(F.trim(text)), 0.2).otherwise(0.0)
+        + F.when(n_punct * 5 < F.length(trim_ws(text)), 0.2).otherwise(0.0)
     )
 
 
-# DuckDB twin of quality_score_expr over a relation exposing ``text``.
+# DuckDB twin of quality_score_expr over a relation exposing ``text``
+# (explicit-class trim_sql, never builtin trim — see trim_ws).
+_T = trim_sql("text")
 QUALITY_SQL = (
-    f"(CASE WHEN len(regexp_split_to_array(trim(text), '[{WS_SQL}]+')) >= 10 THEN 0.5 ELSE 0.0 END"
-    f" + CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '[{WS_SQL}]+'),"
+    f"(CASE WHEN len(regexp_split_to_array({_T}, '[{WS_SQL}]+')) >= 10 THEN 0.5 ELSE 0.0 END"
+    f" + CASE WHEN CAST(len(list_filter(regexp_split_to_array({_T}, '[{WS_SQL}]+'),"
     f" x -> list_contains({_STOP_SQL}, lower(x)))) AS INT)"
-    f" / len(regexp_split_to_array(trim(text), '[{WS_SQL}]+')) BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END"
+    f" / len(regexp_split_to_array({_T}, '[{WS_SQL}]+')) BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END"
     f" + CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9{WS_SQL}]', '', 'g'))) * 5"
-    " < length(trim(text)) THEN 0.2 ELSE 0.0 END)"
+    f" < length({_T}) THEN 0.2 ELSE 0.0 END)"
 )
 
 
@@ -119,8 +140,8 @@ def _marker_sql(lang: str) -> str:
     oracle=rf"""
     WITH toks AS (
         SELECT doc_id, lang AS lang_label,
-               regexp_split_to_array(trim(text), '[{WS_SQL}]+') AS t,
-               length(trim(text)) AS trimmed_len,
+               regexp_split_to_array({_T}, '[{WS_SQL}]+') AS t,
+               length({_T}) AS trimmed_len,
                length(text) - length(regexp_replace(text, '[^A-Za-z0-9{WS_SQL}]', '', 'g')) AS n_punct,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_SQL}]')) AS n_bpe_tokens
         FROM documents
@@ -185,7 +206,7 @@ def tx_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = stopword_count_expr(t)
     n_punct = (
         F.length("text")
-        - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+        - F.length(F.regexp_replace("text", rf"[^A-Za-z0-9{WS_CHARS}]", ""))
     )
     n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
     stop_ratio = n_stop / n_tokens
@@ -232,7 +253,7 @@ def tx_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tx_ngram_topk",
     oracle=rf"""
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[{WS_SQL}]+') AS t
+        SELECT doc_id, regexp_split_to_array(lower({_T}), '[{WS_SQL}]+') AS t
         FROM documents
     ),
     grams AS (
@@ -260,7 +281,7 @@ def tx_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallel_table(spark, sf_dir, "documents").withColumn(
         # materialized first — element_at inside the lambda must read an
         # attribute, not re-run the split per bigram (see tx_text_features)
-        "_toks", F.split(F.lower(F.trim(F.col("text"))), WS + "+")
+        "_toks", F.split(F.lower(trim_ws(F.col("text"))), WS + "+")
     )
     t = F.col("_toks")
     grams = docs.where(F.size(t) >= 2).select(
