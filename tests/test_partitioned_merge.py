@@ -461,6 +461,56 @@ def test_replay_after_crash_emptied_last_partition(spark):
     assert [(r["k"], r["y"], r["price"]) for r in post] == [(1, 2001, 11.0)]
 
 
+def test_replay_raises_when_staging_removed_externally(spark):
+    """A pending journal whose staging dir was removed by an outside
+    actor must FAIL the next writer loudly, not complete as a corrupt
+    success (review finding): the silent path installed the journal's
+    post-swap manifest and ran its deletes over a table that never
+    received the staged data — later probes then pruned on wrong ranges
+    and moved keys became permanent duplicates."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile
+
+    import pytest as _pytest
+
+    from tmdb_sync_spark.plans.partitioned import (
+        SWAP_JOURNAL_NAME,
+        _staging_dir,
+    )
+    from tmdb_sync_spark.util import ConcurrentWriterError
+
+    d = tempfile.mkdtemp(prefix="pm_jstag_")
+    target = f"{d}/t"
+    base = spark.createDataFrame(
+        [(1, 2000, 10.0)], "k BIGINT, y INT, price DOUBLE"
+    )
+    write_partitioned(base, target, "y")
+    # forge the crash state: a committed journal promising an install
+    # whose staged partition (and dir) no longer exists
+    staging = _staging_dir(target)
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(target, SWAP_JOURNAL_NAME), "w") as fh:
+        _json.dump(
+            {"staging": staging, "partition_col": "y",
+             "ops": [["y=2001", "install"], ["y=2000", "delete"]],
+             "manifest": None, "schema_record": None},
+            fh,
+        )
+    _shutil.rmtree(staging)
+
+    source = spark.createDataFrame(
+        [(2, 2000, 20.0)], "k BIGINT, y INT, price DOUBLE"
+    )
+    with _pytest.raises(ConcurrentWriterError, match="staging was removed"):
+        merge_into_partitioned(
+            spark, target, source, keys=["k"], partition_col="y",
+        )
+    # the table's committed data was not touched by the refused replay
+    assert [(r["k"], r["y"]) for r in spark.read.parquet(target).collect()] \
+        == [(1, 2000)]
+
+
 def test_merge_bootstraps_missing_table(spark):
     """MERGE into a directory that does not exist yet is an initial load
     (every row inserts) — the same degradation path as the crash-emptied
@@ -680,6 +730,56 @@ def test_empty_table_roundtrip_matches_populated_readback_schema(spark):
     )
     rows = spark.read.parquet(f"{d}/empty").collect()
     assert [(r["k"], r["y"]) for r in rows] == [(7, 1999)]
+
+
+def test_empty_table_merge_keeps_target_only_columns(spark):
+    """A committed-but-EMPTY table whose schema holds a column the merge
+    SOURCE lacks (created_at — the ingest's $setOnInsert column) must
+    merge through the persisted schema record, not the source schema
+    (review finding): degrading to source.schema made merge_into reject
+    the not_matched_insert mapping as naming an unknown column, and
+    since every retry took the same path the sync wedged permanently —
+    exactly the all-dead-lettered-bootstrap state. The schema record is
+    the table's truth; the merge must insert THROUGH it."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tmdb_sync_spark.plans.partitioned import (
+        merge_into_partitioned,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    d = tempfile.mkdtemp(prefix="empty_merge_")
+    target = f"{d}/movies"
+    boot_schema = (
+        "id BIGINT, y INT, title STRING, synced_at TIMESTAMP, "
+        "created_at TIMESTAMP"
+    )
+    # bootstrap commits ZERO rows (every row dead-lettered) — the table
+    # exists with a schema record but no partition dirs
+    write_partitioned(
+        spark.createDataFrame([], boot_schema), target, "y",
+        manifest_key="id",
+    )
+
+    # the next batch's source (the ingest's `ok`): no created_at column
+    src = spark.createDataFrame(
+        [(1, 2001, "t1"), (2, 2002, "t2")], "id BIGINT, y INT, title STRING"
+    ).withColumn("synced_at", F.lit("2026-01-01").cast("timestamp"))
+    res = merge_into_partitioned(
+        spark, target, src,
+        keys=["id"], partition_col="y",
+        not_matched_insert={"created_at": F.col("s.synced_at")},
+        count_actions=True,
+    )
+    assert res["counts"] == {"insert": 2}
+    back = read_partitioned(spark, target)
+    assert "created_at" in back.columns
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["created_at"] is not None
+    assert rows[1]["title"] == "t1" and rows[2]["y"] == 2002
 
 
 def test_ingest_crash_then_resume_converges(spark):

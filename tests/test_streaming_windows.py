@@ -76,6 +76,42 @@ def test_user_state_fn_all_null_chunk_does_not_poison_extrema():
     assert r2["max_value"] is None and r2["min_value"] is None
 
 
+def test_user_state_fn_all_null_ts_chunk_does_not_poison_first_last():
+    """The timestamp twin of the extrema guard (review finding): an
+    all-NULL-ts chunk yields NaT from pandas min()/max(), and Python's
+    min(NaT, real) KEEPS NaT (every NaT comparison is False) — without
+    the isna guard one such micro-batch chunk poisons first_ts/last_ts
+    permanently and the emitted profile depends on batch slicing,
+    diverging from the oracle's NULL-skipping MIN(ts)/MAX(ts). Invisible
+    in single-chunk runs (the in-chunk skip masks it), so the test feeds
+    the chunks separately."""
+    import pandas as pd
+
+    from tmdb_sync_spark.streaming.windows import _user_state_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.get, self.exists = v, True
+
+    t1, t2 = pd.Timestamp("2026-01-01"), pd.Timestamp("2026-01-02")
+    null_ts = pd.DataFrame({"value": [1.0], "ts": [pd.NaT]})
+    real = pd.DataFrame({"value": [2.0, 3.0], "ts": [t1, t2]})
+
+    st = FakeState()
+    out = pd.concat(_user_state_fn(("u1",), iter([null_ts, real]), st))
+    r = out.iloc[0]
+    assert r["n_events"] == 3                   # NULL-ts row still counts
+    assert r["first_ts"] == t1 and r["last_ts"] == t2
+
+    # a NULL-ts-only user emits NULL first/last, like MIN/MAX over NULLs
+    st2 = FakeState()
+    out2 = pd.concat(_user_state_fn(("u2",), iter([null_ts]), st2))
+    r2 = out2.iloc[0]
+    assert pd.isna(r2["first_ts"]) and pd.isna(r2["last_ts"])
+
+
 def test_events_stream_reads_directory_layout(spark, tmp_path):
     """events.parquet as a DIRECTORY of part files (the layout the batch
     reader supports) must stream every row: the file-source glob of

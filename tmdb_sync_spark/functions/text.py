@@ -34,7 +34,7 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 # regex literals (standard SQL strings pass backslashes through).
 WS_CHARS = r" \t\n\r\f\x0B"
 WS = rf"[{WS_CHARS}]"
-WS_SQL = r" \t\n\r\f\x0B"
+WS_SQL = WS_CHARS    # alias, not a copy: the classes must never drift
 
 BPE_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tmdb_sync_spark.io import table
-from tmdb_sync_spark.operators.scalars import nan_to_null
+from tmdb_sync_spark.operators.scalars import NAN_VALUE_SQL, nan_to_null
 from tmdb_sync_spark.registry import register
 
 
@@ -134,14 +134,14 @@ def a4_a5_report_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a8_sk_salted_counters",
-    oracle="""
+    oracle=f"""
     WITH agg AS (
         SELECT event_type,
                COUNT(*) AS processed,
                CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS inserted,
                CAST(SUM(CASE WHEN value <= 50.0 OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated,
                MAX(ts) AS cursor_ts,
-               CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+               CAST(SUM(CAST({NAN_VALUE_SQL} AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1
     ),

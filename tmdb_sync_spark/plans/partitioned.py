@@ -65,6 +65,7 @@ from tmdb_sync_spark.util import (
     acquire_dir_lock,
     release_dir_lock,
     fsync_dir,
+    fsync_tree,
 )
 
 
@@ -357,6 +358,12 @@ def _write_swap_journal(
     without a key: a stale manifest must not survive), or
     ``{"key": k, "post": {...}}`` (the exact post-swap manifest to
     install). Underscore-prefixed, so Spark's file listing skips it."""
+    # The journal promises staging's CONTENT: make it durable BEFORE the
+    # commit point, or a power loss could persist the journal while the
+    # staged parquet pages are lost — and replay would then install torn
+    # files over the good old partitions (util.fsync_tree docstring).
+    if os.path.isdir(staging):
+        fsync_tree(staging)
     jpath = os.path.join(target_dir, SWAP_JOURNAL_NAME)
     tmp = f"{jpath}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
@@ -420,8 +427,24 @@ def _replay_swap_journal(target_dir: str) -> None:
         ) from e
     for n, kind in ops:
         if kind == "install" and not os.path.isdir(os.path.join(staging, n)):
-            # already moved into the table; a half-finished swap left a
-            # dot-prefixed dir the caller's generic leftover pass handles
+            # Legitimately reachable ONLY as "already moved into the
+            # table" (the crash landed after this op's move; dst exists
+            # — a half-finished swap's residue is a dot-prefixed dir the
+            # caller's generic leftover pass handles, never a missing
+            # dst). A missing staged dir with NO installed dst means the
+            # staging area was removed externally — completing the
+            # replay would install the journal's post-swap manifest and
+            # run its deletes over a table that never received the new
+            # data: a corrupt "success". Same outside-interference class
+            # as a garbled journal, same loud refusal.
+            if not os.path.isdir(os.path.join(target_dir, n)):
+                raise ConcurrentWriterError(
+                    f"swap journal {jpath!r} promises staged partition "
+                    f"{n!r}, but neither {staging!r} nor the table holds "
+                    "it — staging was removed before replay could "
+                    "complete; inspect the table and remove the journal "
+                    "by hand"
+                )
             continue
         _swap_partition(target_dir, staging, n)  # src absent → .del path
     if manifest_plan:
@@ -661,7 +684,27 @@ def _merge_locked(
         ):
             raise
         os.makedirs(target_dir, exist_ok=True)
-        target = spark.createDataFrame([], source.schema)
+        # An empty TABLE is not an absent one: a committed table whose
+        # every partition was emptied (or whose bootstrap batch was fully
+        # dead-lettered) still has its persisted schema record, and that
+        # schema can hold target-only columns the source lacks
+        # (created_at). Degrading to source.schema here would wedge the
+        # caller permanently: merge_into rejects a not_matched_insert
+        # naming a column the target "doesn't have", and every retry
+        # takes this same path (found by review — the ingest bootstrap +
+        # all-dead-lettered first page scenario). The schema record is
+        # exactly the read-back schema read_partitioned degrades to.
+        sp = os.path.join(target_dir, SCHEMA_NAME)
+        if os.path.exists(sp):
+            from pyspark.sql.types import StructType
+
+            with open(sp) as fh:
+                rec = json.load(fh)
+            target = spark.createDataFrame(
+                [], StructType.fromJson(rec["schema"])
+            )
+        else:
+            target = spark.createDataFrame([], source.schema)
     target = target.where(_touched_cond(touched, partition_col))
     # Self-healing replay: a crash between two partition swaps of a
     # key-move batch can leave a key duplicated across partition dirs

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from tmdb_sync_spark.util import (
     acquire_dir_lock,
     fsync_dir,
+    fsync_tree,
     release_dir_lock,
 )
 
@@ -63,6 +64,11 @@ def commit(df: DataFrame, path: str) -> str:
         os.path.dirname(target), "." + os.path.basename(target) + ".tmp"
     )
     df.write.mode("overwrite").parquet(staging)
+    # content first, THEN the publishing rename: a power loss that keeps
+    # the rename but loses the staged pages would point latest_version at
+    # an unreadable cursor (review finding — fsync_dir alone only makes
+    # the POINTER durable)
+    fsync_tree(staging)
     os.rename(staging, target)
     # version publication IS the commit — make the rename power-loss
     # durable (util.fsync_dir), not merely process-crash safe

@@ -35,13 +35,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from tmdb_sync_spark.io import events_ts_norm, table
-from tmdb_sync_spark.operators.scalars import nan_to_null
+from tmdb_sync_spark.operators.scalars import NAN_VALUE_SQL, nan_to_null
 from tmdb_sync_spark.registry import register
 from tmdb_sync_spark.util import scratch_dir
 
-# NaN-measure convention: see operators.scalars.NAN_VALUE_SQL
-_SUM = ('CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END'
-        ' AS DECIMAL(18,6))) AS DOUBLE)')
+# NaN-measure convention: operators.scalars.NAN_VALUE_SQL, interpolated
+# (not copied) so the one definition cannot drift per operator
+_SUM = f"CAST(SUM(CAST({NAN_VALUE_SQL} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,9 +347,19 @@ def _user_state_fn(key, pdfs, state):
             mx = float(bmx) if mx is None else max(mx, float(bmx))
         if not pd.isna(bmn):
             mn = float(bmn) if mn is None else min(mn, float(bmn))
+        # Same guard for the timestamps: pandas min()/max() skip NaT
+        # within a chunk but return NaT for an ALL-null chunk, and
+        # Python's min(NaT, real_ts) keeps NaT (every comparison with
+        # NaT is False) — one all-NULL-ts micro-batch chunk would
+        # otherwise poison first/last permanently AND make the result
+        # depend on batch slicing, breaking the kernel's
+        # order-independence contract (found by review; invisible on
+        # single-chunk runs, where the in-chunk skip masks it).
         bfirst, blast = pdf["ts"].min(), pdf["ts"].max()
-        first_ts = bfirst if first_ts is None else min(first_ts, bfirst)
-        last_ts = blast if last_ts is None else max(last_ts, blast)
+        if not pd.isna(bfirst):
+            first_ts = bfirst if first_ts is None else min(first_ts, bfirst)
+        if not pd.isna(blast):
+            last_ts = blast if last_ts is None else max(last_ts, blast)
     state.update((n, mx, mn, first_ts, last_ts))
     yield pd.DataFrame(
         [{"user_id": user_id, "n_events": n, "max_value": mx,
@@ -359,11 +369,11 @@ def _user_state_fn(key, pdfs, state):
 
 @register(
     "st_stateful_user_agg",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            COUNT(*) AS n_events,
-           MAX(CASE WHEN isnan(value) THEN NULL ELSE value END) AS max_value,
-           MIN(CASE WHEN isnan(value) THEN NULL ELSE value END) AS min_value,
+           MAX({NAN_VALUE_SQL}) AS max_value,
+           MIN({NAN_VALUE_SQL}) AS min_value,
            MIN(ts) AS first_ts,
            MAX(ts) AS last_ts
     FROM events

@@ -189,24 +189,42 @@ def release_dir_lock(lock_path: str) -> None:
     unlink deletes that live writer's lock and silently admits a third
     writer. Verifying pid+tid from the payload means we can only ever
     remove a lock we provably hold; a garbled or foreign lock is left for
-    the acquire-side reclaim protocol."""
+    the acquire-side reclaim protocol.
+
+    The payload is read through an open fd and the fd's inode compared
+    to the path's immediately before the unlink (the same inode pin the
+    acquire-side reclaim uses): a read-by-path + unlink-by-path pair has
+    its own verify→unlink window in which an external removal plus a
+    fresh writer's install would hand the unlink a lock we never
+    verified. The pin shrinks that window from "payload read → unlink"
+    to "stat → unlink" (two adjacent syscalls); closing it entirely
+    needs the reclaim mutex, which is not worth taking here — only an
+    actor violating the protocol (nothing in-engine removes a live-pid
+    lock) can open the window at all, and the residual failure needs it
+    to strike twice in those few instructions."""
     try:
-        with open(lock_path, "rb") as fh:
-            fields = fh.read().split()
-        pid = int(fields[0])
-        tid = int(fields[2]) if len(fields) > 2 else None
-    except FileNotFoundError:
-        return
-    except (OSError, ValueError, IndexError):
-        return                      # garbled → not provably ours
-    if pid != os.getpid():
-        return
-    if tid is not None and tid != threading.get_ident():
+        fd = os.open(lock_path, os.O_RDONLY)
+    except OSError:
         return
     try:
-        os.unlink(lock_path)
-    except FileNotFoundError:
-        pass
+        try:
+            fields = os.read(fd, 256).split()
+            pid = int(fields[0])
+            tid = int(fields[2]) if len(fields) > 2 else None
+        except (OSError, ValueError, IndexError):
+            return                  # garbled → not provably ours
+        if pid != os.getpid():
+            return
+        if tid is not None and tid != threading.get_ident():
+            return
+        try:
+            if os.stat(lock_path).st_ino != os.fstat(fd).st_ino:
+                return              # replaced since we verified — not ours
+            os.unlink(lock_path)
+        except FileNotFoundError:
+            pass
+    finally:
+        os.close(fd)
 
 
 def fsync_dir(path: str) -> None:
@@ -227,6 +245,34 @@ def fsync_dir(path: str) -> None:
         pass
     finally:
         os.close(fd)
+
+
+def fsync_tree(root: str) -> None:
+    """fsync every regular file and directory under ``root`` (and ``root``
+    itself) — the content half of a power-loss-durable commit.
+
+    :func:`fsync_dir` makes a commit-point RENAME durable, but a journal
+    or version pointer that survives power loss while the staged parquet
+    it promises does not would have recovery roll TORN data forward over
+    the good copy (review finding): Spark's committer renames task files
+    into place without fsyncing them, so their pages can still be
+    dirty-cache-only when the journal hits disk. Called once, right
+    before the commit-point write, on the staged tree it promises.
+    Best-effort per entry (unreadable entries are the read path's error
+    to raise, not the sync's)."""
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            try:
+                fd = os.open(os.path.join(dirpath, fn), os.O_RDONLY)
+            except OSError:
+                continue
+            try:
+                os.fsync(fd)
+            except OSError:
+                pass
+            finally:
+                os.close(fd)
+        fsync_dir(dirpath)
 
 
 def scratch_dir(prefix: str) -> str:
