@@ -376,3 +376,22 @@ def test_get_api_env_selects_real_transport(live_server, monkeypatch):
     assert isinstance(api.transport, UrllibTransport)
     assert api.details(8)["path"] == "/movie/8" and hits["/movie/8"] == 1
     monkeypatch.setattr(hc, "_API", None)   # don't leak into other tests
+
+
+def test_country_codes_tolerates_missing_production_countries():
+    """Parity with the reference's `.get("production_countries", [])`
+    (app/sync.py:106, app/sync_top.py:200): a details payload without the
+    key means "no countries", never a KeyError — a single such item must
+    not kill the whole enrichment partition. The inner iso_3166_1 index
+    stays hard, exactly like the reference's comprehension."""
+    import pytest
+
+    from tmdb_sync_spark.sources.enrich import _country_codes
+
+    assert _country_codes({}) == []
+    assert _country_codes({"production_countries": []}) == []
+    assert _country_codes(
+        {"production_countries": [{"iso_3166_1": "US"}, {"iso_3166_1": "FR"}]}
+    ) == ["US", "FR"]
+    with pytest.raises(KeyError):   # malformed ENTRY is still loud
+        _country_codes({"production_countries": [{"name": "x"}]})

@@ -47,6 +47,32 @@ def test_headline_joins_broadcast_dims(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan3
 
 
+def test_customer_broadcast_is_size_gated(spark, sf_dir, monkeypatch):
+    """The customer-side hints go through io.broadcast_if_dim: customer
+    SCALES with SF (unlike nation/region's fixed 25/5 rows), so an
+    unconditional hint is a driver-OOM at lake scale. With the gate
+    forced shut the hint must disappear from the analyzed plan (the join
+    is left to Catalyst/AQE) and the results must be unchanged."""
+    from tmdb_sync_spark import io as io_mod
+
+    def hinted(df):
+        # count UnresolvedHint/ResolvedHint nodes in the ANALYZED plan —
+        # pre-AQE, so runtime broadcast conversions don't mask the gate
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "broadcast"
+        )
+
+    open_gate = QUERIES["q5_revenue_by_nation"](spark, sf_dir)
+    n_open = hinted(open_gate)
+    monkeypatch.setattr(io_mod, "DIM_BROADCAST_MAX_BYTES", 0)
+    shut_gate = QUERIES["q5_revenue_by_nation"](spark, sf_dir)
+    # exactly one hint (customer's) is gated; nation/region stay hinted
+    assert hinted(shut_gate) == n_open - 1 >= 1
+    assert sorted(map(tuple, shut_gate.collect())) == sorted(
+        map(tuple, open_gate.collect())
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     ["dd_minhash_lsh", "dd_embedding_cosine", "ann_signlsh_topk",

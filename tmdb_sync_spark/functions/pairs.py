@@ -178,8 +178,13 @@ def tiled_self_pairs(
         # the collected list doubles as the broadcast build side — the
         # salting join then needs no second pass over the hot aggregate
         hot = spark.createDataFrame(hot_rows, hot.schema)
+        hot = F.broadcast(hot)
+    # else: the hot-key set is larger than we were willing to hold on the
+    # driver — don't FORCE a broadcast of a frame we just declined to
+    # collect; leave the build-side choice to Catalyst/AQE, which will
+    # still broadcast it at runtime if it is in fact small
     salted = (
-        base.join(F.broadcast(hot), "_k", "left")
+        base.join(hot, "_k", "left")
         .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))
         .withColumn(
             "_salt", F.pmod(F.xxhash64(F.col("_id")), F.col("_s")).cast("int")

@@ -91,6 +91,54 @@ def events_ts_norm(raw_type: DataType) -> Column:
     return F.col("ts").cast("timestamp")
 
 
+# On-disk ceiling for a size-gated broadcast hint. 64 MB of compressed
+# parquet decompresses to a few hundred MB of rows — near the top of what
+# a production driver/executor should hold as a broadcast relation, and
+# ~3 orders of magnitude above the sf0.1 dimension slices, so the gate
+# never changes local plans.
+DIM_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _path_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet file or directory tree."""
+    if not os.path.isdir(path):
+        try:
+            return os.stat(path).st_size
+        except OSError:
+            return 0
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.stat(os.path.join(dirpath, fn)).st_size
+            except OSError:
+                pass
+    return total
+
+
+def broadcast_if_dim(
+    df: DataFrame, sf_dir: str, name: str, limit: int | None = None
+) -> DataFrame:
+    """Broadcast hint gated on the BACKING TABLE's on-disk size.
+
+    An unconditional ``F.broadcast`` on a dimension that scales with the
+    data (customer grows with SF, unlike nation/region's fixed 25/5 rows)
+    is a 100 TB scale bug: the hint overrides Spark's own size checks, so
+    at SF≈100k the driver tries to collect a multi-TB relation and dies.
+    Gating on the source table's on-disk footprint keeps the hint (and
+    the shuffle-free plan) wherever it is provably safe and otherwise
+    leaves the join to Catalyst/AQE, which broadcasts at runtime when the
+    FILTERED side turns out small — the correct behavior at scale. The
+    gate reads the base table's size even when ``df`` is a filtered
+    slice: a conservative upper bound that never broadcasts on hope.
+    """
+    if limit is None:
+        limit = DIM_BROADCAST_MAX_BYTES
+    if _path_bytes(f"{sf_dir}/{name}.parquet") <= limit:
+        return F.broadcast(df)
+    return df
+
+
 def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Like :func:`table`, but round-robin repartitioned to the session's
     default parallelism.

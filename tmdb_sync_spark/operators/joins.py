@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tmdb_sync_spark.io import table
+from tmdb_sync_spark.io import broadcast_if_dim, table
 from tmdb_sync_spark.registry import register
 
 
@@ -36,7 +36,11 @@ def p6_j2_semi_join_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     renderings of the ``$in`` operator in one plan: the small literal list
     compiles to a Catalyst ``In`` predicate pushed to the scan (P6); the
     large id list is a broadcast LEFT SEMI join — the id set ships to every
-    executor once; the fact scan never shuffles (J2).
+    executor once; the fact scan never shuffles (J2). The hint is
+    size-gated (:func:`broadcast_if_dim`): customer scales with SF, so at
+    lake scale the semi-join falls back to a shuffle and AQE re-judges
+    the filtered slice at runtime instead of the driver collecting it on
+    hope.
     """
     orders = table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus").isin("O", "F")  # P6: literal $in, pushed
@@ -47,7 +51,9 @@ def p6_j2_semi_join_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     return orders.join(
-        F.broadcast(ids), orders.o_custkey == ids.c_custkey, "left_semi"
+        broadcast_if_dim(ids, sf_dir, "customer"),
+        orders.o_custkey == ids.c_custkey,
+        "left_semi",
     ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
 
 
@@ -97,7 +103,10 @@ def j3_fill_missing_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     counts = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF → size-gated hint; nation/region are
+        # fixed 25/5 rows at ANY TPC-H scale → unconditional is safe
+        o.join(broadcast_if_dim(c, sf_dir, "customer"),
+               o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(
@@ -147,8 +156,9 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Beyond-reference analytics the document store cannot express (SURVEY
     §2.3: "all physical join strategies free from Spark"). Plan: lineitem
     shuffles once on ``l_orderkey``; orders is filtered *before* the join
-    (date pushdown); customer/nation/region broadcast. Revenue is an exact
-    DECIMAL sum cast to double — order-independent across shuffles.
+    (date pushdown); nation/region broadcast unconditionally (fixed-size),
+    customer through the size gate. Revenue is an exact DECIMAL sum cast
+    to double — order-independent across shuffles.
     """
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").where(
@@ -164,7 +174,9 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is size-gated (scales with SF); nation/region fixed
+        .join(broadcast_if_dim(c, sf_dir, "customer"),
+              o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
@@ -208,7 +220,10 @@ def q3_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # size-gated: the BUILDING slice is small locally, but the hint
+        # must not survive to a scale where customer itself is TBs
+        .join(broadcast_if_dim(c, sf_dir, "customer"),
+              o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("o_orderkey").alias("order_key"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),

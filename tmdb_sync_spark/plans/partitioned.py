@@ -657,11 +657,18 @@ def _merge_locked(
                 .where(F.col(keys[0]).between(F.lit(kmin), F.lit(kmax)))
                 .select(*keys, partition_col)
             )
+            # distinct() IN the plan: the collect must be bounded by the
+            # number of touched PARTITIONS, not by how many batch keys
+            # matched — a large backfill batch would otherwise funnel one
+            # row per moved key through the driver. (The broadcast hint
+            # on the batch keys rides the merge's core batch ≪ table
+            # contract; a batch too big to broadcast should be split
+            # upstream, not silently shuffled here.)
             moved = {
                 r[0]
                 for r in others.join(
                     F.broadcast(source.select(*keys)), list(keys), "left_semi"
-                ).select(partition_col).collect()
+                ).select(partition_col).distinct().collect()
             }
             touched += [v for v in moved if v not in touched]
     try:

@@ -33,6 +33,15 @@ FRAME_SCHEMA = (
 )
 
 
+def _country_codes(details: dict) -> list:
+    """Raw ``production_countries[].iso_3166_1`` projection. ``.get`` with
+    ``[]``: a details payload MAY omit the key entirely and the reference
+    treats that as "no countries", not an error (app/sync.py:106,
+    app/sync_top.py:200); the inner ``iso_3166_1`` stays a hard index,
+    as in the reference."""
+    return [c["iso_3166_1"] for c in details.get("production_countries", [])]
+
+
 def enrich_details(df: DataFrame) -> DataFrame:
     """Append ``title_ru`` and raw ``country_codes`` (S5+S6).
 
@@ -55,8 +64,7 @@ def enrich_details(df: DataFrame) -> DataFrame:
                 api.title_ru(int(i), ct) for i, ct in zip(ids, cts)
             ]
             pdf["country_codes"] = [
-                [c["iso_3166_1"]
-                 for c in api.details(int(i), ct)["production_countries"]]
+                _country_codes(api.details(int(i), ct))
                 for i, ct in zip(ids, cts)
             ]
             yield pdf

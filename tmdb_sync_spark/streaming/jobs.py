@@ -76,11 +76,14 @@ class JobRunner:
                     rec["state"] = "failed"
                     rec.pop("thread", None)
 
+        t = threading.Thread(target=run, daemon=True, name=f"job-{job_id}")
+        # thread handle set BEFORE the record is published: a wait() that
+        # races the launch must find the thread and block, not observe a
+        # thread-less "running" record and return immediately
+        rec["thread"] = t
         with self._lock:
             self._jobs[job_id] = rec
             self._prune()
-        t = threading.Thread(target=run, daemon=True, name=f"job-{job_id}")
-        rec["thread"] = t
         t.start()
         return job_id
 
