@@ -89,3 +89,33 @@ def test_real_api_shaped_rows_normalize(monkeypatch):
         "vote_average": 7.2, "vote_count": 10, "genre_ids": [16, 35],
         "page": 3,
     }]
+
+
+def test_partition_planning_uses_feed_total_pages(monkeypatch):
+    """Partition planning must size the scan from the FEED's own
+    pagination metadata, not the fixture constants (review finding):
+    with TMDB_API_BASE set, the transports return the live feed's
+    total_pages, and a fixture-sized plan silently truncated or
+    over-scanned the real feed. The fixture math survives only as the
+    fallback for a transport that omits the field."""
+    from tmdb_sync_spark.sources import tmdb_source as t
+
+    class FakeApi:
+        def discover_top(self, page):
+            # a "live" feed 3 pages long — nothing like fixture.TOTAL_TOP
+            return {"results": [], "total_pages": 3, "page": page}
+
+    monkeypatch.setattr(t, "get_api", lambda: FakeApi())
+    r = t.TmdbDiscoverReader({"mode": "top"})
+    parts = r.partitions()
+    # 3 pages at PAGES_PER_PARTITION=4 → one partition covering 1..3
+    assert [(p.first, p.last) for p in parts] == [(1, 3)]
+
+    class NoMetaApi:
+        def discover_top(self, page):
+            return {"results": []}   # transport omits total_pages
+
+    r2 = t.TmdbDiscoverReader({"mode": "top"})
+    monkeypatch.setattr(t, "get_api", lambda: NoMetaApi())
+    total = -(-fixture.TOTAL_TOP // fixture.PAGE_SIZE)
+    assert r2._total_pages() == total   # fixture fallback

@@ -104,8 +104,42 @@ class TmdbDiscoverReader(DataSourceReader):
             return fixture.CAT_ITEMS
         return fixture.YEAR_ITEMS[self.content_type]
 
+    def _total_pages(self) -> int:
+        """Feed length for partition planning, from the FEED's own
+        pagination metadata — one driver-side probe of ``start_page``
+        through the shared retry client, memoized per reader.
+
+        Planning from the fixture constants was a real-API bug (review
+        finding): with ``TMDB_API_BASE`` set the transports return the
+        live feed's ``total_pages``, and the fixture-sized plan silently
+        truncated (or over-scanned) the real feed. Every transport —
+        fixture included — reports ``total_pages`` on each page response
+        (the TMDB discover envelope), so planning uses the same seam the
+        data does; the fixture math remains only as the fallback for a
+        transport that omits the field. Memoized at plan time: a feed
+        that grows mid-scan is the next sync run's work (the ingest
+        loop's ST3 empty-page stop owns liveness, not the planner)."""
+        if getattr(self, "_tp", None) is None:
+            api = get_api()
+            if self.mode == "top":
+                resp = api.discover_top(self.start_page)
+            elif self.mode == "category":
+                resp = api.category(
+                    self.category, self.start_page, self.content_type
+                )
+            else:
+                resp = api.discover_year(
+                    self.year, self.start_page, self.content_type
+                )
+            tp = resp.get("total_pages")
+            self._tp = (
+                int(tp) if tp is not None
+                else -(-self._total_items() // fixture.PAGE_SIZE)
+            )
+        return self._tp
+
     def partitions(self):
-        total_pages = -(-self._total_items() // fixture.PAGE_SIZE)
+        total_pages = self._total_pages()
         last = min(total_pages, self.start_page + self.max_pages - 1)
         parts = [
             _PageRange(p, min(p + PAGES_PER_PARTITION - 1, last))
@@ -191,7 +225,7 @@ class TmdbDiscoverStreamReader(SimpleDataSourceStreamReader):
         last = min(
             first + self.pages_per_batch - 1,
             self.batch.start_page + self.batch.max_pages - 1,
-            -(-self.batch._total_items() // fixture.PAGE_SIZE),
+            self.batch._total_pages(),   # the feed's own metadata, memoized
         )
         if last < first:   # caught up / bounded out (ST3)
             return iter([]), start
