@@ -859,3 +859,43 @@ def test_ingest_crash_then_resume_converges(spark):
         assert got == ctl_movies, f"divergence at crash_after={crash_after}"
         cur = st.read_cursor(spark, f"{d}/cursors", CURSOR_KEY)
         assert cur["page"] == ctl_cursor["page"]
+
+
+def test_replayed_batch_clears_stale_dead_letters(spark):
+    """Dead-letter idempotency under NON-deterministic failures (review
+    finding): dynamic partition overwrite replaces only pages PRESENT in
+    the new data, so a replayed batch whose page stopped failing kept its
+    stale rows. The batch-range clear must drop every page in the range,
+    then the write re-creates only the still-failing ones."""
+    import tempfile
+
+    from tmdb_sync_spark.streaming.ingest import (
+        ERROR_SCHEMA,
+        _clear_batch_errors,
+    )
+
+    d = tempfile.mkdtemp(prefix="dlq_replay_")
+    errors_path = f"{d}/errors"
+
+    def write(rows):
+        from pyspark.sql.types import StructType
+
+        spark.createDataFrame(rows, ERROR_SCHEMA).to(
+            StructType.fromDDL(ERROR_SCHEMA)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("page").parquet(errors_path)
+
+    # first attempt: failures on pages 3 AND 4
+    write([(97, "movie", "http", 3, "/discover/movie", None),
+           (194, "movie", "http", 4, "/discover/movie", None)])
+    # replay of the 3..4 batch: page 3 no longer fails (live-API variance)
+    _clear_batch_errors(errors_path, 3, 4)
+    write([(194, "movie", "http", 4, "/discover/movie", None)])
+    back = spark.read.parquet(errors_path)
+    assert [(r["item_id"], r["page"]) for r in back.collect()] == [(194, 4)]
+    # pages OUTSIDE the replayed range are untouched by the clear
+    write([(291, "movie", "other", 7, "/discover/movie", None)])
+    _clear_batch_errors(errors_path, 3, 4)
+    remaining = {r["page"] for r in spark.read.parquet(errors_path).collect()}
+    assert remaining == {7}

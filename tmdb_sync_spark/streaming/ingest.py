@@ -67,6 +67,28 @@ def _now() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)   # naive UTC (F5)
 
 
+def _clear_batch_errors(errors_path: str, first: int, last: int) -> None:
+    """Drop the dead-letter partitions of a batch's ENTIRE page range
+    before rewriting them.
+
+    Dynamic partition overwrite replaces only partitions PRESENT in the
+    new data — a replayed batch whose page no longer produces failures
+    (live APIs are not deterministic) would leave that page's STALE
+    dead-letter rows in place, silently breaking the table's
+    one-row-per-current-failure contract. Deterministic-fixture runs
+    can't exhibit this (same ids fail every time), which is why it
+    survived; the explicit range clear makes replay idempotent for ANY
+    transport. Crash-safe by the same argument as the write itself: the
+    cursor has not committed, so a crash after the clear replays the
+    whole batch and regenerates every row."""
+    import shutil
+
+    for p in range(first, last + 1):
+        d = os.path.join(errors_path, f"page={p}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
 # Per-run token for the staged-feed cache (ADVICE r5): without it, a
 # resume=False re-sync over the same (page, n) window within one
 # application would serve the PREVIOUS run's feed snapshot from scratch
@@ -155,7 +177,11 @@ def run_sync_top(
             # then double-count every failing id, breaking the append-only
             # table's one-row-per-failure contract (and the ST4 oracle).
             # Re-processing a page replaces exactly that page's rows; the
-            # production analog keys dead-letters by source offset.
+            # production analog keys dead-letters by source offset. The
+            # range clear below covers the pages the overwrite can't: a
+            # replayed page with NO current failures must drop its stale
+            # rows too (_clear_batch_errors).
+            _clear_batch_errors(errors_path, page, int(last_page))
             src.where(failed | skipped).select(
                 F.col("id").alias("item_id"), "content_type",
                 F.when(failed, CATEGORY_HTTP).otherwise(CATEGORY_OTHER)
