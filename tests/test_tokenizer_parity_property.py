@@ -98,3 +98,53 @@ def test_token_counts_agree_across_engines(spark, docs):
         assert a == b, (
             f"{col} diverges: spark={a} duckdb={b} on docs={docs!r}"
         )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=texts)
+def test_quality_score_agrees_across_engines(spark, docs):
+    """The quality heuristic's CROSS-ENGINE contract under generated
+    Unicode: the score is three exact double literals gated by integer
+    comparisons and ONE ratio boundary (stop_ratio ∈ [0.05, 0.6], a
+    single IEEE division of exact ints in both engines) — any class
+    drift in the tokenizer, the stopword fold, or the punct class moves
+    a gate and the scores split. Complements the count-parity property
+    above by exercising the boundary LOGIC, not just the counts."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from tmdb_sync_spark.functions.text import (
+        QUALITY_SQL,
+        quality_score_expr,
+        tokens_expr,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    sdf = spark.createDataFrame(pdf.astype({"text": "str"}))
+    t = tokens_expr(F.col("text"))
+    got = (
+        sdf.select("doc_id", "text", t.alias("_toks"))
+        .select(
+            "doc_id",
+            quality_score_expr(F.col("text"), tokens=F.col("_toks"))
+            .alias("q"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.execute(
+        f"SELECT doc_id, {QUALITY_SQL} AS q FROM docs ORDER BY doc_id"
+    ).df()
+    con.close()
+    a = [None if v != v else float(v) for v in got["q"]]
+    b = [None if v != v else float(v) for v in want["q"]]
+    assert a == b, f"quality diverges: spark={a} duckdb={b} on {docs!r}"
