@@ -58,7 +58,8 @@ MAX_LIMIT = 200          # movies.py:28 (catalog.py caps at 100; the
 PROJECTION = (
     "id", "title", "title_ru", "name", "content_type", "genre_ids",
     "release_date", "popularity", "vote_average", "vote_count",
-    "country_codes", "is_animated", "backdrop_path", "n_valid_frames",
+    "country_codes", "is_animated", "frames", "backdrop_path",
+    "n_valid_frames",
 )
 
 
@@ -161,6 +162,147 @@ def movies_by_ids(
     if content_type is not None:
         out = out.where(F.col("content_type") == content_type)
     return out.select(*_projection(movies))
+
+
+REPORT_SCHEMA = (
+    "movie_id BIGINT, path STRING, reason STRING, content_type STRING, "
+    "reporter STRING, ts TIMESTAMP"
+)
+
+
+def report_frame(
+    spark,
+    reports_path: str,
+    *,
+    movie_id: int,
+    path: str,
+    reason: str = "not_a_scene",
+    content_type: str = "movie",
+    reporter: str | None = None,
+) -> dict:
+    """``POST /frames/report`` (frames.py:22-33): blind append of one
+    moderation-report row, schema-enforced like the dead-letter table."""
+    from pyspark.sql.types import StructType
+
+    _validate("content_type", content_type, CONTENT_TYPES)
+    if len(reason) > 200:                      # the endpoint's max_length
+        raise ValueError("report_frame: reason longer than 200 chars")
+    spark.createDataFrame(
+        [(int(movie_id), path, reason, content_type, reporter)],
+        "movie_id BIGINT, path STRING, reason STRING, content_type STRING, "
+        "reporter STRING",
+    ).withColumn("ts", F.current_timestamp()).to(
+        StructType.fromDDL(REPORT_SCHEMA)
+    ).write.mode("append").parquet(reports_path)
+    return {"ok": True}
+
+
+def _movie_row(spark, movies_path: str, movie_id: int, content_type: str):
+    from tmdb_sync_spark.plans.partitioned import read_partitioned
+
+    rows = (
+        read_partitioned(spark, movies_path)
+        .where(
+            (F.col("id") == int(movie_id))
+            & (F.col("content_type") == content_type)
+        )
+        .select("id", "content_type", "year", "frames", "incorrect_frames",
+                "backdrop_path")
+        .limit(2)
+        .collect()
+    )
+    if not rows:
+        raise LookupError(                     # the endpoint's 404
+            f"movie {movie_id} ({content_type}) not found"
+        )
+    return rows[0]
+
+
+def _moderate_frames(
+    spark, movies_path: str, movie_id: int, paths: list[str],
+    content_type: str, *, add: bool,
+) -> dict:
+    """Shared mark/unmark body: one single-row partitioned MERGE that
+    updates ``incorrect_frames`` ($addToSet / $pull) and recomputes
+    ``backdrop_path`` from the STORED frames with the new exclusion set —
+    the reference's two update_one calls + re-read collapsed into one
+    targeted merge (frames.py:52-65, 86-103). Scale shape: the source is
+    one row, so the merge probes/rewrites exactly one partition — the
+    CDC-style point-update path of the same machinery the bulk sync uses.
+    """
+    from tmdb_sync_spark.plans.partitioned import merge_into_partitioned
+    from tmdb_sync_spark.sources.enrich import pick_backdrop_expr
+
+    _validate("content_type", content_type, CONTENT_TYPES)
+    if not paths:
+        raise ValueError("frames moderation: paths must be non-empty "
+                         "(the endpoint requires min_items=1)")
+    row = _movie_row(spark, movies_path, movie_id, content_type)
+    src = spark.createDataFrame(
+        [(int(movie_id), content_type, row["year"])],
+        "id BIGINT, content_type STRING, year INT",
+    )
+    lit_paths = F.array(*[F.lit(p) for p in paths])
+    if add:
+        new_bad = F.array_union(                      # $addToSet $each
+            F.coalesce(F.col("t.incorrect_frames"),
+                       F.array().cast("array<string>")),
+            lit_paths,
+        )
+    else:
+        new_bad = F.array_except(                     # $pull $in
+            F.coalesce(F.col("t.incorrect_frames"),
+                       F.array().cast("array<string>")),
+            lit_paths,
+        )
+    merge_into_partitioned(
+        spark, movies_path, src,
+        keys=["id", "content_type"], partition_col="year",
+        matched_update={
+            "incorrect_frames": new_bad,
+            "backdrop_path": pick_backdrop_expr(F.col("t.frames"), new_bad),
+        },
+        # the row provably exists (just read) and its partition value
+        # rides along unchanged, so the moved-key probe has nothing to do
+        detect_moved_keys=False,
+    )
+    post = _movie_row(spark, movies_path, movie_id, content_type)
+    out = {"ok": True, "backdrop_path": post["backdrop_path"]}
+    if add:
+        # the endpoint's UX extras (frames.py:67-78)
+        in_frames = {f["path"] for f in (row["frames"] or [])}
+        out.update(
+            added=list(paths),
+            present_in_frames=[p for p in paths if p in in_frames],
+            not_in_frames=[p for p in paths if p not in in_frames],
+        )
+    else:
+        out["removed"] = list(paths)
+    return out
+
+
+def mark_incorrect_frames(
+    spark, movies_path: str, movie_id: int, paths: list[str],
+    content_type: str = "movie",
+) -> dict:
+    """``POST /frames/movies/{id}/incorrect`` (frames.py:40-78):
+    idempotently add ``paths`` to the movie's ``incorrect_frames`` and
+    recompute ``backdrop_path`` excluding them."""
+    return _moderate_frames(
+        spark, movies_path, movie_id, paths, content_type, add=True
+    )
+
+
+def unmark_incorrect_frames(
+    spark, movies_path: str, movie_id: int, paths: list[str],
+    content_type: str = "movie",
+) -> dict:
+    """``POST /frames/movies/{id}/unmark-incorrect`` (frames.py:81-103):
+    remove ``paths`` from ``incorrect_frames`` and recompute the
+    backdrop."""
+    return _moderate_frames(
+        spark, movies_path, movie_id, paths, content_type, add=False
+    )
 
 
 def get_movie(

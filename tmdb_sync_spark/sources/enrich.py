@@ -86,6 +86,58 @@ def valid_deduped_frames(frames: DataFrame) -> DataFrame:
     )
 
 
+def frames_array_agg() -> "F.Column":
+    """Aggregate :func:`valid_deduped_frames` rows into the per-movie
+    ``frames`` ARRAY column the reference's document stores
+    (``app/catalog/upsert.py:59``, ``_normalize_frames`` output): one
+    struct per surviving path, canonically path-sorted so the stored
+    array is deterministic regardless of aggregation order. Bounded by
+    the same ≤~40-frames-per-movie bound the argmax relies on.
+
+    Keep-max-width note: the reference normalizes AGAIN at upsert
+    (keep-best-width per path, upsert.py:26-34), but its input has
+    already been path-deduped by the client fetch (keep-first,
+    tmdb_client.py:199-212) — paths are unique by then, so the second
+    pass is a no-op and this single aggregation is the faithful result.
+    """
+    return F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("path"),
+                F.col("s.vote_average").alias("vote_average"),
+                F.col("s.width").alias("width"),
+            )
+        )
+    )
+
+
+def pick_backdrop_expr(frames: "F.Column", bad: "F.Column") -> "F.Column":
+    """``pick_backdrop`` (``app/utils/frames.py:4-19``) over the STORED
+    frames array: exclude ``bad`` paths, argmax by (vote_average desc,
+    width desc) with null→0 coercion and the engine's pinned path
+    tiebreak — the array-HOF twin of :func:`best_path_expr`, usable
+    inside MERGE expressions where frames are a column, not rows.
+    Returns NULL when no frame survives (the reference returns None)."""
+    allowed = F.filter(
+        F.coalesce(frames, F.array().cast(
+            "array<struct<path:string,vote_average:double,width:bigint>>")),
+        lambda f: ~F.array_contains(
+            F.coalesce(bad, F.array().cast("array<string>")), f["path"]
+        ),
+    )
+    ranked = F.array_sort(
+        F.transform(
+            allowed,
+            lambda f: F.struct(
+                (-F.coalesce(f["vote_average"], F.lit(0.0))).alias("nva"),
+                (-F.coalesce(f["width"], F.lit(0)).cast("double")).alias("nw"),
+                f["path"].alias("path"),
+            ),
+        )
+    )
+    return F.try_element_at(ranked, F.lit(1))["path"]
+
+
 def best_path_expr() -> "F.Column":
     """W1 argmax aggregate over :func:`valid_deduped_frames` output: total
     order (vote_average desc, width desc, path asc) via min_by on negated

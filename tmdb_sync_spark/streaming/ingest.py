@@ -41,9 +41,10 @@ from tmdb_sync_spark.plans.partitioned import (
     write_partitioned,
 )
 from tmdb_sync_spark.sources.enrich import (
-    best_path_expr,
     enrich_details,
     fetch_frames,
+    frames_array_agg,
+    pick_backdrop_expr,
     valid_deduped_frames,
 )
 from tmdb_sync_spark.sources.http_client import (
@@ -108,12 +109,18 @@ def _build_source(feed: DataFrame) -> DataFrame:
     """
     enriched = enrich_details(feed)
     dedup = valid_deduped_frames(fetch_frames(feed))
-    best = dedup.groupBy("id").agg(
-        best_path_expr().alias("cand"),
-        F.count(F.lit(1)).alias("n_valid_frames"),
+    # The STORED frames array (app/catalog/upsert.py:59): the reference's
+    # document keeps the normalized frames so the moderation endpoints
+    # can recompute backdrop_path from state — backdrop itself is NOT a
+    # source column; the merge computes it (insert: no exclusions;
+    # update: excluding the TARGET's preserved incorrect_frames, exactly
+    # upsert.py:76-90's "mix in existing marks, then pick_backdrop").
+    frames_agg = dedup.groupBy("id").agg(frames_array_agg().alias("frames"))
+    empty_frames = F.array().cast(
+        "array<struct<path:string,vote_average:double,width:bigint>>"
     )
     return (
-        enriched.join(best, "id", "left")
+        enriched.join(frames_agg, "id", "left")
         .select(
             "id", "content_type", "title", "name", "release_date",
             "popularity", "vote_average", "vote_count", "genre_ids",
@@ -122,8 +129,8 @@ def _build_source(feed: DataFrame) -> DataFrame:
             F.array_contains("genre_ids", F.lit(16)).alias("is_animated"),
             F.filter(F.col("country_codes"), lambda c: c != F.lit(""))
              .alias("country_codes"),
-            F.col("cand").alias("backdrop_path"),
-            F.coalesce("n_valid_frames", F.lit(0)).cast("long")
+            F.coalesce("frames", empty_frames).alias("frames"),
+            F.size(F.coalesce("frames", empty_frames)).cast("long")
              .alias("n_valid_frames"),
             F.current_timestamp().alias("synced_at"),
             F.current_timestamp().alias("last_vote_count_sync_at"),
@@ -201,11 +208,21 @@ def run_sync_top(
             # SOURCE schema — silently dropping created_at
             from tmdb_sync_spark.plans.partitioned import table_exists
 
+            no_bad = F.array().cast("array<string>")
             if not table_exists(movies_path):
                 # bootstrap: first batch creates the partitioned table —
                 # every row is an insert, created_at = synced_at
-                # ($setOnInsert on the insert branch, app/catalog/upsert.py:91)
-                boot = ok.withColumn("created_at", F.col("synced_at"))
+                # ($setOnInsert on the insert branch, app/catalog/upsert.py:91),
+                # incorrect_frames starts empty and backdrop_path is the
+                # unexcluded argmax (pick_backdrop over no marks)
+                boot = (
+                    ok.withColumn("created_at", F.col("synced_at"))
+                    .withColumn("incorrect_frames", no_bad)
+                    .withColumn(
+                        "backdrop_path",
+                        pick_backdrop_expr(F.col("frames"), no_bad),
+                    )
+                )
                 write_partitioned(
                     boot, movies_path, "year",
                     cluster_by=("id", "content_type"),
@@ -216,9 +233,25 @@ def run_sync_top(
                 res = merge_into_partitioned(
                     spark, movies_path, ok,
                     keys=["id", "content_type"], partition_col="year",
+                    # upsert.py:76-90: incorrect_frames is PRESERVED on
+                    # update (target-only column → the merge's default
+                    # keeps t's), and backdrop_path is recomputed from
+                    # the fresh frames EXCLUDING those preserved marks
+                    matched_update={
+                        "backdrop_path": pick_backdrop_expr(
+                            F.col("s.frames"),
+                            F.col("t.incorrect_frames"),
+                        ),
+                    },
                     # J4 / $setOnInsert: created_at only on insert;
                     # preserved on update (app/catalog/upsert.py:91)
-                    not_matched_insert={"created_at": F.col("s.synced_at")},
+                    not_matched_insert={
+                        "created_at": F.col("s.synced_at"),
+                        "incorrect_frames": no_bad,
+                        "backdrop_path": pick_backdrop_expr(
+                            F.col("s.frames"), no_bad
+                        ),
+                    },
                     count_actions=True,
                 )
                 inserted += res["counts"].get("insert", 0)
