@@ -1,0 +1,142 @@
+"""run_sync_years: the reference's year-by-year backfill job
+(app/sync_years.py:150-281) — per-(year, content_type) cursors,
+independent resume, cumulative counters, the shared upsert contracts —
+plus the /sync/status/years report (app/main.py:165-206)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tmdb_sync_spark.api import years_status
+from tmdb_sync_spark.plans.partitioned import read_partitioned
+from tmdb_sync_spark.sources import fixture
+from tmdb_sync_spark.streaming.ingest import run_sync_years
+from tmdb_sync_spark.streaming.state import read_cursor
+
+
+def movie_ids(spark, state):
+    return {r["id"] for r in
+            read_partitioned(spark, f"{state}/movies").select("id").collect()}
+
+
+def expected_ok_ids(year, n_items):
+    """The fixture feed's ids minus the deterministic dead-letter set."""
+    ids = [year * 10_000 + r + 1 for r in range(n_items)]
+    return {i for i in ids if i % 97 != 0 and i % 89 != 0}
+
+
+def test_two_year_backfill_with_per_year_cursors(spark, tmp_path):
+    state = str(tmp_path / "s")
+    out = run_sync_years(spark, state, start_year=1999, end_year=2000,
+                         batch_pages=3)
+    n = fixture.YEAR_ITEMS["movie"]            # 97 items = 5 pages / year
+    want = expected_ok_ids(1999, n) | expected_ok_ids(2000, n)
+    assert out["status"] == "ok" and out["last_year"] == 2000
+    assert out["inserted"] == len(want) and out["updated"] == 0
+    assert out["processed"] == len(want)
+    assert movie_ids(spark, state) == want
+
+    # one cursor per year, page = the year's last non-empty page
+    pages = -(-n // fixture.PAGE_SIZE)
+    for y in (1999, 2000):
+        cur = read_cursor(spark, f"{state}/cursors", f"years:movie:{y}")
+        assert cur["page"] == pages
+        assert cur["inserted"] == len(expected_ok_ids(y, n))
+
+    # dead letters keyed by (year, page): both years' page-1 rows coexist
+    errs = spark.read.parquet(f"{state}/errors_years")
+    got = {(r["year"], r["item_id"]) for r in errs.collect()}
+    bad = {i for i in range(19990001, 19990001 + n)
+           if i % 97 == 0 or i % 89 == 0}
+    bad |= {i for i in range(20000001, 20000001 + n)
+            if i % 97 == 0 or i % 89 == 0}
+    assert got == {(i // 10_000, i) for i in bad}
+
+
+def test_resume_continues_each_year_independently(spark, tmp_path):
+    """A second run over the same range RESUMES from each year's cursor:
+    every year's feed is already consumed, so the run processes nothing
+    and the movies table and cumulative counters are unchanged."""
+    state = str(tmp_path / "s")
+    first = run_sync_years(spark, state, start_year=1999, end_year=2000)
+    before = movie_ids(spark, state)
+    again = run_sync_years(spark, state, start_year=1999, end_year=2000)
+    assert again["processed"] == 0
+    assert again["inserted"] == 0 and again["updated"] == 0
+    assert movie_ids(spark, state) == before
+    cur = read_cursor(spark, f"{state}/cursors", "years:movie:1999")
+    assert cur["inserted"] == first["inserted"] // 2   # unchanged, cumulative
+
+    # resume=False re-syncs from page 1: every existing row updates
+    resync = run_sync_years(spark, state, start_year=1999, resume=False)
+    assert resync["inserted"] == 0
+    assert resync["updated"] == len(expected_ok_ids(
+        1999, fixture.YEAR_ITEMS["movie"]))
+    # cumulative counters: the year's cursor accumulates across runs
+    cur2 = read_cursor(spark, f"{state}/cursors", "years:movie:1999")
+    assert cur2["updated"] == cur["updated"] + resync["updated"]
+
+
+def test_item_budget_stops_between_batches(spark, tmp_path):
+    """limit is the reference's total item budget, enforced here at batch
+    granularity: the run stops before starting a batch that would follow
+    a budget-exceeding one, so later years are untouched."""
+    state = str(tmp_path / "s")
+    out = run_sync_years(spark, state, start_year=1999, end_year=2001,
+                         limit=30, batch_pages=1)
+    assert out["processed"] >= 30                  # whole batches commit
+    assert out["processed"] <= 60                  # but only just past it
+    # year 2000+ never started: no cursor row beyond 1999
+    assert read_cursor(spark, f"{state}/cursors", "years:movie:2000")["page"] == 0
+    assert read_cursor(spark, f"{state}/cursors", "years:movie:2001")["page"] == 0
+
+
+def test_years_status_report(spark, tmp_path):
+    state = str(tmp_path / "s")
+    run_sync_years(spark, state, start_year=1999, end_year=2000)
+    cursors = f"{state}/cursors"
+
+    # single year: dict, zero-defaulted when absent (the endpoint's 404-less default)
+    one = years_status(spark, cursors, year=1999)
+    assert one["page"] > 0 and one["inserted"] > 0
+    absent = years_status(spark, cursors, year=1985)
+    assert absent["page"] == 0 and absent["inserted"] == 0
+
+    # range: missing years zero-filled, sorted (J3's fill shape)
+    rng = years_status(spark, cursors, year=1998, end_year=2001).collect()
+    assert [r["year"] for r in rng] == [1998, 1999, 2000, 2001]
+    assert [r["key"] for r in rng] == [
+        f"years:movie:{y}" for y in (1998, 1999, 2000, 2001)]
+    assert rng[0]["page"] == 0 and rng[3]["page"] == 0      # zero-filled
+    assert rng[1]["page"] > 0 and rng[2]["page"] > 0
+    # reversed bounds swap, like the endpoint
+    rev = years_status(spark, cursors, year=2001, end_year=1998).collect()
+    assert [r["year"] for r in rev] == [1998, 1999, 2000, 2001]
+
+    # no bounds: every years:{type}: cursor, regex-scoped to the type
+    allm = years_status(spark, cursors).collect()
+    assert [r["year"] for r in allm] == [1999, 2000]
+    assert years_status(spark, cursors, content_type="tv").collect() == []
+    with pytest.raises(ValueError, match="content_type"):
+        years_status(spark, cursors, content_type="show")
+
+
+def test_top_and_years_share_upsert_contracts(spark, tmp_path):
+    """Both jobs funnel through _merge_batch: a years backfill over a
+    movies table the TOP sync bootstrapped must classify overlaps as
+    updates, preserve created_at, and keep the frames/marks machinery —
+    disjoint fixture id spaces mean zero overlap here, so assert the
+    schema contract and that both jobs' rows coexist."""
+    from tmdb_sync_spark.streaming.ingest import run_sync_top
+
+    state = str(tmp_path / "s")
+    run_sync_top(spark, state, max_pages=1, batch_pages=1)
+    top_ids = movie_ids(spark, state)
+    out = run_sync_years(spark, state, start_year=1999, batch_pages=5)
+    assert out["updated"] == 0                     # disjoint id spaces
+    movies = read_partitioned(spark, f"{state}/movies")
+    assert movie_ids(spark, state) > top_ids
+    row = movies.where("id >= 10000000").select(
+        "frames", "incorrect_frames", "created_at").first()
+    assert row["created_at"] is not None
+    assert list(row["incorrect_frames"]) == []

@@ -164,6 +164,72 @@ def movies_by_ids(
     return out.select(*_projection(movies))
 
 
+def years_status(
+    spark,
+    cursors_path: str,
+    *,
+    year: int | None = None,
+    end_year: int | None = None,
+    content_type: str = "movie",
+):
+    """``GET /sync/status/years`` (app/main.py:165-206): the year-sync
+    cursor report.
+
+    - single ``year`` → one cursor dict, zero-defaulted when absent (the
+      endpoint's ``doc or {...}``);
+    - ``year..end_year`` → a DataFrame of one row per year in range,
+      MISSING YEARS ZERO-FILLED (the endpoint's found-set patch loop —
+      the J3 fill-missing-group-keys shape: generated year dim, left
+      join, coalesce), sorted by year;
+    - neither → every ``years:{type}:\\d+`` cursor (the endpoint's regex
+      scan — P10's anchored key filter + parse), sorted by year.
+    """
+    from tmdb_sync_spark.streaming.ingest import years_cursor_key
+    from tmdb_sync_spark.streaming.state import read_cursor, read_state
+
+    _validate("content_type", content_type, CONTENT_TYPES)
+    if year is not None and end_year is None:
+        return read_cursor(spark, cursors_path, years_cursor_key(
+            year, content_type))
+
+    state = read_state(spark, cursors_path)
+    if state is None:
+        state = spark.createDataFrame(
+            [], "key STRING, page INT, inserted BIGINT, updated BIGINT, "
+                "ts TIMESTAMP",
+        )
+    mine = state.where(
+        F.col("key").rlike(f"^years:{content_type}:[0-9]+$")
+    ).select(
+        F.split(F.col("key"), ":")[2].cast("int").alias("year"),
+        "key", "page", "inserted", "updated", "ts",
+    )
+    if year is None:
+        return mine.orderBy("year")
+    if end_year < year:
+        year, end_year = end_year, year
+    dim = spark.range(1).select(
+        F.explode(F.sequence(F.lit(year), F.lit(end_year))).alias("year")
+    ).select(
+        "year",
+        F.concat_ws(":", F.lit("years"), F.lit(content_type),
+                    F.col("year").cast("string")).alias("key"),
+    )
+    # dim is the preserved side — broadcast the (tiny) found set instead
+    # (the same hint-placement rule j3_fill_missing_years documents)
+    return (
+        dim.join(F.broadcast(mine.drop("key")), "year", "left")
+        .select(
+            "year", "key",
+            F.coalesce("page", F.lit(0)).alias("page"),
+            F.coalesce("inserted", F.lit(0)).alias("inserted"),
+            F.coalesce("updated", F.lit(0)).alias("updated"),
+            "ts",
+        )
+        .orderBy("year")
+    )
+
+
 REPORT_SCHEMA = (
     "movie_id BIGINT, path STRING, reason STRING, content_type STRING, "
     "reporter STRING, ts TIMESTAMP"

@@ -138,6 +138,67 @@ def _build_source(feed: DataFrame) -> DataFrame:
     )
 
 
+def _merge_batch(spark: SparkSession, movies_path: str, ok: DataFrame):
+    """Bootstrap-or-MERGE one enriched batch into the movies table;
+    returns ``(inserted, updated)``. Shared by every sync job (top,
+    years) — the reference funnels all of them through the same
+    ``upsert_movie`` (app/catalog/upsert.py:46-103), and the frames /
+    marks / created_at contracts live HERE so a second job can never
+    drift from the first."""
+    # table_exists, not isdir: the lock's makedirs leaves an
+    # existing-but-empty dir after a pre-commit bootstrap crash,
+    # and the merge route would then rebuild the table from the
+    # SOURCE schema — silently dropping created_at
+    from tmdb_sync_spark.plans.partitioned import table_exists
+
+    no_bad = F.array().cast("array<string>")
+    if not table_exists(movies_path):
+        # bootstrap: first batch creates the partitioned table —
+        # every row is an insert, created_at = synced_at
+        # ($setOnInsert on the insert branch, app/catalog/upsert.py:91),
+        # incorrect_frames starts empty and backdrop_path is the
+        # unexcluded argmax (pick_backdrop over no marks)
+        boot = (
+            ok.withColumn("created_at", F.col("synced_at"))
+            .withColumn("incorrect_frames", no_bad)
+            .withColumn(
+                "backdrop_path",
+                pick_backdrop_expr(F.col("frames"), no_bad),
+            )
+        )
+        write_partitioned(
+            boot, movies_path, "year",
+            cluster_by=("id", "content_type"),
+            manifest_key="id",
+        )
+        return ok.count(), 0
+    res = merge_into_partitioned(
+        spark, movies_path, ok,
+        keys=["id", "content_type"], partition_col="year",
+        # upsert.py:76-90: incorrect_frames is PRESERVED on
+        # update (target-only column → the merge's default
+        # keeps t's), and backdrop_path is recomputed from
+        # the fresh frames EXCLUDING those preserved marks
+        matched_update={
+            "backdrop_path": pick_backdrop_expr(
+                F.col("s.frames"),
+                F.col("t.incorrect_frames"),
+            ),
+        },
+        # J4 / $setOnInsert: created_at only on insert;
+        # preserved on update (app/catalog/upsert.py:91)
+        not_matched_insert={
+            "created_at": F.col("s.synced_at"),
+            "incorrect_frames": no_bad,
+            "backdrop_path": pick_backdrop_expr(
+                F.col("s.frames"), no_bad
+            ),
+        },
+        count_actions=True,
+    )
+    return res["counts"].get("insert", 0), res["counts"].get("update", 0)
+
+
 def run_sync_top(
     spark: SparkSession,
     state_dir: str,
@@ -202,60 +263,9 @@ def run_sync_top(
             ).parquet(errors_path)
 
             ok = src.where(~(failed | skipped)).drop("page")
-            # table_exists, not isdir: the lock's makedirs leaves an
-            # existing-but-empty dir after a pre-commit bootstrap crash,
-            # and the merge route would then rebuild the table from the
-            # SOURCE schema — silently dropping created_at
-            from tmdb_sync_spark.plans.partitioned import table_exists
-
-            no_bad = F.array().cast("array<string>")
-            if not table_exists(movies_path):
-                # bootstrap: first batch creates the partitioned table —
-                # every row is an insert, created_at = synced_at
-                # ($setOnInsert on the insert branch, app/catalog/upsert.py:91),
-                # incorrect_frames starts empty and backdrop_path is the
-                # unexcluded argmax (pick_backdrop over no marks)
-                boot = (
-                    ok.withColumn("created_at", F.col("synced_at"))
-                    .withColumn("incorrect_frames", no_bad)
-                    .withColumn(
-                        "backdrop_path",
-                        pick_backdrop_expr(F.col("frames"), no_bad),
-                    )
-                )
-                write_partitioned(
-                    boot, movies_path, "year",
-                    cluster_by=("id", "content_type"),
-                    manifest_key="id",
-                )
-                inserted += ok.count()
-            else:
-                res = merge_into_partitioned(
-                    spark, movies_path, ok,
-                    keys=["id", "content_type"], partition_col="year",
-                    # upsert.py:76-90: incorrect_frames is PRESERVED on
-                    # update (target-only column → the merge's default
-                    # keeps t's), and backdrop_path is recomputed from
-                    # the fresh frames EXCLUDING those preserved marks
-                    matched_update={
-                        "backdrop_path": pick_backdrop_expr(
-                            F.col("s.frames"),
-                            F.col("t.incorrect_frames"),
-                        ),
-                    },
-                    # J4 / $setOnInsert: created_at only on insert;
-                    # preserved on update (app/catalog/upsert.py:91)
-                    not_matched_insert={
-                        "created_at": F.col("s.synced_at"),
-                        "incorrect_frames": no_bad,
-                        "backdrop_path": pick_backdrop_expr(
-                            F.col("s.frames"), no_bad
-                        ),
-                    },
-                    count_actions=True,
-                )
-                inserted += res["counts"].get("insert", 0)
-                updated += res["counts"].get("update", 0)
+            ins, upd = _merge_batch(spark, movies_path, ok)
+            inserted += ins
+            updated += upd
         finally:
             src.unpersist()
         page = last_page
@@ -268,3 +278,128 @@ def run_sync_top(
         page += 1
         processed += n
     return {"page": page - 1, "inserted": inserted, "updated": updated}
+
+
+# The reference's per-year page cap (app/sync_years.py:16) and cursor key
+# format (app/sync_years.py:18-20)
+YEARS_MAX_PAGES = 500
+YEAR_ERROR_SCHEMA = ERROR_SCHEMA + ", year INT"
+
+
+def years_cursor_key(year: int, content_type: str) -> str:
+    return f"years:{content_type}:{year}"
+
+
+def run_sync_years(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    start_year: int,
+    end_year: int | None = None,
+    limit: int = 5000,
+    resume: bool = True,
+    content_type: str = "movie",
+    batch_pages: int = 5,
+) -> dict:
+    """The reference's second sync job (``app/sync_years.py:150-281``):
+    year-by-year backfill with ONE CURSOR PER (year, content_type), so
+    each year resumes independently — the sharding that works around the
+    feed's 500-page cap.
+
+    Same set-oriented shape as :func:`run_sync_top` (staged feed →
+    batched enrichment → dead-letter → one MERGE per micro-batch via
+    :func:`_merge_batch`, which carries the frames/marks/created_at
+    contracts), with the years-specific pieces:
+
+    - cursor keys ``years:{content_type}:{year}``; counters ACCUMULATE
+      into each year's cursor across runs (app/sync_years.py:260-267
+      saves ``cur.inserted + inserted_year``).
+    - ``limit`` is the reference's total item budget — here checked at
+      BATCH granularity (a set-oriented engine commits whole batches;
+      the reference stops mid-page), counting successfully upserted
+      rows exactly as the reference counts successful upserts.
+    - dead-letters go to ``errors_years`` partitioned by (year, page):
+      page numbers repeat across years, so the replay-idempotent
+      clear+overwrite must key on the FEED identity too — the engine's
+      layout for the reference's single blind-insert collection.
+    """
+    movies_path = f"{state_dir}/movies"
+    cursors_path = f"{state_dir}/cursors"
+    errors_path = f"{state_dir}/errors_years"
+    end_year = end_year or start_year
+    if end_year < start_year:
+        start_year, end_year = end_year, start_year
+
+    run_token = next(_RUN_SEQ)
+    endpoint = f"/discover/{'movie' if content_type == 'movie' else 'tv'}"
+    processed_total = inserted_total = updated_total = 0
+    last_year = start_year
+    for year in range(start_year, end_year + 1):
+        if processed_total >= limit:
+            break
+        key = years_cursor_key(year, content_type)
+        cur0 = st.read_cursor(spark, cursors_path, key)
+        page = (cur0["page"] + 1) if resume and cur0["page"] > 0 else 1
+        year_ins = year_upd = 0
+        while page <= YEARS_MAX_PAGES and processed_total < limit:
+            n = min(batch_pages, YEARS_MAX_PAGES - page + 1)
+            feed = materialize_once(
+                discover(spark, mode="years", year=year,
+                         content_type=content_type,
+                         start_page=page, max_pages=n),
+                cache_key=("years_feed", run_token, state_dir,
+                           content_type, year, page, n),
+                prefix="years_feed_",
+            )
+            src = _build_source(feed).cache()
+            try:
+                last_page = src.agg(F.max("page")).first()[0]
+                if last_page is None:       # empty page → year done (ST3)
+                    break
+                failed = F.col("id") % 97 == 0
+                skipped = F.col("id") % 89 == 0
+                _clear_batch_errors(
+                    os.path.join(errors_path, f"year={year}"),
+                    page, int(last_page),
+                )
+                src.where(failed | skipped).select(
+                    F.col("id").alias("item_id"), "content_type",
+                    F.when(failed, CATEGORY_HTTP).otherwise(CATEGORY_OTHER)
+                     .alias("category"),
+                    "page", F.lit(endpoint).alias("endpoint"),
+                    F.current_timestamp().alias("ts"),
+                    F.lit(year).cast("int").alias("year"),
+                ).to(StructType.fromDDL(YEAR_ERROR_SCHEMA)).write.mode(
+                    "overwrite"
+                ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                    "year", "page"
+                ).parquet(errors_path)
+
+                ok = src.where(~(failed | skipped)).drop("page")
+                ins, upd = _merge_batch(spark, movies_path, ok)
+                year_ins += ins
+                year_upd += upd
+                processed_total += ins + upd
+            finally:
+                src.unpersist()
+            # per-year cursor commit: cumulative counters, like the
+            # reference's _save_cursor(cur.inserted + inserted_year)
+            st.write_cursor(spark, cursors_path, {
+                "key": key, "page": int(last_page),
+                "inserted": cur0["inserted"] + year_ins,
+                "updated": cur0["updated"] + year_upd,
+                "ts": _now(),
+            })
+            page = int(last_page) + 1
+        inserted_total += year_ins
+        updated_total += year_upd
+        last_year = year
+    return {
+        "status": "ok",
+        "start_year": start_year,
+        "end_year": end_year,
+        "last_year": last_year,
+        "processed": processed_total,
+        "inserted": inserted_total,
+        "updated": updated_total,
+    }
