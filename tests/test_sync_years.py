@@ -140,3 +140,45 @@ def test_top_and_years_share_upsert_contracts(spark, tmp_path):
         "frames", "incorrect_frames", "created_at").first()
     assert row["created_at"] is not None
     assert list(row["incorrect_frames"]) == []
+
+
+def test_category_sync_skips_frameless_and_reports_raw_count(spark, tmp_path):
+    """run_sync_category (app/sync.py:112-133): one feed page, items with
+    zero VALID frames skipped entirely, inserted_or_updated reporting the
+    RAW page size (the reference's quirk), honest counts alongside.
+    Expected id set computed independently from the fixture formulas."""
+    from tmdb_sync_spark.streaming.ingest import run_sync_category
+
+    def n_valid(mid):
+        # fixture.frame: valid iff 1.5 <= (13+(mid+3j)%10)/10 <= 2.2;
+        # dedup keeps first per path (path repeats every 5 slots)
+        seen, n = set(), 0
+        for j in range(mid % 9):
+            if not 2 <= (mid + 3 * j) % 10 <= 9:
+                continue
+            p = f"/f/{mid}_{j % 5}.jpg"
+            if p not in seen:
+                seen.add(p)
+                n += 1
+        return n
+
+    page1 = [90_100_000 + r + 1 for r in range(fixture.PAGE_SIZE)]
+    want = {i for i in page1 if n_valid(i) > 0}
+    assert want != set(page1), "fixture page 1 should contain frameless items"
+
+    state = str(tmp_path / "s")
+    out = run_sync_category(spark, state, category="top_rated")
+    assert out["inserted_or_updated"] == fixture.PAGE_SIZE   # raw, w/ skips
+    assert out["inserted"] == len(want) and out["updated"] == 0
+    assert movie_ids(spark, state) == want
+    assert out["type"] == "movie" and out["category"] == "top_rated"
+
+    # re-run = re-sync: same rows, all updates, created_at preserved
+    again = run_sync_category(spark, state, category="top_rated")
+    assert again["inserted"] == 0 and again["updated"] == len(want)
+    movies = read_partitioned(spark, f"{state}/movies")
+    assert movies.where("synced_at <= created_at").count() == 0
+    # a different category's ids land disjointly in the same table
+    tv = run_sync_category(spark, state, category="popular",
+                           content_type="tv")
+    assert tv["inserted"] > 0 and tv["updated"] == 0

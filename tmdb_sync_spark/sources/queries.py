@@ -38,13 +38,16 @@ def discover(spark: SparkSession, *, mode: str = "top", start_page: int = 1,
 
 
 def discover_category(spark: SparkSession, *, category: str,
-                      content_type: str) -> DataFrame:
+                      content_type: str, start_page: int = 1,
+                      max_pages: int = 10**9) -> DataFrame:
     register_tmdb_source(spark)
     return (
         spark.read.format("tmdb_discover")
         .option("mode", "category")
         .option("category", category)
         .option("content_type", content_type)
+        .option("start_page", start_page)
+        .option("max_pages", max_pages)
         .load()
     )
 

@@ -403,3 +403,50 @@ def run_sync_years(
         "inserted": inserted_total,
         "updated": updated_total,
     }
+
+
+def run_sync_category(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    category: str,
+    content_type: str = "movie",
+) -> dict:
+    """The reference's category sync (``app/sync.py:112-157``): ONE feed
+    page of ``/movie/{category}`` (or ``/tv/{category}``), enriched and
+    upserted through the same shared merge body as the other jobs.
+
+    Faithful semantics: items with NO valid frames are skipped entirely
+    (``if not frames: continue`` — app/sync.py:127-128, the one job that
+    refuses frameless documents); there is no cursor (the job is a
+    bounded one-pager, re-run = re-sync); and the returned
+    ``inserted_or_updated`` mirrors the reference's quirk of reporting
+    ``len(results)`` — the RAW page size, counting skipped rows too
+    (app/sync.py:133). The honest merge counts ride along as
+    ``inserted`` / ``updated``.
+    """
+    from tmdb_sync_spark.sources.queries import discover_category
+
+    movies_path = f"{state_dir}/movies"
+    run_token = next(_RUN_SEQ)
+    feed = materialize_once(
+        discover_category(spark, category=category,
+                          content_type=content_type, max_pages=1),
+        cache_key=("cat_feed", run_token, state_dir, category,
+                   content_type),
+        prefix="cat_feed_",
+    )
+    src = _build_source(feed).cache()
+    try:
+        n_results = src.count()
+        ok = src.where(F.col("n_valid_frames") > 0).drop("page")
+        ins, upd = _merge_batch(spark, movies_path, ok)
+    finally:
+        src.unpersist()
+    return {
+        "inserted_or_updated": n_results,
+        "type": content_type,
+        "category": category,
+        "inserted": ins,
+        "updated": upd,
+    }
