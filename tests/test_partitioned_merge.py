@@ -899,3 +899,94 @@ def test_replayed_batch_clears_stale_dead_letters(spark):
     _clear_batch_errors(errors_path, 3, 4)
     remaining = {r["page"] for r in spark.read.parquet(errors_path).collect()}
     assert remaining == {7}
+
+
+def test_if_not_exists_write_refuses_to_clobber_committed_table(spark):
+    """The create-if-absent primitive (bootstrap race fix): a second
+    writer whose exists-check raced the first must NO-OP under the lock,
+    not overwrite a table that already committed — with the sync jobs'
+    data-bearing bootstrap, the loser overwrote the winner's
+    already-MERGED rows (found by review)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ine_")
+    target = f"{d}/t"
+    empty_a = spark.createDataFrame([], "k BIGINT, y INT, v DOUBLE")
+    assert write_partitioned(
+        empty_a, target, "y", manifest_key="k", if_not_exists=True
+    ) is True
+    merge_into_partitioned(
+        spark, target,
+        spark.createDataFrame([(1, 2000, 1.0), (2, 2001, 2.0)],
+                              "k BIGINT, y INT, v DOUBLE"),
+        keys=["k"], partition_col="y",
+    )
+    # the racing loser arrives after the winner merged real rows
+    assert write_partitioned(
+        empty_a, target, "y", manifest_key="k", if_not_exists=True
+    ) is False
+    from tmdb_sync_spark.plans.partitioned import read_partitioned
+
+    assert {(r["k"], r["y"]) for r in read_partitioned(spark, target)
+            .collect()} == {(1, 2000), (2, 2001)}
+
+
+def test_concurrent_first_ever_syncs_union_not_clobber(spark, tmp_path):
+    """Two sync jobs bootstrapping ONE movies table concurrently: the
+    empty-create serializes to one winner, concurrent merges either
+    serialize or fail LOUDLY with the single-writer ConcurrentMergeError
+    (retried here, as a job scheduler would) — the end state is the
+    union, never one job's rows silently clobbered (the old data-bearing
+    bootstrap overwrite)."""
+    import threading
+    import time
+
+    from tmdb_sync_spark.util import ConcurrentWriterError
+
+    from pyspark.sql import functions as F
+
+    from tmdb_sync_spark.streaming.ingest import _merge_batch
+
+    movies = str(tmp_path / "movies")
+    frames_t = ("array<struct<path:string,vote_average:double,"
+                "width:bigint>>")
+
+    def batch(ids, year):
+        return spark.createDataFrame(
+            [(i,) for i in ids], "id BIGINT"
+        ).select(
+            "id", F.lit("movie").alias("content_type"),
+            F.lit(year).cast("int").alias("year"),
+            F.array(F.struct(
+                F.lit("/a.jpg").alias("path"),
+                F.lit(5.0).alias("vote_average"),
+                F.lit(640).cast("bigint").alias("width"),
+            )).cast(frames_t).alias("frames"),
+            F.lit(1).cast("long").alias("n_valid_frames"),
+            F.current_timestamp().alias("synced_at"),
+        )
+
+    results, errors = {}, []
+
+    def run(name, ids, year):
+        for attempt in range(20):
+            try:
+                results[name] = _merge_batch(spark, movies, batch(ids, year))
+                return
+            except ConcurrentWriterError:
+                time.sleep(0.25)        # loud contention → retry, no loss
+            except Exception as e:                  # pragma: no cover
+                errors.append(e)
+                return
+        errors.append(AssertionError(f"{name}: never acquired the table"))
+
+    t1 = threading.Thread(target=run, args=("a", [1, 2], 1999))
+    t2 = threading.Thread(target=run, args=("b", [3, 4], 2000))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    assert results["a"] == (2, 0) and results["b"] == (2, 0)
+    from tmdb_sync_spark.plans.partitioned import read_partitioned
+
+    back = read_partitioned(spark, movies)
+    assert {r["id"] for r in back.collect()} == {1, 2, 3, 4}
+    assert back.where("created_at IS NULL").count() == 0

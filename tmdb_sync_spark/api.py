@@ -27,10 +27,11 @@ Design notes:
   (SURVEY §7 hard-part 2) every fixed pagination operator already
   makes.
 - ``frames`` non-emptiness (the search endpoints' base predicate,
-  ``catalog.py:47``) maps to ``n_valid_frames > 0``: the ingest
-  pipeline reduces the reference's frames array to its argmax
-  ``backdrop_path`` + ``n_valid_frames`` count (S7), so "has frames"
-  is a count predicate here.
+  ``catalog.py:47``) is rendered as ``n_valid_frames > 0`` — the
+  sargable count twin of the stored ``frames`` array's non-emptiness
+  (the ingest maintains ``n_valid_frames = size(frames)``), so the
+  base predicate pushes to the scan instead of deserializing the
+  array per row.
 
 Scale notes: everything is one filtered scan + ``TakeOrderedAndProject``
 (orderBy + offset/limit never global-sort); no joins, no shuffles beyond
@@ -53,8 +54,8 @@ MAX_LIMIT = 200          # movies.py:28 (catalog.py caps at 100; the
                          # wider bound is the union surface)
 
 # _project_movie's keep-set (movies.py:10-17), translated to the ingest
-# schema: _type → content_type; the frames array → its reduced
-# backdrop_path/n_valid_frames pair.
+# schema: _type → content_type; frames is the stored normalized array,
+# plus its derived backdrop_path/n_valid_frames pair.
 PROJECTION = (
     "id", "title", "title_ru", "name", "content_type", "genre_ids",
     "release_date", "popularity", "vote_average", "vote_count",

@@ -73,7 +73,8 @@ def write_partitioned(
     df: DataFrame, path: str, partition_col: str,
     cluster_by: Sequence[str] = (),
     manifest_key: str | None = None,
-) -> None:
+    if_not_exists: bool = False,
+) -> bool:
     """Full overwrite of a hive-partitioned table via the merge path's
     staging + per-partition swap + leftover-recovery protocol.
 
@@ -111,10 +112,20 @@ def write_partitioned(
     partitioned MERGE commits through the same journal
     (:func:`_write_swap_journal`). Partitions absent from the new data
     are deleted through the ``.del`` protocol (finished, never restored,
-    by recovery)."""
+    by recovery).
+
+    ``if_not_exists``: re-check :func:`table_exists` UNDER the writer
+    lock and no-op (returning ``False``) when the table already
+    committed — the create-if-absent primitive for bootstrap races. Two
+    jobs that both saw "absent" outside the lock serialize here, and the
+    loser must NOT overwrite the winner's table (with the winner's
+    already-MERGED rows, in the sync jobs' case). Returns ``True`` when
+    this call wrote the table."""
     lock = _acquire_merge_lock(path)
     try:
         _recover_leftovers(path)
+        if if_not_exists and table_exists(path):
+            return False
         staging = _staging_dir(path)
         if cluster_by:
             df = df.sortWithinPartitions(partition_col, *cluster_by)
@@ -175,6 +186,7 @@ def write_partitioned(
         os.unlink(os.path.join(path, SWAP_JOURNAL_NAME))
         shutil.rmtree(staging, ignore_errors=True)
         df.sparkSession.catalog.refreshByPath(path)
+        return True
     finally:
         release_dir_lock(lock)
 

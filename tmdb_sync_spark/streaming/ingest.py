@@ -153,13 +153,21 @@ def _merge_batch(spark: SparkSession, movies_path: str, ok: DataFrame):
 
     no_bad = F.array().cast("array<string>")
     if not table_exists(movies_path):
-        # bootstrap: first batch creates the partitioned table —
-        # every row is an insert, created_at = synced_at
-        # ($setOnInsert on the insert branch, app/catalog/upsert.py:91),
-        # incorrect_frames starts empty and backdrop_path is the
-        # unexcluded argmax (pick_backdrop over no marks)
-        boot = (
-            ok.withColumn("created_at", F.col("synced_at"))
+        # Bootstrap = commit the EMPTY table (full schema: source
+        # columns + the target-only created_at / incorrect_frames /
+        # backdrop_path), then fall through to the ordinary MERGE. The
+        # empty create re-checks existence UNDER the writer lock
+        # (if_not_exists), so two jobs racing a first-ever sync
+        # serialize into one winner and one no-op — the old
+        # data-bearing bootstrap write let the losing job OVERWRITE the
+        # winner's already-merged rows (found by review). The merge
+        # into the committed-empty table inserts THROUGH the persisted
+        # schema record (the empty-table degrade contract,
+        # tests/test_partitioned_merge.py::
+        # test_empty_table_merge_keeps_target_only_columns).
+        empty = (
+            ok.limit(0)
+            .withColumn("created_at", F.col("synced_at"))
             .withColumn("incorrect_frames", no_bad)
             .withColumn(
                 "backdrop_path",
@@ -167,11 +175,11 @@ def _merge_batch(spark: SparkSession, movies_path: str, ok: DataFrame):
             )
         )
         write_partitioned(
-            boot, movies_path, "year",
+            empty, movies_path, "year",
             cluster_by=("id", "content_type"),
             manifest_key="id",
+            if_not_exists=True,
         )
-        return ok.count(), 0
     res = merge_into_partitioned(
         spark, movies_path, ok,
         keys=["id", "content_type"], partition_col="year",
