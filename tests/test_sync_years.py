@@ -182,3 +182,44 @@ def test_category_sync_skips_frameless_and_reports_raw_count(spark, tmp_path):
     tv = run_sync_category(spark, state, category="popular",
                            content_type="tv")
     assert tv["inserted"] > 0 and tv["updated"] == 0
+
+
+def test_sync_status_overview(spark, tmp_path):
+    """GET /sync/status (app/main.py:64-138): top cursor (None until the
+    top job commits), parsed+sorted year cursors with malformed keys
+    skipped, and dead-letter counts summed across BOTH error tables."""
+    from tmdb_sync_spark.api import sync_status
+    from tmdb_sync_spark.streaming.ingest import run_sync_top
+    from tmdb_sync_spark.streaming.state import write_cursor
+
+    state = str(tmp_path / "s")
+    run_sync_years(spark, state, start_year=2000, content_type="movie")
+    # a malformed years key: the endpoint's try/except skips it
+    write_cursor(spark, f"{state}/cursors", {
+        "key": "years:movie:abc", "page": 1, "inserted": 0, "updated": 0,
+        "ts": None})
+
+    st1 = sync_status(spark, state)
+    assert st1["top_votes"] is None            # top job never ran
+    assert [(y["content_type"], y["year"]) for y in st1["years"]] == [
+        ("movie", 2000)]
+    n_years_errs = spark.read.parquet(f"{state}/errors_years").count()
+    assert n_years_errs > 0
+    # fixture ts is current_timestamp → every window sees every row
+    assert st1["errors"] == {"last_hour": n_years_errs,
+                             "last_24h": n_years_errs,
+                             "total": n_years_errs}
+
+    run_sync_top(spark, state, max_pages=1, batch_pages=1)
+    st2 = sync_status(spark, state)
+    assert st2["top_votes"] is not None and st2["top_votes"]["page"] == 1
+    # page 1 of the top feed has zero failing ids → the dead-letter
+    # write leaves a FILE-LESS table root; the status must read it as
+    # zero rows, not crash on schema inference (explicit-schema read)
+    from tmdb_sync_spark.streaming.ingest import ERROR_SCHEMA
+
+    n_top = spark.read.schema(ERROR_SCHEMA).parquet(
+        f"{state}/errors").count()
+    assert n_top == 0
+    assert st2["errors"]["total"] == n_years_errs + n_top
+    assert st2["generated_at"] is not None

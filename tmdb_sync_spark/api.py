@@ -231,6 +231,87 @@ def years_status(
     )
 
 
+def sync_status(spark, state_dir: str) -> dict:
+    """``GET /sync/status`` (app/main.py:64-138): the one-call overview.
+
+    - ``top_votes``: the top-feed cursor, ``None`` when that key never
+      committed (the endpoint leaves it null, unlike the zero-default of
+      a keyed read);
+    - ``years``: every ``years:*`` cursor parsed into (content_type,
+      year), MALFORMED KEYS SKIPPED like the endpoint's try/except
+      (rendered as an anchored-regex filter — P10's shape), sorted by
+      (content_type, year);
+    - ``errors``: dead-letter counts in the last hour / last 24 h /
+      total, by ``ts`` — one conditional-aggregate scan per error table
+      (the A6/A7 shape), summed across the top job's page-keyed table
+      and the years job's (year, page)-keyed one.
+    """
+    import datetime as _dt
+    import os as _os
+
+    from tmdb_sync_spark.streaming.state import read_state
+
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    state = read_state(spark, f"{state_dir}/cursors")
+    top_votes = None
+    years: list[dict] = []
+    if state is not None:
+        rows = state.collect()          # bounded: one row per cursor key
+        for r in rows:
+            d = r.asDict()
+            if d["key"] == "top_vote_count_movie":
+                top_votes = d
+        years = [
+            {"key": r["key"],
+             "content_type": r["key"].split(":", 2)[1],
+             "year": int(r["key"].split(":", 2)[2]),
+             "page": r["page"], "inserted": r["inserted"],
+             "updated": r["updated"], "ts": r["ts"]}
+            for r in rows
+            # the endpoint's try/except around split+int, as a regex
+            if __import__("re").match(r"^years:[^:]+:\d+$", r["key"] or "")
+        ]
+        years.sort(key=lambda x: (x["content_type"], x["year"]))
+
+    from tmdb_sync_spark.streaming.ingest import (
+        ERROR_SCHEMA,
+        YEAR_ERROR_SCHEMA,
+    )
+
+    hour_ago = now - _dt.timedelta(hours=1)
+    day_ago = now - _dt.timedelta(days=1)
+    counts = {"last_hour": 0, "last_24h": 0, "total": 0}
+    for table, ddl in (("errors", ERROR_SCHEMA),
+                       ("errors_years", YEAR_ERROR_SCHEMA)):
+        p = _os.path.join(state_dir, table)
+        if not _os.path.isdir(p):
+            continue
+        row = (
+            # explicit schema: a batch with ZERO failures leaves a
+            # file-less table root behind (dynamic overwrite of an empty
+            # frame), and schema INFERENCE on it raises — with the
+            # declared schema an empty table is simply zero rows
+            spark.read.schema(ddl).parquet(p)
+            .agg(
+                F.count(F.when(F.col("ts") >= F.lit(hour_ago), 1))
+                .alias("h"),
+                F.count(F.when(F.col("ts") >= F.lit(day_ago), 1))
+                .alias("d"),
+                F.count(F.lit(1)).alias("t"),
+            )
+            .first()
+        )
+        counts["last_hour"] += row["h"]
+        counts["last_24h"] += row["d"]
+        counts["total"] += row["t"]
+    return {
+        "top_votes": top_votes,
+        "years": years,
+        "errors": counts,
+        "generated_at": now,
+    }
+
+
 REPORT_SCHEMA = (
     "movie_id BIGINT, path STRING, reason STRING, content_type STRING, "
     "reporter STRING, ts TIMESTAMP"

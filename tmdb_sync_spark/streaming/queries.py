@@ -169,7 +169,14 @@ def st4_a8_cursor_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inserted").alias("run_inserted"),
         F.col("updated").alias("run_updated"),
     )
-    errors = spark.read.parquet(f"{d}/errors")
+    # explicit schema: a scenario whose batches all pass would leave a
+    # FILE-LESS errors root (dynamic overwrite of an empty frame), and
+    # bare inference raises UNABLE_TO_INFER_SCHEMA; the declared schema
+    # reads it as zero rows. Latent today (the fixture always fails some
+    # ids) — found while building api.sync_status over the same table.
+    from tmdb_sync_spark.streaming.ingest import ERROR_SCHEMA
+
+    errors = spark.read.schema(ERROR_SCHEMA).parquet(f"{d}/errors")
     err_counts = errors.agg(
         F.sum(F.when(F.col("category") == "http", 1).otherwise(0))
          .cast("long").alias("n_http_errors"),
