@@ -223,3 +223,75 @@ def test_sync_status_overview(spark, tmp_path):
     assert n_top == 0
     assert st2["errors"]["total"] == n_years_errs + n_top
     assert st2["generated_at"] is not None
+
+
+def test_meta_sync_status_coverage_per_sort_kind(spark, tmp_path):
+    """GET /meta/sync-status (meta_sync.py:9-62) over the per-sort sync
+    stamps: a popularity backfill stamps only last_popularity_sync_at, a
+    vote_count finalize adds the other stamp, and the category job (no
+    _sort_by in its upsert) stamps neither — the coverage ratios expose
+    exactly which years were refreshed which way."""
+    from tmdb_sync_spark.api import meta_sync_status
+    from tmdb_sync_spark.streaming.ingest import (
+        run_sync_category,
+        run_sync_current_year,
+        run_sync_finalize_year,
+    )
+
+    state = str(tmp_path / "s")
+    # monthly refresh of "current" year 1999 (wrapper, popularity.desc)
+    out = run_sync_current_year(spark, state, year=1999)
+    assert out["inserted"] > 0
+    movies = read_partitioned(spark, f"{state}/movies")
+    rows = meta_sync_status(movies).collect()
+    r99 = {r["year"]: r for r in rows}[1999]
+    assert r99["popularity_coverage"] == 1.0
+    assert r99["vote_count_coverage"] == 0.0
+    assert r99["last_popularity"] is not None and r99["last_vote_count"] is None
+
+    # finalize the same year by vote_count.desc: resume=False re-sync
+    run_sync_finalize_year(spark, state, year=1999, resume=False)
+    movies = read_partitioned(spark, f"{state}/movies")
+    r99 = {r["year"]: r for r in meta_sync_status(movies).collect()}[1999]
+    assert r99["popularity_coverage"] == 1.0    # preserved on update
+    assert r99["vote_count_coverage"] == 1.0    # newly stamped
+    assert r99["last_vote_count"] >= r99["last_popularity"]
+
+    # category rows carry NO stamp; their (scattered) years read 0.0
+    run_sync_category(spark, state, category="top_rated")
+    movies = read_partitioned(spark, f"{state}/movies")
+    all_rows = meta_sync_status(movies).collect()
+    cat_years = [r for r in all_rows if r["year"] != 1999]
+    assert cat_years and all(
+        r["popularity_coverage"] == 0.0 and r["vote_count_coverage"] == 0.0
+        for r in cat_years)
+    # year-range + content_type filters
+    only99 = meta_sync_status(movies, year_from=1999, year_to=1999).collect()
+    assert [r["year"] for r in only99] == [1999]
+    assert meta_sync_status(movies, content_type="tv").collect() == []
+
+
+def test_reports_stats_rollup(spark, tmp_path):
+    """GET /reports/stats (reports.py:18-46): count + reason histogram
+    per (movie_id, path, content_type); falsy reasons excluded from the
+    map but counted in the total, like the endpoint's Counter over
+    [r for r in reasons if r]."""
+    from tmdb_sync_spark.api import report_frame, reports_stats
+
+    reports = str(tmp_path / "reports")
+    for reason in ("not_a_scene", "not_a_scene", "spoiler", ""):
+        report_frame(spark, reports, movie_id=7, path="/a.jpg",
+                     reason=reason)
+    report_frame(spark, reports, movie_id=7, path="/b.jpg")
+    report_frame(spark, reports, movie_id=8, path="/a.jpg",
+                 content_type="tv")
+
+    rows = {(r["movie_id"], r["path"], r["content_type"]): r
+            for r in reports_stats(spark, reports).collect()}
+    assert len(rows) == 3
+    a = rows[(7, "/a.jpg", "movie")]
+    assert a["count"] == 4                       # the empty reason counts
+    assert dict(a["reasons"]) == {"not_a_scene": 2, "spoiler": 1}
+    assert dict(rows[(7, "/b.jpg", "movie")]["reasons"]) == {
+        "not_a_scene": 1}
+    assert rows[(8, "/a.jpg", "tv")]["count"] == 1

@@ -231,6 +231,79 @@ def years_status(
     )
 
 
+def meta_sync_status(
+    movies: DataFrame,
+    *,
+    content_type: str = "movie",
+    year_from: int | None = None,
+    year_to: int | None = None,
+) -> DataFrame:
+    """``GET /meta/sync-status`` (app/endpoints/meta_sync.py:9-62): the
+    per-year coverage report over the movies table — the endpoint behind
+    the engine's flagship ``a1_sync_coverage`` shape.
+
+    Per year: row count, last sync time of each kind
+    (``last_popularity_sync_at`` / ``last_vote_count_sync_at`` — the
+    stamps the jobs maintain per sort kind), and the fraction of the
+    year's rows carrying each stamp. One filtered scan → one hash
+    aggregate → sort; the coverage ratios are single double divisions of
+    exact counts."""
+    _validate("content_type", content_type, CONTENT_TYPES)
+    out = movies.where(F.col("content_type") == content_type)
+    if year_from is not None:
+        out = out.where(F.col("year") >= year_from)
+    if year_to is not None:
+        out = out.where(F.col("year") <= year_to)
+    total = F.count(F.lit(1))
+    with_pop = F.count(F.col("last_popularity_sync_at"))
+    with_vc = F.count(F.col("last_vote_count_sync_at"))
+    return (
+        out.groupBy("year")
+        .agg(
+            total.alias("total"),
+            F.max("last_popularity_sync_at").alias("last_popularity"),
+            F.max("last_vote_count_sync_at").alias("last_vote_count"),
+            (with_pop / total).alias("popularity_coverage"),
+            (with_vc / total).alias("vote_count_coverage"),
+        )
+        .orderBy("year")
+    )
+
+
+def reports_stats(spark, reports_path: str) -> DataFrame:
+    """``GET /reports/stats`` (app/endpoints/reports.py:18-46): the
+    moderation-report rollup — count + per-reason histogram per
+    (movie_id, path, content_type). The reference pushes every reason
+    string through the wire and Counter()s host-side; here the histogram
+    is a two-level aggregate ending in a ``map<reason, count>`` column
+    (the A4/A5 reason-map shape), falsy reasons excluded from the map
+    exactly like its ``[r for r in reasons if r]`` while the total count
+    keeps them."""
+    from pyspark.sql.types import StructType
+
+    keys = ["movie_id", "path", "content_type"]
+    reports = spark.read.schema(
+        StructType.fromDDL(REPORT_SCHEMA)
+    ).parquet(reports_path)
+    per_reason = reports.groupBy(
+        *keys, F.col("reason").alias("_r")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        per_reason.groupBy(*keys)
+        .agg(
+            F.sum("_n").alias("count"),
+            F.map_from_entries(
+                F.array_sort(F.collect_list(
+                    F.when(
+                        F.col("_r").isNotNull() & (F.col("_r") != ""),
+                        F.struct(F.col("_r"), F.col("_n")),
+                    )
+                ))
+            ).alias("reasons"),
+        )
+    )
+
+
 def sync_status(spark, state_dir: str) -> dict:
     """``GET /sync/status`` (app/main.py:64-138): the one-call overview.
 

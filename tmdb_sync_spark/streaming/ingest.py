@@ -133,18 +133,40 @@ def _build_source(feed: DataFrame) -> DataFrame:
             F.size(F.coalesce("frames", empty_frames)).cast("long")
              .alias("n_valid_frames"),
             F.current_timestamp().alias("synced_at"),
-            F.current_timestamp().alias("last_vote_count_sync_at"),
         )
     )
 
 
-def _merge_batch(spark: SparkSession, movies_path: str, ok: DataFrame):
+# The per-sort-kind sync stamps (upsert.py:94-99): upsert sets ONLY the
+# stamp matching the run's sort_by and leaves the other untouched.
+SORT_STAMPS = {
+    "popularity": "last_popularity_sync_at",
+    "vote_count": "last_vote_count_sync_at",
+}
+
+
+def _merge_batch(
+    spark: SparkSession, movies_path: str, ok: DataFrame,
+    sort_stamp: str | None = "vote_count",
+):
     """Bootstrap-or-MERGE one enriched batch into the movies table;
     returns ``(inserted, updated)``. Shared by every sync job (top,
-    years) — the reference funnels all of them through the same
-    ``upsert_movie`` (app/catalog/upsert.py:46-103), and the frames /
-    marks / created_at contracts live HERE so a second job can never
-    drift from the first."""
+    years, category) — the reference funnels all of them through the
+    same ``upsert_movie`` (app/catalog/upsert.py:46-103), and the
+    frames / marks / created_at contracts live HERE so a second job can
+    never drift from the first.
+
+    ``sort_stamp`` names the run's sort kind: both stamp columns are
+    TARGET-only (bootstrap creates them NULL), and the merge sets only
+    the matching one to ``s.synced_at`` on update AND insert, preserving
+    the other — exactly upsert.py:94-99's "$set only the stamp for this
+    sync type". ``None`` (the category job: its upsert carries no
+    ``_sort_by``) sets neither."""
+    if sort_stamp is not None and sort_stamp not in SORT_STAMPS:
+        raise ValueError(
+            f"_merge_batch: sort_stamp {sort_stamp!r} not in "
+            f"{tuple(SORT_STAMPS)}"
+        )
     # table_exists, not isdir: the lock's makedirs leaves an
     # existing-but-empty dir after a pre-commit bootstrap crash,
     # and the merge route would then rebuild the table from the
@@ -174,34 +196,39 @@ def _merge_batch(spark: SparkSession, movies_path: str, ok: DataFrame):
                 pick_backdrop_expr(F.col("frames"), no_bad),
             )
         )
+        for c in SORT_STAMPS.values():
+            empty = empty.withColumn(c, F.lit(None).cast("timestamp"))
         write_partitioned(
             empty, movies_path, "year",
             cluster_by=("id", "content_type"),
             manifest_key="id",
             if_not_exists=True,
         )
+    # upsert.py:76-90: incorrect_frames is PRESERVED on update
+    # (target-only column → the merge's default keeps t's), and
+    # backdrop_path is recomputed from the fresh frames EXCLUDING those
+    # preserved marks
+    matched = {
+        "backdrop_path": pick_backdrop_expr(
+            F.col("s.frames"), F.col("t.incorrect_frames")
+        ),
+    }
+    # J4 / $setOnInsert: created_at only on insert; preserved on update
+    # (app/catalog/upsert.py:91)
+    inserts = {
+        "created_at": F.col("s.synced_at"),
+        "incorrect_frames": no_bad,
+        "backdrop_path": pick_backdrop_expr(F.col("s.frames"), no_bad),
+    }
+    if sort_stamp is not None:
+        stamp = SORT_STAMPS[sort_stamp]
+        matched[stamp] = F.col("s.synced_at")
+        inserts[stamp] = F.col("s.synced_at")
     res = merge_into_partitioned(
         spark, movies_path, ok,
         keys=["id", "content_type"], partition_col="year",
-        # upsert.py:76-90: incorrect_frames is PRESERVED on
-        # update (target-only column → the merge's default
-        # keeps t's), and backdrop_path is recomputed from
-        # the fresh frames EXCLUDING those preserved marks
-        matched_update={
-            "backdrop_path": pick_backdrop_expr(
-                F.col("s.frames"),
-                F.col("t.incorrect_frames"),
-            ),
-        },
-        # J4 / $setOnInsert: created_at only on insert;
-        # preserved on update (app/catalog/upsert.py:91)
-        not_matched_insert={
-            "created_at": F.col("s.synced_at"),
-            "incorrect_frames": no_bad,
-            "backdrop_path": pick_backdrop_expr(
-                F.col("s.frames"), no_bad
-            ),
-        },
+        matched_update=matched,
+        not_matched_insert=inserts,
         count_actions=True,
     )
     return res["counts"].get("insert", 0), res["counts"].get("update", 0)
@@ -271,7 +298,10 @@ def run_sync_top(
             ).parquet(errors_path)
 
             ok = src.where(~(failed | skipped)).drop("page")
-            ins, upd = _merge_batch(spark, movies_path, ok)
+            # the top feed is vote_count.desc (CURSOR_KEY's name):
+            # upsert stamps last_vote_count_sync_at (upsert.py:97-99)
+            ins, upd = _merge_batch(spark, movies_path, ok,
+                                    sort_stamp="vote_count")
             inserted += ins
             updated += upd
         finally:
@@ -307,6 +337,7 @@ def run_sync_years(
     limit: int = 5000,
     resume: bool = True,
     content_type: str = "movie",
+    sort_by: str = "popularity.desc",
     batch_pages: int = 5,
 ) -> dict:
     """The reference's second sync job (``app/sync_years.py:150-281``):
@@ -331,6 +362,17 @@ def run_sync_years(
       clear+overwrite must key on the FEED identity too — the engine's
       layout for the reference's single blind-insert collection.
     """
+    # sort_by picks which sync stamp the upsert sets (upsert.py:94-99);
+    # the reference passes it through to the discover request too — the
+    # fixture feed is single-ordered, so here it is the STAMP that
+    # matters (current-year monthly runs use popularity.desc, finalize
+    # uses vote_count.desc — app/main.py:209-223)
+    if sort_by not in ("popularity.desc", "vote_count.desc"):
+        raise ValueError(
+            f"run_sync_years: sort_by {sort_by!r} not in "
+            "('popularity.desc', 'vote_count.desc')"
+        )
+    stamp = sort_by.split(".", 1)[0]
     movies_path = f"{state_dir}/movies"
     cursors_path = f"{state_dir}/cursors"
     errors_path = f"{state_dir}/errors_years"
@@ -384,7 +426,8 @@ def run_sync_years(
                 ).parquet(errors_path)
 
                 ok = src.where(~(failed | skipped)).drop("page")
-                ins, upd = _merge_batch(spark, movies_path, ok)
+                ins, upd = _merge_batch(spark, movies_path, ok,
+                                        sort_stamp=stamp)
                 year_ins += ins
                 year_upd += upd
                 processed_total += ins + upd
@@ -448,7 +491,9 @@ def run_sync_category(
     try:
         n_results = src.count()
         ok = src.where(F.col("n_valid_frames") > 0).drop("page")
-        ins, upd = _merge_batch(spark, movies_path, ok)
+        # the category upsert carries no _sort_by (app/sync.py:112-133,
+        # upsert.py:70-72 reads a key that was never set) → no stamp
+        ins, upd = _merge_batch(spark, movies_path, ok, sort_stamp=None)
     finally:
         src.unpersist()
     return {
@@ -458,3 +503,41 @@ def run_sync_category(
         "inserted": ins,
         "updated": upd,
     }
+
+
+def run_sync_current_year(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    limit: int = 5000,
+    resume: bool = True,
+    year: int | None = None,
+) -> dict:
+    """``POST /sync/years/current`` (app/main.py:209-215): the monthly
+    refresh — this year's feed by popularity.desc. ``year`` overrides
+    the wall clock for tests; the default is the reference's
+    ``utcnow().year``."""
+    from datetime import datetime, timezone
+
+    y = year if year is not None else datetime.now(timezone.utc).year
+    return run_sync_years(
+        spark, state_dir, start_year=y, end_year=y, limit=limit,
+        resume=resume, sort_by="popularity.desc",
+    )
+
+
+def run_sync_finalize_year(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    year: int,
+    limit: int = 5000,
+    resume: bool = True,
+) -> dict:
+    """``POST /sync/years/finalize`` (app/main.py:218-223): close out a
+    year by vote_count.desc — stamps last_vote_count_sync_at so the meta
+    coverage report can tell refreshed-from-finalized apart."""
+    return run_sync_years(
+        spark, state_dir, start_year=year, end_year=year, limit=limit,
+        resume=resume, sort_by="vote_count.desc",
+    )
