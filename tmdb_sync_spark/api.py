@@ -37,6 +37,29 @@ Scale notes: everything is one filtered scan + ``TakeOrderedAndProject``
 (orderBy + offset/limit never global-sort); no joins, no shuffles beyond
 the top-k merge. The search is exactly as 100 TB-safe as the fixed
 pagination operator it composes.
+
+Route → function map (every route the reference actually serves):
+
+========================================  =================================
+``GET  /movies/search`` (both routers)    :func:`search_movies`
+``GET  /movies/by-ids``                   :func:`movies_by_ids`
+``GET  /movies/{id}`` (+``/frames``)      :func:`get_movie`
+``POST /frames/report``, ``/report``      :func:`report_frame`
+``GET  /reports/stats``                   :func:`reports_stats`
+``POST /frames/.../incorrect``            :func:`mark_incorrect_frames`
+``POST /frames/.../unmark-incorrect``     :func:`unmark_incorrect_frames`
+``POST /sync/top-votes``                  ``JobRunner.launch(run_sync_top)``
+``POST /sync/years``                      ``JobRunner.launch(run_sync_years)``
+``POST /sync/years/current``              ``streaming.ingest.run_sync_current_year``
+``POST /sync/years/finalize``             ``streaming.ingest.run_sync_finalize_year``
+``GET  /sync/status``                     :func:`sync_status`
+``GET  /sync/status/years``               :func:`years_status`
+``GET  /meta/sync-status``                :func:`meta_sync_status`
+========================================  =================================
+
+Deliberately not mirrored: ``POST /generate_rounds`` (imports a module
+that does not exist in the reference — a dead endpoint) and
+``sync_discover_movies`` (an uncalled tutorial function).
 """
 
 from __future__ import annotations
