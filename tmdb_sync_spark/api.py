@@ -64,6 +64,8 @@ that does not exist in the reference — a dead endpoint) and
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -365,7 +367,7 @@ def sync_status(spark, state_dir: str) -> dict:
              "updated": r["updated"], "ts": r["ts"]}
             for r in rows
             # the endpoint's try/except around split+int, as a regex
-            if __import__("re").match(r"^years:[^:]+:\d+$", r["key"] or "")
+            if re.match(r"^years:[^:]+:\d+$", r["key"] or "")
         ]
         years.sort(key=lambda x: (x["content_type"], x["year"]))
 
