@@ -295,3 +295,45 @@ def test_reports_stats_rollup(spark, tmp_path):
     assert dict(rows[(7, "/b.jpg", "movie")]["reasons"]) == {
         "not_a_scene": 1}
     assert rows[(8, "/a.jpg", "tv")]["count"] == 1
+
+
+def test_concurrent_top_and_years_jobs_interleave(spark, tmp_path):
+    """The reference launches top and years syncs as concurrent
+    background tasks against one collection; here two threads drive both
+    jobs into ONE movies table. The bounded merge-lock wait
+    (MERGE_LOCK_WAIT_S) makes their micro-batch merges interleave
+    batch-by-batch instead of one run dying on first lock contention —
+    and the end state is exactly the union of both feeds' surviving ids,
+    with each job's own cursor committed."""
+    import threading
+
+    from tmdb_sync_spark.streaming.ingest import run_sync_top
+
+    state = str(tmp_path / "s")
+    results, errors = {}, []
+
+    def drive(name, fn, **kw):
+        try:
+            results[name] = fn(spark, state, **kw)
+        except Exception as e:                      # pragma: no cover
+            errors.append((name, e))
+
+    t1 = threading.Thread(
+        target=drive, args=("top", run_sync_top),
+        kwargs=dict(max_pages=3, batch_pages=1))
+    t2 = threading.Thread(
+        target=drive, args=("years", run_sync_years),
+        kwargs=dict(start_year=1999, batch_pages=2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+
+    n = fixture.YEAR_ITEMS["movie"]
+    top_ok = {i for i in range(1, 61) if i % 97 and i % 89}   # 3 pages
+    want = top_ok | expected_ok_ids(1999, n)
+    assert movie_ids(spark, state) == want
+    assert results["top"]["inserted"] == len(top_ok)
+    assert results["years"]["inserted"] == len(expected_ok_ids(1999, n))
+    assert read_cursor(spark, f"{state}/cursors",
+                       "top_vote_count_movie")["page"] == 3
+    assert read_cursor(spark, f"{state}/cursors",
+                       "years:movie:1999")["page"] == 5

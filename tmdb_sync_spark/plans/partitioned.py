@@ -74,6 +74,7 @@ def write_partitioned(
     cluster_by: Sequence[str] = (),
     manifest_key: str | None = None,
     if_not_exists: bool = False,
+    lock_wait_s: float = 0.0,
 ) -> bool:
     """Full overwrite of a hive-partitioned table via the merge path's
     staging + per-partition swap + leftover-recovery protocol.
@@ -121,7 +122,7 @@ def write_partitioned(
     loser must NOT overwrite the winner's table (with the winner's
     already-MERGED rows, in the sync jobs' case). Returns ``True`` when
     this call wrote the table."""
-    lock = _acquire_merge_lock(path)
+    lock = _acquire_merge_lock(path, wait_s=lock_wait_s)
     try:
         _recover_leftovers(path)
         if if_not_exists and table_exists(path):
@@ -226,7 +227,7 @@ class ConcurrentMergeError(ConcurrentWriterError):
     """A second merge writer tried to enter a table another merge holds."""
 
 
-def _acquire_merge_lock(target_dir: str) -> str:
+def _acquire_merge_lock(target_dir: str, wait_s: float = 0.0) -> str:
     """Single-writer guard for the swap protocol and manifest RMW.
 
     The rename-aside swap and the ``_key_manifest.json`` read-modify-write
@@ -237,9 +238,15 @@ def _acquire_merge_lock(target_dir: str) -> str:
     shared with the cursor state table's commit lock; a lock stuck on a
     recycled pid is broken with :func:`break_merge_lock` after human
     verification.
+
+    ``wait_s``: poll for the holder to release instead of failing fast —
+    the contract callers with their OWN retry-free loop want (the sync
+    jobs run micro-batch merges of a few seconds each; two jobs sharing
+    one movies table should interleave batch-by-batch like the
+    reference's concurrent Mongo upserts, not kill one run).
     """
     try:
-        return acquire_dir_lock(target_dir, MERGE_LOCK_NAME)
+        return acquire_dir_lock(target_dir, MERGE_LOCK_NAME, wait_s=wait_s)
     except ConcurrentMergeError:          # pragma: no cover - subclass
         raise
     except ConcurrentWriterError as e:
@@ -573,6 +580,7 @@ def merge_into_partitioned(
     not_matched_insert: Mapping[str, Column] | None = None,
     count_actions: bool = False,
     detect_moved_keys: bool = True,
+    lock_wait_s: float = 0.0,
 ) -> dict:
     """MERGE ``source`` into the partitioned table at ``target_dir``,
     rewriting only touched partitions.
@@ -605,7 +613,7 @@ def merge_into_partitioned(
     "probe_partitions": [pdir, ...]}`` — the partitions the probe
     actually had to read (empty = the manifest pruned everything).
     """
-    lock = _acquire_merge_lock(target_dir)
+    lock = _acquire_merge_lock(target_dir, wait_s=lock_wait_s)
     try:
         return _merge_locked(
             spark, target_dir, source, keys, partition_col,

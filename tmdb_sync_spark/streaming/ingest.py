@@ -144,6 +144,14 @@ SORT_STAMPS = {
     "vote_count": "last_vote_count_sync_at",
 }
 
+# Concurrent jobs sharing one movies table (top + years launched
+# together — the reference runs both against Mongo simultaneously)
+# interleave batch-by-batch: each micro-batch merge WAITS bounded for
+# the table's writer lock instead of killing the whole run on first
+# contention. Batches commit in seconds; 120 s covers a slow batch with
+# a wide margin, and a genuinely stuck holder still fails loudly.
+MERGE_LOCK_WAIT_S = 120.0
+
 
 def _merge_batch(
     spark: SparkSession, movies_path: str, ok: DataFrame,
@@ -203,6 +211,7 @@ def _merge_batch(
             cluster_by=("id", "content_type"),
             manifest_key="id",
             if_not_exists=True,
+            lock_wait_s=MERGE_LOCK_WAIT_S,
         )
     # upsert.py:76-90: incorrect_frames is PRESERVED on update
     # (target-only column → the merge's default keeps t's), and
@@ -230,6 +239,7 @@ def _merge_batch(
         matched_update=matched,
         not_matched_insert=inserts,
         count_actions=True,
+        lock_wait_s=MERGE_LOCK_WAIT_S,
     )
     return res["counts"].get("insert", 0), res["counts"].get("update", 0)
 
