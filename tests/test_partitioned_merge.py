@@ -990,3 +990,35 @@ def test_concurrent_first_ever_syncs_union_not_clobber(spark, tmp_path):
     back = read_partitioned(spark, movies)
     assert {r["id"] for r in back.collect()} == {1, 2, 3, 4}
     assert back.where("created_at IS NULL").count() == 0
+
+
+def test_point_read_prunes_by_manifest(spark):
+    """read_partitioned_for_key: with disjoint per-partition key ranges
+    (the ingest movies layout) a point lookup OPENS exactly the one
+    candidate partition (asserted via inputFiles), returns the right
+    row, an out-of-range key returns empty without a scan, and a table
+    whose manifest serves a DIFFERENT key degrades to the full read."""
+    import tempfile
+
+    from tmdb_sync_spark.plans.partitioned import (
+        read_partitioned_for_key,
+        read_partitioned,
+    )
+
+    d = tempfile.mkdtemp(prefix="pr_")
+    target = f"{d}/t"
+    rows = [(y * 100 + i, y, float(i)) for y in (1, 2, 3, 4)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "k BIGINT, y INT, price DOUBLE")
+    write_partitioned(df, target, "y", cluster_by=("k",),
+                      manifest_key="k")
+
+    hit = read_partitioned_for_key(spark, target, "k", 205)
+    assert [r["k"] for r in hit.where("k = 205").collect()] == [205]
+    assert all("/y=2" in f for f in hit.inputFiles())   # ONE partition
+    # out-of-range: zero candidates → empty frame, schema intact
+    miss = read_partitioned_for_key(spark, target, "k", 99_999)
+    assert miss.count() == 0 and "price" in miss.columns
+    # wrong key name → safe degrade to the full table
+    full = read_partitioned_for_key(spark, target, "other_key", 205)
+    assert full.count() == read_partitioned(spark, target).count()

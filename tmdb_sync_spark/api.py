@@ -444,10 +444,14 @@ def report_frame(
 
 
 def _movie_row(spark, movies_path: str, movie_id: int, content_type: str):
-    from tmdb_sync_spark.plans.partitioned import read_partitioned
+    # manifest-pruned point read: on the key-clustered movies table this
+    # opens ~one partition regardless of table size (the serving-path
+    # requirement at scale); tables without an id manifest degrade to
+    # the full listing
+    from tmdb_sync_spark.plans.partitioned import read_partitioned_for_key
 
     rows = (
-        read_partitioned(spark, movies_path)
+        read_partitioned_for_key(spark, movies_path, "id", int(movie_id))
         .where(
             (F.col("id") == int(movie_id))
             & (F.col("content_type") == content_type)

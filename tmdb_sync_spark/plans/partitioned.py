@@ -361,6 +361,56 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
         raise
 
 
+def read_partitioned_for_key(
+    spark: SparkSession, path: str, key: str, value
+) -> DataFrame:
+    """Point-lookup read pruned by the KEY-RANGE MANIFEST: only
+    partition dirs whose ``[kmin, kmax]`` can contain ``value`` are
+    listed or opened — the read-side twin of the merge's moved-key probe
+    pruning. On a table whose key ranges are disjoint per partition (the
+    ingest's movies table: feed ids are year-scoped, and merge staging
+    writes are key-clustered) a point read opens exactly one partition
+    regardless of table size — the serving-path behavior a 100 TB CDC
+    table needs, without an index.
+
+    Degrades to :func:`read_partitioned` (full listing) when the
+    manifest is absent or kept for a DIFFERENT key; unknown or
+    type-incomparable ranges are conservatively read. Zero candidates
+    returns an empty frame of the persisted schema. The usual retention
+    caveat applies: rows outside pruned partitions are invisible by
+    construction, so callers must pass the table's manifest key."""
+    sp = os.path.join(path, SCHEMA_NAME)
+    mp = os.path.join(path, km.MANIFEST_NAME)
+    try:
+        with open(mp) as fh:
+            doc = json.load(fh)
+        with open(sp) as fh:
+            rec = json.load(fh)
+        if not (isinstance(doc, dict) and doc.get("key") == key):
+            return read_partitioned(spark, path)
+        pcol = rec["partition_col"]
+    except (OSError, ValueError, KeyError, TypeError):
+        return read_partitioned(spark, path)
+    manifest = km.load(path, key, pcol)
+    cand = []
+    for p, rng in manifest.items():
+        if rng is None:
+            cand.append(p)
+            continue
+        try:
+            if not (value < rng[0] or rng[1] < value):
+                cand.append(p)
+        except TypeError:
+            cand.append(p)
+    if not cand:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(rec["schema"]))
+    return spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, p) for p in sorted(cand)]
+    )
+
+
 def _write_swap_journal(
     target_dir: str, staging: str, partition_col: str,
     ops: Sequence, manifest_plan: dict | None, schema_record: dict,
