@@ -561,7 +561,10 @@ def get_movie(
     """``GET /movies/{id}`` (catalog.py:10-16): single-document fetch.
     Returns the projected row dict, or ``None`` (the 404 case). The
     ``collect`` is bounded by the key's uniqueness (the MERGE maintains
-    one row per (id, content_type))."""
+    one row per (id, content_type)). Callers holding the TABLE PATH
+    should pass ``read_partitioned_for_key(spark, path, "id", id)`` as
+    ``movies`` — the manifest-pruned point read that opens ~one
+    partition at any table size (plans.partitioned)."""
     _validate("content_type", content_type, CONTENT_TYPES)
     rows = (
         movies.where(
