@@ -183,3 +183,25 @@ def test_search_over_live_ingest_table(spark, tmp_path):
     assert "synced_at" not in page.columns and "year" not in page.columns
     # every returned row has frames (the base predicate)
     assert all(r["n_valid_frames"] > 0 for r in rows)
+
+
+def test_string_and_year_sort_fields(spark, movies, tmp_path):
+    """The two non-numeric whitelist entries: release_date sorts
+    lexicographically (the ISO-string idiom), and year resolves through
+    the ingest's materialized column (absent from this synthetic frame,
+    present on the live table)."""
+    got = got_ids(search_movies(movies, sort_by="release_date",
+                                order="asc", limit=50))
+    want = model_search(sort_by="release_date", order="asc", limit=50)
+    assert got == want
+
+    from tmdb_sync_spark.plans.partitioned import read_partitioned
+    from tmdb_sync_spark.streaming.ingest import run_sync_years
+
+    state = str(tmp_path / "s")
+    run_sync_years(spark, state, start_year=1999, end_year=2000,
+                   batch_pages=5)
+    live = read_partitioned(spark, f"{state}/movies")
+    page = search_movies(live, sort_by="year", order="asc", limit=30)
+    ys = [r["release_date"][:4] for r in page.collect()]
+    assert ys == sorted(ys) and len(ys) == 30
