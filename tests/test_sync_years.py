@@ -337,3 +337,30 @@ def test_concurrent_top_and_years_jobs_interleave(spark, tmp_path):
                        "top_vote_count_movie")["page"] == 3
     assert read_cursor(spark, f"{state}/cursors",
                        "years:movie:1999")["page"] == 5
+
+
+def test_provenance_fields_category_and_sort_by(spark, tmp_path):
+    """The doc's provenance fields (_category / _sort_by → category /
+    sort_by): _category rides every $set (last writer wins), _sort_by is
+    written only by year runs and PRESERVED otherwise — and the TOP sync
+    stamps neither last_*_sync_at (it never puts _sort_by on the doc,
+    app/sync_top.py:190-214 — the cursor name notwithstanding)."""
+    from tmdb_sync_spark.streaming.ingest import run_sync_top
+
+    state = str(tmp_path / "s")
+    run_sync_top(spark, state, max_pages=1, batch_pages=1)
+    movies = read_partitioned(spark, f"{state}/movies")
+    top = movies.where("id < 1000000").select(
+        "category", "sort_by",
+        "last_popularity_sync_at", "last_vote_count_sync_at").first()
+    assert top["category"] == "discover_top_votes"
+    assert top["sort_by"] is None
+    assert top["last_popularity_sync_at"] is None     # reference quirk:
+    assert top["last_vote_count_sync_at"] is None     # top stamps nothing
+
+    run_sync_years(spark, state, start_year=1999)
+    movies = read_partitioned(spark, f"{state}/movies")
+    yr = movies.where("id >= 10000000").first()
+    assert yr["category"] == "discover_year_1999"
+    assert yr["sort_by"] == "popularity.desc"
+    assert yr["last_popularity_sync_at"] is not None

@@ -155,7 +155,9 @@ MERGE_LOCK_WAIT_S = 120.0
 
 def _merge_batch(
     spark: SparkSession, movies_path: str, ok: DataFrame,
-    sort_stamp: str | None = "vote_count",
+    sort_stamp: str | None = None,
+    category: str | None = None,
+    sort_by: str | None = None,
 ):
     """Bootstrap-or-MERGE one enriched batch into the movies table;
     returns ``(inserted, updated)``. Shared by every sync job (top,
@@ -168,8 +170,16 @@ def _merge_batch(
     TARGET-only (bootstrap creates them NULL), and the merge sets only
     the matching one to ``s.synced_at`` on update AND insert, preserving
     the other — exactly upsert.py:94-99's "$set only the stamp for this
-    sync type". ``None`` (the category job: its upsert carries no
-    ``_sort_by``) sets neither."""
+    sync type". ``None`` sets neither — which is the TOP and category
+    jobs' faithful behavior: only ``sync_years`` puts ``_sort_by`` on
+    the doc (app/sync_years.py:227); the top sync never does
+    (app/sync_top.py:190-214), so its upserts stamp nothing.
+
+    ``category`` / ``sort_by`` are the doc's provenance fields
+    (``_category`` always overwritten by the $set — app/sync.py:102 —
+    ``_sort_by`` overwritten only when the run carries one, preserved
+    otherwise): run-constant literals folded into the merge
+    expressions, target-only columns like the stamps."""
     if sort_stamp is not None and sort_stamp not in SORT_STAMPS:
         raise ValueError(
             f"_merge_batch: sort_stamp {sort_stamp!r} not in "
@@ -206,6 +216,8 @@ def _merge_batch(
         )
         for c in SORT_STAMPS.values():
             empty = empty.withColumn(c, F.lit(None).cast("timestamp"))
+        for c in ("category", "sort_by"):
+            empty = empty.withColumn(c, F.lit(None).cast("string"))
         write_partitioned(
             empty, movies_path, "year",
             cluster_by=("id", "content_type"),
@@ -233,6 +245,15 @@ def _merge_batch(
         stamp = SORT_STAMPS[sort_stamp]
         matched[stamp] = F.col("s.synced_at")
         inserts[stamp] = F.col("s.synced_at")
+    if category is not None:
+        # _category rides the $set doc on EVERY upsert (app/sync.py:102)
+        matched["category"] = F.lit(category)
+        inserts["category"] = F.lit(category)
+    if sort_by is not None:
+        # _sort_by is on the doc only for year runs; absent keys are
+        # preserved by $set, which the target-only default already does
+        matched["sort_by"] = F.lit(sort_by)
+        inserts["sort_by"] = F.lit(sort_by)
     res = merge_into_partitioned(
         spark, movies_path, ok,
         keys=["id", "content_type"], partition_col="year",
@@ -308,10 +329,12 @@ def run_sync_top(
             ).parquet(errors_path)
 
             ok = src.where(~(failed | skipped)).drop("page")
-            # the top feed is vote_count.desc (CURSOR_KEY's name):
-            # upsert stamps last_vote_count_sync_at (upsert.py:97-99)
+            # NO sort stamp: the top sync never puts _sort_by on the doc
+            # (app/sync_top.py:190-214), so its upserts stamp neither
+            # last_*_sync_at — only year runs do (a faithful reference
+            # quirk: the cursor is named for vote_count, the stamp isn't)
             ins, upd = _merge_batch(spark, movies_path, ok,
-                                    sort_stamp="vote_count")
+                                    category="discover_top_votes")
             inserted += ins
             updated += upd
         finally:
@@ -436,8 +459,10 @@ def run_sync_years(
                 ).parquet(errors_path)
 
                 ok = src.where(~(failed | skipped)).drop("page")
-                ins, upd = _merge_batch(spark, movies_path, ok,
-                                        sort_stamp=stamp)
+                ins, upd = _merge_batch(
+                    spark, movies_path, ok, sort_stamp=stamp,
+                    category=f"discover_year_{year}", sort_by=sort_by,
+                )
                 year_ins += ins
                 year_upd += upd
                 processed_total += ins + upd
@@ -502,8 +527,9 @@ def run_sync_category(
         n_results = src.count()
         ok = src.where(F.col("n_valid_frames") > 0).drop("page")
         # the category upsert carries no _sort_by (app/sync.py:112-133,
-        # upsert.py:70-72 reads a key that was never set) → no stamp
-        ins, upd = _merge_batch(spark, movies_path, ok, sort_stamp=None)
+        # upsert.py:70-72 reads a key that was never set) → no stamp;
+        # _category is the category name itself (app/sync.py:123)
+        ins, upd = _merge_batch(spark, movies_path, ok, category=category)
     finally:
         src.unpersist()
     return {
