@@ -1,0 +1,201 @@
+"""Contracts for the split / stratified-sample / sequence-packing tail
+(tmdb_sync_spark/functions/sampling.py). No DuckDB twins exist
+(xxhash64 / imperative FFD), so the contracts are pinned as properties:
+partition-of-corpus, layout stability, per-stratum tolerance,
+pack-budget bound, exactly-once membership, determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.functions.sampling import (
+    pack_sequences,
+    split_corpus,
+    split_expr,
+    stratified_sample,
+)
+from tmdb_sync_spark.functions.text import tokens_expr
+from tmdb_sync_spark.io import table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents").cache()
+
+
+def test_split_is_a_partition_of_the_corpus(spark, docs):
+    """Every row gets exactly one label from the weight map; counts sum
+    to the corpus."""
+    out = split_corpus(docs, weights={"train": 0.8, "val": 0.1,
+                                      "test": 0.1}, seed=7)
+    by = dict(
+        out.groupBy("split").count().collect()
+        and {r["split"]: r["count"]
+             for r in out.groupBy("split").count().collect()}
+    )
+    assert set(by) <= {"train", "val", "test"}
+    assert sum(by.values()) == docs.count()
+    # at 500 docs an 80/10/10 split must land near 400/50/50; the hash
+    # is uniform so 5-sigma bounds are generous
+    assert 320 <= by["train"] <= 460
+    assert 20 <= by.get("val", 0) <= 90
+    assert 20 <= by.get("test", 0) <= 90
+
+
+def test_split_fractions_converge_at_larger_sf(spark):
+    """On the 5k-doc sf0.1 corpus the 98/1/1 default lands within ±40%
+    of the expected val/test sizes — the tolerance sampling noise
+    allows (sf0.01's 500 docs put 5-sigma past ±100%)."""
+    docs = table(spark, "/root/testdata/sf0.1", "documents")
+    n = docs.count()
+    out = split_corpus(docs)
+    by = {r["split"]: r["count"]
+          for r in out.groupBy("split").count().collect()}
+    assert sum(by.values()) == n
+    for small in ("val", "test"):
+        assert 0.006 * n <= by.get(small, 0) <= 0.014 * n
+
+
+def test_split_stable_under_repartition_and_rerun(spark, docs):
+    """The label is a pure function of (key, weights, seed): any layout,
+    any run, same assignment — the property rand()-based splits lack."""
+    w = {"train": 0.9, "heldout": 0.1}
+    a = split_corpus(docs, weights=w, seed=3).select("doc_id", "split")
+    b = (
+        split_corpus(docs.repartition(17, "lang"), weights=w, seed=3)
+        .select("doc_id", "split")
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_split_seed_moves_members_weights_unnormalized(spark, docs):
+    """Different seed ⇒ different membership (not a constant labeling);
+    unnormalized weights normalize (2/1/1 == 0.5/0.25/0.25)."""
+    a = split_corpus(docs, weights={"x": 2, "y": 1, "z": 1}, seed=1)
+    b = split_corpus(docs, weights={"x": 2, "y": 1, "z": 1}, seed=2)
+    moved = (
+        a.alias("a").join(b.alias("b"), "doc_id")
+        .where(F.col("a.split") != F.col("b.split")).count()
+    )
+    assert moved > 0
+    x = a.where(F.col("split") == "x").count()
+    assert 200 <= x <= 300  # ~250 of 500
+
+
+def test_split_expr_validation():
+    with pytest.raises(ValueError):
+        split_expr(F.col("doc_id"), {})
+    with pytest.raises(ValueError):
+        split_expr(F.col("doc_id"), {"a": 0.0})
+
+
+def test_stratified_sample_per_stratum_tolerance(spark):
+    """Per-stratum keep fractions hold within 5-sigma; absent strata
+    drop to zero (the conservative unlisted-language rule)."""
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    langs = {r["lang"]: r["count"]
+             for r in docs.groupBy("lang").count().collect()}
+    frac = {"en": 0.5, "de": 0.1}
+    out = stratified_sample(docs, "lang", frac, seed=11)
+    got = {r["lang"]: r["count"]
+           for r in out.groupBy("lang").count().collect()}
+    for lang, f in frac.items():
+        n = langs[lang]
+        mean, sig = f * n, (f * (1 - f) * n) ** 0.5
+        assert abs(got.get(lang, 0) - mean) <= 5 * sig + 1, (lang, got)
+    for lang in set(langs) - set(frac):
+        assert lang not in got
+
+
+def test_stratified_sample_is_deterministic_subset(spark, docs):
+    out1 = stratified_sample(docs, "lang", 0.3, seed=5)
+    out2 = stratified_sample(docs.repartition(13), "lang", 0.3, seed=5)
+    assert out1.exceptAll(out2).count() == 0
+    assert out2.exceptAll(out1).count() == 0
+    # subset: every sampled doc_id is a corpus doc_id (and scalar
+    # fraction applies to all strata)
+    assert out1.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_pack_budget_and_exactly_once(spark, docs):
+    """Every pack ≤ max_tokens unless flagged oversize; every doc packed
+    exactly once with its own token count carried through."""
+    with_tokens = docs.select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    packed = pack_sequences(with_tokens, max_tokens=256, seed=1).cache()
+    n = docs.count()
+    assert packed.count() == n
+    assert packed.select("doc_id").distinct().count() == n
+    over_budget = packed.where(
+        (F.col("pack_tokens") > 256) & ~F.col("oversize")
+    )
+    assert over_budget.count() == 0
+    # oversize ⇔ the doc alone exceeds the budget
+    assert (
+        packed.where(F.col("oversize") != (F.col("n_tokens") > 256))
+        .count() == 0
+    )
+    # pack_tokens is consistent: grouping by pack_id re-derives it
+    bad = (
+        packed.groupBy("pack_id", "pack_tokens")
+        .agg(F.sum("n_tokens").alias("s"))
+        .where(F.col("s") != F.col("pack_tokens"))
+    )
+    assert bad.count() == 0
+    packed.unpersist()
+
+
+def test_pack_efficiency_and_layout_stability(spark, docs):
+    """FFD on this corpus fills packs reasonably (≥60% mean occupancy
+    of non-trailing packs is a loose floor), and the packing is a pure
+    function of the doc SET: repartitioning the input changes nothing."""
+    with_tokens = docs.select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    a = pack_sequences(with_tokens, max_tokens=200, n_buckets=4, seed=2)
+    b = pack_sequences(
+        with_tokens.repartition(19), max_tokens=200, n_buckets=4, seed=2
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    packs = (
+        a.where(~F.col("oversize"))
+        .groupBy("bucket", "pack_id")
+        .agg(F.max("pack_tokens").alias("t"))
+    )
+    # drop each bucket's single worst pack (the trailing remainder FFD
+    # legitimately leaves open), then bound mean occupancy
+    from pyspark.sql import Window
+    w = Window.partitionBy("bucket").orderBy(F.col("t").asc())
+    trimmed = packs.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") > 1
+    )
+    mean_occ = trimmed.agg(F.avg(F.col("t") / 200.0)).collect()[0][0]
+    assert mean_occ is not None and mean_occ >= 0.6, mean_occ
+
+
+def test_pack_rejects_corrupt_token_counts(spark):
+    from pyspark.sql import Row
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, n_tokens=10), Row(doc_id=2, n_tokens=-3)]
+    )
+    with pytest.raises(Exception) as ei:
+        pack_sequences(df, max_tokens=100, n_buckets=1).collect()
+    assert "fix token counts upstream" in str(ei.value)
+
+
+def test_split_then_pack_composes(spark, docs):
+    """The intended composition: split, then pack only the train split —
+    one plan, the split filter lands before the pack shuffle."""
+    with_tokens = split_corpus(docs, seed=9).where(
+        F.col("split") == "train"
+    ).select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    packed = pack_sequences(with_tokens, max_tokens=512, n_buckets=2,
+                            seed=9)
+    assert packed.count() == with_tokens.count()
