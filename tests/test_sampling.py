@@ -188,6 +188,48 @@ def test_pack_rejects_corrupt_token_counts(spark):
     assert "fix token counts upstream" in str(ei.value)
 
 
+def test_ffd_kernel_properties_hypothesis():
+    """Hammer the pure FFD kernel: exactly-once assignment, budget
+    bound, totals consistency, oversize iff item > budget, and the
+    FFD guarantee that no two packs could merge (any two non-oversize
+    pack totals exceed the budget — otherwise first-fit would have
+    placed the later pack's opener into the earlier pack, since
+    longest-first means the opener is its pack's largest item)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=700),
+                       min_size=0, max_size=80),
+        budget=st.integers(min_value=1, max_value=512),
+    )
+    def check(sizes, budget):
+        from tmdb_sync_spark.functions.sampling import ffd_pack
+
+        ordered = sorted(sizes, reverse=True)  # the caller's FFD order
+        assign, totals, oversize = ffd_pack(ordered, budget)
+        assert len(assign) == len(ordered) == len(oversize)
+        per_pack: dict[int, int] = {}
+        for n, a, ov in zip(ordered, assign, oversize):
+            per_pack[a] = per_pack.get(a, 0) + n
+            assert ov == (n > budget)
+        for a, s in per_pack.items():
+            assert s == totals[a]
+            if not (len([1 for i, x in enumerate(assign)
+                         if x == a and oversize[i]])):
+                assert s <= budget
+        # mergeability: under longest-first feeding, any two finished
+        # non-oversize packs sum past the budget
+        closed = [totals[a] for a in set(assign)
+                  if not any(oversize[i] for i, x in enumerate(assign)
+                             if x == a)]
+        closed.sort()
+        if len(closed) >= 2:
+            assert closed[0] + closed[1] > budget or closed[0] == 0
+
+    check()
+
+
 def test_split_then_pack_composes(spark, docs):
     """The intended composition: split, then pack only the train split —
     one plan, the split filter lands before the pack shuffle."""

@@ -165,6 +165,48 @@ def stratified_sample(
 
 # --- sequence packing ------------------------------------------------
 
+def ffd_pack(
+    sizes: Sequence[int], budget: int
+) -> tuple[list[int], list[int], list[bool]]:
+    """The pure first-fit packing kernel: ``sizes`` (already in the
+    caller's chosen order — :func:`pack_sequences` feeds it
+    longest-first, making this FFD) → ``(assign, totals, oversize)``,
+    parallel to ``sizes``/``totals``: item i goes to pack ``assign[i]``,
+    pack p holds ``totals[p]`` tokens, and ``oversize[i]`` marks items
+    alone over budget (their single-item pack is never reopened).
+
+    Extracted module-level so the Hypothesis suite can hammer it
+    directly (tests/test_sampling.py): the first draft of this loop
+    silently dropped every bin-opening item from ``assign`` — exactly
+    the class of imperative slip a pure, property-tested kernel
+    prevents from reaching the Arrow path. First-fit state is the open
+    list ``bins = [remaining, pack_index]``; memory O(packs)."""
+    bins: list[list[int]] = []
+    totals: list[int] = []
+    assign: list[int] = []
+    oversize: list[bool] = []
+    for n in sizes:
+        n = int(n)
+        if n > budget:
+            assign.append(len(totals))
+            totals.append(n)
+            oversize.append(True)
+            continue
+        for b in bins:
+            if b[0] >= n:
+                b[0] -= n
+                totals[b[1]] += n
+                assign.append(b[1])
+                oversize.append(False)
+                break
+        else:
+            bins.append([budget - n, len(totals)])
+            assign.append(len(totals))
+            totals.append(n)
+            oversize.append(False)
+    return assign, totals, oversize
+
+
 # Per-bucket token mass targeted by pack_sequences' default bucket
 # count: each bucket should hold many packs' worth of tokens so the
 # trailing partially-filled pack per bucket is amortized away. 64 packs
@@ -239,29 +281,9 @@ def pack_sequences(
             pdf = pdf.sort_values(
                 [tcol, dcol], ascending=[False, True]
             )
-            bins: list[list[int]] = []   # [remaining, pack_tokens_idx]
-            totals: list[int] = []
-            assign: list[int] = []
-            oversize: list[bool] = []
-            for n in pdf[tcol].astype("int64"):
-                n = int(n)
-                if n > budget:
-                    assign.append(len(totals))
-                    totals.append(n)
-                    oversize.append(True)
-                    continue
-                for i, b in enumerate(bins):
-                    if b[0] >= n:
-                        b[0] -= n
-                        totals[b[1]] += n
-                        assign.append(b[1])
-                        oversize.append(False)
-                        break
-                else:
-                    bins.append([budget - n, len(totals)])
-                    assign.append(len(totals))
-                    totals.append(n)
-                    oversize.append(False)
+            assign, totals, oversize = ffd_pack(
+                [int(n) for n in pdf[tcol].astype("int64")], budget
+            )
             base = bucket << 32
             yield pd.DataFrame({
                 dcol: pdf[dcol].astype("int64").values,
