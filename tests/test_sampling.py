@@ -188,6 +188,31 @@ def test_pack_rejects_corrupt_token_counts(spark):
     assert "fix token counts upstream" in str(ei.value)
 
 
+def test_null_keys_deterministic(spark):
+    """NULL keys collapse to ONE deterministic bucket (xxhash64 skips
+    null args): all-NULL-key rows share a single split label, and a
+    NULL stratum never matches a fraction-map entry (dropped — the
+    same conservative rule as an unlisted stratum)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    rows = [(None, "en")] * 20 + [(1, None)]
+    df = spark.createDataFrame(
+        rows,
+        StructType([
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+        ]),
+    )
+    labels = (
+        split_corpus(df.where(F.col("doc_id").isNull()), seed=4)
+        .select("split").distinct().collect()
+    )
+    assert len(labels) == 1
+    kept = stratified_sample(df, "lang", {"en": 1.0}, seed=4)
+    assert kept.where(F.col("lang").isNull()).count() == 0
+
+
 def test_ffd_kernel_properties_hypothesis():
     """Hammer the pure FFD kernel: exactly-once assignment, budget
     bound, totals consistency, oversize iff item > budget, and the

@@ -72,7 +72,14 @@ _PACK_SALT = "pack"
 def _bucket(key: Column, salt: str, seed: int) -> Column:
     """Uniform bucket in [0, _M) from (key, salt, seed) — xxhash64 is
     Spark-native (JVM, codegen'd), seedable, and 64-bit, so pmod bias is
-    2^-44-scale: irrelevant."""
+    2^-44-scale: irrelevant.
+
+    NULL keys: xxhash64 SKIPS null arguments, so every NULL-key row
+    hashes to the same (salt, seed)-dependent bucket — deterministically
+    in ONE split / one keep-or-drop decision per stratum, never spread.
+    That is the projection-pure behavior (a guard would cost every row);
+    corpora where NULL ids are an error should assert upstream. Pinned
+    in tests/test_sampling.py::test_null_keys_deterministic."""
     return F.pmod(F.xxhash64(key, F.lit(salt), F.lit(seed)), F.lit(_M))
 
 
