@@ -255,6 +255,36 @@ def test_ffd_kernel_properties_hypothesis():
     check()
 
 
+def test_curation_to_trainer_handoff(spark, sf_dir):
+    """The end-to-end intended composition: curated corpus → split →
+    pack the train split. Every curated train doc is packed exactly
+    once with its curation-time token count; no dropped/filtered doc
+    sneaks back in."""
+    from tmdb_sync_spark.functions.pipeline import curated_corpus
+
+    kept = curated_corpus(spark, sf_dir).cache()
+    n_kept = kept.count()
+    assert n_kept > 0
+    train = split_corpus(kept, weights={"train": 0.9, "val": 0.1},
+                         seed=21).where(F.col("split") == "train")
+    packed = pack_sequences(
+        train.select("doc_id", F.col("ntok").alias("n_tokens")),
+        max_tokens=256, n_buckets=2, seed=21,
+    ).cache()
+    n_train = train.count()
+    assert packed.count() == n_train
+    assert packed.select("doc_id").distinct().count() == n_train
+    # packed ⊆ kept: anti-join against the curated set is empty
+    assert packed.join(kept, "doc_id", "left_anti").count() == 0
+    # token counts survived the handoff unchanged
+    drift = packed.join(kept, "doc_id").where(
+        F.col("n_tokens") != F.col("ntok")
+    )
+    assert drift.count() == 0
+    packed.unpersist()
+    kept.unpersist()
+
+
 def test_split_then_pack_composes(spark, docs):
     """The intended composition: split, then pack only the train split —
     one plan, the split filter lands before the pack shuffle."""

@@ -97,6 +97,26 @@ _N_EQUAL = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(N_HASHES))
 )
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter → exact-dedup → near-dup-drop → summarize, one plan."""
+    final = curated_corpus(spark, sf_dir)
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.sum(F.col("q").cast("decimal(4,1)")).cast("double")
+             .alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's KEPT corpus — ``(doc_id, lang, q, ntok)`` after
+    quality filter + exact dedup + near-dup drop — exposed as the
+    trainer handoff: compose with ``functions.sampling`` (split the
+    kept set, pack the train split) without re-running curation.
+    :func:`pipeline_curation` (the registered query) is exactly this
+    frame summarized per language."""
     docs = parallel_table(spark, sf_dir, "documents").withColumn(
         # tokens materialized once (single-sourced tokenizer — a drifted
         # copy would desynchronize from QUALITY_SQL); the quality expr's
@@ -158,16 +178,6 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("drop_id"))
         .distinct()
     )
-    final = staged.select("doc_id", "lang", "q", "ntok").join(
+    return staged.select("doc_id", "lang", "q", "ntok").join(
         drops, staged.doc_id == drops.drop_id, "left_anti"
-    )
-    return (
-        final.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("ntok").cast("long").alias("total_tokens"),
-            F.sum(F.col("q").cast("decimal(4,1)")).cast("double")
-             .alias("sum_quality"),
-        )
-        .orderBy("lang")
     )
