@@ -9,6 +9,7 @@ from tmdb_sync_spark.functions import (  # noqa: F401
     dedup,
     multimodal,
     pipeline,
+    sampling,
     similarity,
     text,
 )
