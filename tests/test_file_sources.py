@@ -79,6 +79,33 @@ def test_csv_round_trip_and_dead_letter(spark, tmp_path):
     assert len(deads) == 1 and "oops" in deads[0]["raw_record"]
 
 
+def test_jsonl_gzip_round_trip(spark, sf_dir, tmp_path):
+    """The documented export path: gzip JSONL re-reads losslessly (one
+    whole file per task — the docstring's many-medium-files guidance)."""
+    docs = table(spark, sf_dir, "documents")
+    out = os.path.join(str(tmp_path), "docs_gz")
+    write_jsonl(docs, out, compression="gzip")
+    import glob
+    assert glob.glob(os.path.join(out, "*.json.gz"))
+    clean, dead = read_jsonl(spark, out, DOC_DDL)
+    assert dead.count() == 0
+    assert _frames_equal(clean, docs)
+
+
+def test_csv_quoted_sep_ok_embedded_newline_dead_letters(spark, tmp_path):
+    """Quoted separators parse; an embedded NEWLINE splits the row and
+    both halves dead-letter (the splittable-scan trade, documented)."""
+    p = os.path.join(str(tmp_path), "quoted.csv")
+    with open(p, "w") as fh:
+        fh.write("doc_id,text,lang,source,n_chars\n")
+        fh.write('1,"hello, world",en,s,12\n')
+        fh.write('2,"broken\nrow",en,s,9\n')
+    clean, dead = read_csv(spark, p, DOC_DDL)
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert rows == {1: "hello, world"}
+    assert dead.count() == 2
+
+
 def test_schema_with_corrupt_col_refused(spark):
     with pytest.raises(ValueError):
         read_jsonl(spark, "/nonexistent", f"a bigint, {CORRUPT_COL} string")

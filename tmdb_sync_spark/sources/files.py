@@ -110,7 +110,14 @@ def read_csv(
     heuristics break under splitting. A file whose header does NOT
     match the declared schema dead-letters its header line loudly
     (names won't type-parse), which is the right failure for a
-    drifted-schema delivery."""
+    drifted-schema delivery.
+
+    Quoted fields containing the SEPARATOR parse fine; a quoted field
+    containing a NEWLINE does not — the line scan splits it and both
+    halves dead-letter (pinned in tests). That is the same trade the
+    splittable path of Spark's native CSV reader makes (multiLine=true
+    forces one task per file); data with embedded newlines belongs in
+    JSONL."""
     full = _full_schema(schema)
     data_cols = [f.name for f in full.fields[:-1]]
     paths = [path] if isinstance(path, str) else list(path)
