@@ -111,6 +111,20 @@ def test_schema_with_corrupt_col_refused(spark):
         read_jsonl(spark, "/nonexistent", f"a bigint, {CORRUPT_COL} string")
 
 
+def test_jsonl_embeddings_array_round_trip(spark, sf_dir, tmp_path):
+    """array<float> survives the JSONL boundary bit-exactly (Spark's
+    JSON float rendering is shortest-repr, so text→float32 round-trips
+    losslessly) — the multimodal/vector tables can travel as JSONL."""
+    emb = table(spark, sf_dir, "embeddings")
+    out = os.path.join(str(tmp_path), "emb_jsonl")
+    write_jsonl(emb, out)
+    clean, dead = read_jsonl(
+        spark, out, "vec_id bigint, embedding array<float>, label int"
+    )
+    assert dead.count() == 0
+    assert _frames_equal(clean, emb)
+
+
 def test_jsonl_feeds_the_pipeline(spark, sf_dir, tmp_path):
     """The intended use: a JSONL-delivered corpus flows into the same
     operators the parquet table does — token features over the clean
