@@ -1,0 +1,104 @@
+"""Streaming JSONL drop ingest (streaming/file_ingest.py): exactly-once
+file processing across runs, MERGE idempotency on redelivered keys,
+deterministic in-batch duplicate folding, and dead-letter capture."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.plans.partitioned import read_partitioned
+from tmdb_sync_spark.streaming.file_ingest import ingest_jsonl_stream
+
+DOC_DDL = (
+    "doc_id bigint, text string, lang string, source string, "
+    "n_chars bigint"
+)
+
+
+def _doc(i, text, lang="en"):
+    return json.dumps({
+        "doc_id": i, "text": text, "lang": lang, "source": "drop",
+        "n_chars": len(text),
+    })
+
+
+def _run(spark, src, state):
+    return ingest_jsonl_stream(
+        spark, src, DOC_DDL, state,
+        keys=["doc_id"], partition_col="lang", table_name="corpus",
+    )
+
+
+def test_drops_merge_resume_and_dead_letter(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "drops")
+    state = os.path.join(str(tmp_path), "state")
+    os.makedirs(src)
+
+    # drop 1: three docs, one corrupt line, one in-batch duplicate key
+    # (doc 2 twice — the greater full row must win deterministically)
+    with open(os.path.join(src, "drop1.jsonl"), "w") as fh:
+        fh.write("\n".join([
+            _doc(1, "alpha"),
+            _doc(2, "beta"),
+            "{not json at all",
+            _doc(2, "zeta"),          # same key, greater row
+            _doc(3, "gamma", "de"),
+        ]) + "\n")
+    res = _run(spark, src, state)
+    assert res["dead"] == 1
+    t = read_partitioned(spark, res["table_path"])
+    assert t.count() == 3
+    assert t.where(F.col("doc_id") == 2).collect()[0]["text"] == "zeta"
+    dead = spark.read.parquet(res["errors_path"])
+    assert dead.count() == 1
+    assert "not json" in dead.collect()[0]["raw_record"]
+
+    # drop 2: update doc 3 (lang moves de->en: a moved key across
+    # partitions), add doc 4. Re-run: ONLY the new file is processed
+    # (drop1's corrupt line must NOT dead-letter again).
+    with open(os.path.join(src, "drop2.jsonl"), "w") as fh:
+        fh.write("\n".join([
+            _doc(3, "gamma-updated"),
+            _doc(4, "delta"),
+        ]) + "\n")
+    res2 = _run(spark, src, state)
+    assert res2["dead"] == 0
+    t2 = read_partitioned(spark, res2["table_path"])
+    assert t2.count() == 4
+    r3 = t2.where(F.col("doc_id") == 3).collect()
+    assert len(r3) == 1
+    assert r3[0]["text"] == "gamma-updated" and r3[0]["lang"] == "en"
+    assert spark.read.parquet(res2["errors_path"]).count() == 1
+    # materialize NOW: t2's lazy plan pins pre-drop3 part files, and
+    # the next merge swaps them away (the documented
+    # stale-frame-after-rewrite contract)
+    t2_rows = {tuple(r) for r in t2.collect()}
+
+    # redeliver drop2's CONTENT as a new file: idempotent on the table
+    with open(os.path.join(src, "drop3.jsonl"), "w") as fh:
+        fh.write("\n".join([
+            _doc(3, "gamma-updated"),
+            _doc(4, "delta"),
+        ]) + "\n")
+    res3 = _run(spark, src, state)
+    t3 = read_partitioned(spark, res3["table_path"])
+    assert t3.count() == 4
+    assert {tuple(r) for r in t3.collect()} == t2_rows
+
+    # no new files: a run is a no-op, not an error
+    res4 = _run(spark, src, state)
+    assert res4["dead"] == 0
+    assert read_partitioned(spark, res4["table_path"]).count() == 4
+
+
+def test_key_and_partition_must_be_in_schema(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        ingest_jsonl_stream(
+            spark, str(tmp_path), DOC_DDL, str(tmp_path),
+            keys=["nope"], partition_col="lang",
+        )

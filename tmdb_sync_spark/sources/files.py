@@ -68,6 +68,21 @@ def _split(parsed: DataFrame, data_cols: list[str]) -> tuple[DataFrame,
     return clean, dead
 
 
+def parse_jsonl_lines(
+    lines: DataFrame, schema: StructType | str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared JSONL parser over a ``value string`` line frame —
+    one code path for the batch reader and the streaming file ingest
+    (streaming/file_ingest.py), so their dead-letter semantics can
+    never drift. Blank lines are skipped (not dead-lettered): trailing
+    newlines are an artifact of file concatenation, not data."""
+    full = _full_schema(schema)
+    data_cols = [f.name for f in full.fields[:-1]]
+    kept = lines.where(F.trim(F.col("value")) != "")
+    parsed = kept.select(F.from_json("value", full, _OPTS).alias("p"))
+    return _split(parsed, data_cols)
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str | Sequence[str],
@@ -77,20 +92,11 @@ def read_jsonl(
 
     ``clean`` has exactly the caller's schema; ``dead_letter`` is one
     string column ``raw_record`` holding each malformed line verbatim.
-    Blank lines are skipped (not dead-lettered): trailing newlines are
-    an artifact of file concatenation, not data. Multiline JSON is
-    deliberately unsupported — a multiline document forces one task
-    per file, the anti-pattern JSONL exists to avoid."""
-    full = _full_schema(schema)
-    data_cols = [f.name for f in full.fields[:-1]]
+    Multiline JSON is deliberately unsupported — a multiline document
+    forces one task per file, the anti-pattern JSONL exists to avoid."""
+    _full_schema(schema)          # validate before touching the path
     paths = [path] if isinstance(path, str) else list(path)
-    lines = spark.read.text(paths).where(
-        F.trim(F.col("value")) != ""
-    )
-    parsed = lines.select(
-        F.from_json("value", full, _OPTS).alias("p")
-    )
-    return _split(parsed, data_cols)
+    return parse_jsonl_lines(spark.read.text(paths), schema)
 
 
 def read_csv(

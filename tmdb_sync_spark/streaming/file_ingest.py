@@ -1,0 +1,129 @@
+"""Streaming JSONL ingest: a watched drop directory MERGEd into a
+partitioned table, with per-batch dead-lettering.
+
+The file-boundary twin of the HTTP cursor ingest (ingest.py): corpora
+that arrive as JSONL drops (the delivery shape of crawled / vendored
+training data) land in the same crash-safe partitioned-MERGE tables the
+API sync maintains, with the same never-lose-a-payload error-table
+discipline.
+
+Shape, and why it holds at 100 TB:
+
+- ``readStream.text`` file source — Spark's file-source tracking is
+  the exactly-once cursor: each drop file is processed in ONE
+  micro-batch ever (checkpointed), so re-runs pick up only NEW files;
+  no hand-rolled manifest. Line parsing is THE batch parser
+  (sources/files.py ``parse_jsonl_lines``) — the dead-letter semantics
+  cannot drift between the batch and streaming boundary.
+- ``foreachBatch`` → partitioned MERGE — each micro-batch rewrites
+  only the partitions its keys touch (plans/partitioned.py), waits
+  bounded on the table writer lock like the sync jobs
+  (``MERGE_LOCK_WAIT_S``), so a JSONL ingest interleaves with a
+  concurrent API sync on the same table.
+- Duplicate keys WITHIN one batch are folded deterministically before
+  the merge (``max_by`` of the full row over itself — lexicographically
+  greatest row wins) because the MERGE's in-plan contract guard
+  rejects multi-row sources per key; ACROSS batches, later drops
+  simply MERGE-update earlier rows. A redelivered file full of
+  already-seen keys is therefore idempotent on the table.
+- Dead letters append to ``{state_dir}/errors_files`` with the raw
+  line verbatim plus the batch id — bounded (|malformed lines|), and
+  replayable downstream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from tmdb_sync_spark.plans.partitioned import (
+    merge_into_partitioned,
+    table_exists,
+    write_partitioned,
+)
+from tmdb_sync_spark.sources.files import parse_jsonl_lines
+from tmdb_sync_spark.streaming.ingest import MERGE_LOCK_WAIT_S
+
+FILE_ERROR_SCHEMA = "raw_record STRING, batch_id BIGINT"
+
+
+def ingest_jsonl_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType | str,
+    state_dir: str,
+    *,
+    keys: list[str],
+    partition_col: str,
+    table_name: str = "corpus",
+) -> dict:
+    """One ``availableNow`` pass over the drop directory: every file
+    not yet seen by the checkpoint is parsed, cleaned, folded, and
+    MERGEd; malformed lines dead-letter. Returns
+    ``{"table_path", "errors_path", "batches", "dead"}``.
+
+    Call again after new drops arrive — the checkpoint (kept under
+    ``state_dir``) resumes exactly where the last pass stopped, the
+    availableNow analog of a continuously-running trigger."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    for c in (*keys, partition_col):
+        if c not in schema.fieldNames():
+            raise ValueError(
+                f"ingest_jsonl_stream: {c!r} not in schema "
+                f"{schema.fieldNames()}"
+            )
+    table_path = os.path.join(state_dir, table_name)
+    errors_path = os.path.join(state_dir, f"errors_{table_name}")
+    ckpt = os.path.join(state_dir, f"_ckpt_{table_name}")
+
+    if not table_exists(table_path):
+        empty = spark.createDataFrame([], schema)
+        write_partitioned(
+            empty, table_path, partition_col,
+            cluster_by=tuple(keys), manifest_key=keys[0],
+            if_not_exists=True, lock_wait_s=MERGE_LOCK_WAIT_S,
+        )
+
+    stats = {"batches": 0, "dead": 0}
+    row = F.struct(*[F.col(c) for c in schema.fieldNames()])
+
+    def sink(batch_lines: DataFrame, epoch: int) -> None:
+        clean, dead = parse_jsonl_lines(batch_lines, schema)
+        n_dead = dead.count()
+        if n_dead:
+            (
+                dead.withColumn("batch_id", F.lit(int(epoch)).cast("long"))
+                .write.mode("append").parquet(errors_path)
+            )
+        # fold in-batch duplicate keys deterministically (the MERGE's
+        # unique-source-key contract): greatest full row wins
+        folded = (
+            clean.groupBy(*keys)
+            .agg(F.max_by(row, row).alias("_r"))
+            .select("_r.*")
+        )
+        merge_into_partitioned(
+            spark, table_path, folded,
+            keys=keys, partition_col=partition_col,
+            lock_wait_s=MERGE_LOCK_WAIT_S,
+        )
+        stats["batches"] += 1
+        stats["dead"] += n_dead
+
+    q = (
+        spark.readStream.format("text").load(src_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        "table_path": table_path,
+        "errors_path": errors_path,
+        **stats,
+    }
