@@ -1,0 +1,116 @@
+"""Incremental near-dup index (functions/dedup_index.py): drop-vs-index
+filtering, in-batch folding, index growth across drops, and the
+zero-index-shuffle plan contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.functions.dedup import minhash_signature
+from tmdb_sync_spark.functions.dedup_index import (
+    _band_rows,
+    dedup_against_index,
+    index_exists,
+    index_matches,
+)
+
+# Deterministic, mutually-alien word pools so distinct docs can never
+# accidentally share shingles; near-dups edit ONE word in 60.
+_POOLS = {
+    1: [f"alpha{i}" for i in range(60)],
+    2: [f"bravo{i}" for i in range(60)],
+    3: [f"carol{i}" for i in range(60)],
+    4: [f"delta{i}" for i in range(60)],
+    5: [f"echoo{i}" for i in range(60)],
+}
+
+
+def _text(pool: int, edit: bool = False) -> str:
+    words = list(_POOLS[pool])
+    if edit:
+        words[30] = "EDITED"
+    return " ".join(words)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def index_path(tmp_path):
+    return os.path.join(str(tmp_path), "sig_index")
+
+
+def test_incremental_drops(spark, index_path):
+    # drop 1 over an EMPTY index: everything survives, index appears
+    d1 = _docs(spark, [(i, _text(i)) for i in (1, 2, 3)])
+    r1 = dedup_against_index(spark, d1, index_path)
+    assert r1["dropped_vs_index"] == [] and r1["dropped_in_batch"] == []
+    assert sorted(
+        r["doc_id"] for r in r1["survivors"].collect()
+    ) == [1, 2, 3]
+    assert index_exists(index_path)
+
+    # drop 2: 10 = exact copy of 1, 11 = one-word edit of 2,
+    # 12 = fresh, 13 = one-word edit of 12 (in-batch pair)
+    d2 = _docs(spark, [
+        (10, _text(1)),
+        (11, _text(2, edit=True)),
+        (12, _text(4)),
+        (13, _text(4, edit=True)),
+    ])
+    r2 = dedup_against_index(spark, d2, index_path)
+    assert r2["dropped_vs_index"] == [10, 11]
+    assert r2["dropped_in_batch"] == [13]   # greedy keep-smallest-id
+    assert [r["doc_id"] for r in r2["survivors"].collect()] == [12]
+
+    # drop 3: a near-dup of drop 2's SURVIVOR is now caught by the
+    # index (the index grew), and a fresh doc passes
+    d3 = _docs(spark, [(20, _text(4)), (21, _text(5))])
+    r3 = dedup_against_index(spark, d3, index_path)
+    assert r3["dropped_vs_index"] == [20]
+    assert [r["doc_id"] for r in r3["survivors"].collect()] == [21]
+
+    # the index holds band rows for exactly the accepted docs
+    idx = spark.read.parquet(index_path)
+    assert sorted(
+        r["doc_id"] for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 2, 3, 12, 21]
+
+
+def test_update_index_false_leaves_index(spark, index_path):
+    d1 = _docs(spark, [(1, _text(1))])
+    dedup_against_index(spark, d1, index_path)
+    before = spark.read.parquet(index_path).count()
+    d2 = _docs(spark, [(2, _text(2))])
+    r = dedup_against_index(spark, d2, index_path, update_index=False)
+    assert [x["doc_id"] for x in r["survivors"].collect()] == [2]
+    assert spark.read.parquet(index_path).count() == before
+
+
+def test_match_join_never_shuffles_the_index(spark, index_path):
+    """The plan contract: the index side of the match join reaches the
+    BroadcastHashJoin straight from its scan — no Exchange between
+    them, so per-drop cost is one map-side index pass at any corpus
+    size."""
+    d1 = _docs(spark, [(i, _text(i)) for i in (1, 2, 3)])
+    dedup_against_index(spark, d1, index_path)
+    idx = spark.read.parquet(index_path)
+    new_bands = _band_rows(
+        minhash_signature(_docs(spark, [(10, _text(1))]))
+    )
+    plan = (
+        index_matches(idx, new_bands)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # walk the plan: between the parquet scan of the index and the
+    # join there must be no Exchange (the only Exchanges allowed are
+    # on the broadcast side / the final distinct)
+    join_at = plan.index("BroadcastHashJoin")
+    scan_at = plan.index("Scan parquet", join_at)
+    assert "Exchange hashpartitioning" not in plan[join_at:scan_at]

@@ -1,0 +1,173 @@
+"""Incremental near-dup filtering against a PERSISTED signature index
+— dedup as a maintained index, not a batch job.
+
+The batch operators (dedup.py, pipeline.py) LSH the whole corpus each
+run. That is the right shape for a one-shot curation pass and the wrong
+one for operations: a 100 TB corpus receiving daily drops cannot
+re-shingle 100 TB to ask whether 10 GB of new documents are near-dups.
+The operational shape is an INDEX:
+
+- The index is the exploded LSH **band table** of every accepted
+  document — rows ``(band_key, doc_id, h0..h7)``, hive-partitioned by
+  ``bb = pmod(xxhash64(band_key), N_INDEX_BUCKETS)``. Signatures ride
+  on each band row (4× duplication of eight 8-char strings) so a
+  candidate match verifies WITHOUT a second lookup join into a
+  doc-keyed table.
+- A new drop is signed (the SAME ``minhash_signature`` the batch path
+  uses — one signature function in the codebase, or index and batch
+  silently diverge), exploded to bands, and **broadcast** against the
+  index scan: the drop is small by definition, so the join plans as a
+  BroadcastHashJoin with the index streaming MAP-SIDE — per-drop cost
+  is one index scan, ZERO index shuffle, however big the corpus has
+  grown (plan-asserted in tests). At real scale the scan itself is
+  pruned by bucketing the table on ``band_key``; the partition layout
+  here keeps append files grouped so a bucketed rewrite is mechanical.
+- Within-drop near-dups are folded by the batch candidate machinery
+  (``banded_pairs_with_overlap`` — skew guard included) with the
+  pipeline's greedy keep-smallest-id rule; survivors' band rows are
+  APPENDED to the index (append-only: an index row is never rewritten,
+  so no swap protocol is needed — redelivery protection belongs to the
+  drop cursor, e.g. streaming/file_ingest.py's file checkpoint).
+
+Verification threshold: ``NEAR_DUP_MIN`` of ``N_HASHES`` equal
+minhashes, the curation pipeline's policy (pipeline.py).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.functions.dedup import (
+    N_BANDS,
+    N_HASHES,
+    banded_pairs_with_overlap,
+    minhash_signature,
+)
+from tmdb_sync_spark.functions.pipeline import NEAR_DUP_MIN
+
+N_INDEX_BUCKETS = 64
+
+_H = [f"h{i}" for i in range(N_HASHES)]
+
+
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """Explode a signature frame to ``(band_key, doc_id, h*, bb)``."""
+    band_cols = F.array(
+        *[
+            F.concat(
+                F.lit(f"{j}:"), F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}")
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", *_H, F.explode(band_cols).alias("band_key")
+    ).withColumn(
+        "bb", F.pmod(F.xxhash64("band_key"), F.lit(N_INDEX_BUCKETS))
+    )
+
+
+def index_matches(
+    idx: DataFrame, new_bands: DataFrame, min_equal: int = NEAR_DUP_MIN
+) -> DataFrame:
+    """Drop doc_ids near-dup-matched by the index: band equi-join with
+    the DROP side broadcast — the index streams map-side with ZERO
+    index shuffle regardless of corpus size (plan-asserted in
+    tests/test_dedup_index.py) — then signature verification on the
+    band rows' carried hashes."""
+    n_equal = reduce(
+        lambda x, y: x + y,
+        [(F.col(f"i.{h}") == F.col(f"n.{h}")).cast("int") for h in _H],
+    )
+    return (
+        idx.alias("i")
+        .join(
+            F.broadcast(new_bands.alias("n")),
+            on=(F.col("i.band_key") == F.col("n.band_key"))
+            & (F.col("i.bb") == F.col("n.bb")),
+        )
+        .where(n_equal >= min_equal)
+        .select(F.col("n.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+
+def index_exists(index_path: str) -> bool:
+    return os.path.isdir(index_path) and any(
+        e.startswith("bb=") for e in os.listdir(index_path)
+    )
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    *,
+    min_equal: int = NEAR_DUP_MIN,
+    update_index: bool = True,
+) -> dict:
+    """Filter a drop against the corpus signature index.
+
+    ``new_docs``: ``(doc_id, text, ...)`` — doc_ids must be new to the
+    corpus (the drop cursor's contract). Returns ``{"survivors":
+    DataFrame, "dropped_vs_index": [...ids], "dropped_in_batch":
+    [...ids]}``; when ``update_index`` survivors' band rows are
+    appended before returning. The dropped lists are collected — they
+    are bounded by the DROP size, never the corpus.
+
+    Policy mirrors the curation pipeline exactly: a new doc sharing
+    ≥ ``min_equal`` of ``N_HASHES`` minhashes with ANY indexed doc is
+    dropped; within the drop, the greedy keep-smallest-id rule breaks
+    near-dup groups."""
+    sig = minhash_signature(new_docs).cache()
+    try:
+        new_bands = _band_rows(sig)
+
+        dropped_vs_index: set = set()
+        if index_exists(index_path):
+            idx = spark.read.parquet(index_path)
+            matches = index_matches(idx, new_bands, min_equal)
+            dropped_vs_index = {r["doc_id"] for r in matches.collect()}
+
+        # within-drop near-dups: batch machinery, greedy keep-first
+        pairs = (
+            banded_pairs_with_overlap(sig)
+            .where(F.col("n_equal_hashes") >= min_equal)
+        )
+        in_batch = {
+            r["doc_b"]
+            for r in pairs.select(
+                F.greatest("doc_a", "doc_b").alias("doc_b")
+            ).distinct().collect()
+        } - dropped_vs_index
+
+        all_dropped = dropped_vs_index | in_batch
+        survivors = new_docs
+        surviving_sig = sig
+        if all_dropped:
+            drop_df = F.broadcast(
+                spark.createDataFrame(
+                    [(i,) for i in sorted(all_dropped)], "doc_id long"
+                )
+            )
+            survivors = new_docs.join(drop_df, "doc_id", "left_anti")
+            surviving_sig = sig.join(drop_df, "doc_id", "left_anti")
+
+        if update_index:
+            (
+                _band_rows(surviving_sig)
+                .write.mode("append")
+                .partitionBy("bb")
+                .parquet(index_path)
+            )
+        return {
+            "survivors": survivors,
+            "dropped_vs_index": sorted(dropped_vs_index),
+            "dropped_in_batch": sorted(in_batch),
+        }
+    finally:
+        sig.unpersist()
