@@ -94,6 +94,41 @@ def test_drops_merge_resume_and_dead_letter(spark, tmp_path):
     assert read_partitioned(spark, res4["table_path"]).count() == 4
 
 
+def test_ingest_with_near_dup_index(spark, tmp_path):
+    """The full operational pipeline: drops parse, dead-letter,
+    near-dup-filter against the growing index, and merge — a later
+    drop's near-duplicate (under a NEW doc_id) never reaches the
+    table."""
+    src = os.path.join(str(tmp_path), "drops")
+    state = os.path.join(str(tmp_path), "state")
+    idx = os.path.join(str(tmp_path), "sig_index")
+    os.makedirs(src)
+    base = " ".join(f"word{i}" for i in range(60))
+    other = " ".join(f"token{i}" for i in range(60))
+    edited = base.replace("word30", "EDITED")
+
+    with open(os.path.join(src, "d1.jsonl"), "w") as fh:
+        fh.write(_doc(1, base) + "\n")
+    r1 = ingest_jsonl_stream(
+        spark, src, DOC_DDL, state,
+        keys=["doc_id"], partition_col="lang",
+        dedup_index_path=idx,
+    )
+    assert r1["near_dups"] == 0
+
+    # d2: a near-dup of doc 1 under a new id, and a genuinely new doc
+    with open(os.path.join(src, "d2.jsonl"), "w") as fh:
+        fh.write("\n".join([_doc(7, edited), _doc(8, other)]) + "\n")
+    r2 = ingest_jsonl_stream(
+        spark, src, DOC_DDL, state,
+        keys=["doc_id"], partition_col="lang",
+        dedup_index_path=idx,
+    )
+    assert r2["near_dups"] == 1
+    t = read_partitioned(spark, r2["table_path"])
+    assert sorted(r["doc_id"] for r in t.collect()) == [1, 8]
+
+
 def test_key_and_partition_must_be_in_schema(spark, tmp_path):
     import pytest
 

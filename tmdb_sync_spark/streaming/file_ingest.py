@@ -59,6 +59,7 @@ def ingest_jsonl_stream(
     keys: list[str],
     partition_col: str,
     table_name: str = "corpus",
+    dedup_index_path: str | None = None,
 ) -> dict:
     """One ``availableNow`` pass over the drop directory: every file
     not yet seen by the checkpoint is parsed, cleaned, folded, and
@@ -67,10 +68,23 @@ def ingest_jsonl_stream(
 
     Call again after new drops arrive — the checkpoint (kept under
     ``state_dir``) resumes exactly where the last pass stopped, the
-    availableNow analog of a continuously-running trigger."""
+    availableNow analog of a continuously-running trigger.
+
+    ``dedup_index_path`` composes the incremental near-dup index
+    (functions/dedup_index.py) into the batch: after parsing, each
+    micro-batch is filtered against the index (and within itself)
+    BEFORE the merge, and survivors' signatures are appended — the
+    full operational corpus pipeline in one call: drop → parse →
+    dead-letter → near-dup-filter → MERGE. Requires ``doc_id`` and
+    ``text`` columns; near-dup drop COUNTS ride the returned stats
+    (``near_dups``) while the drop-id detail is the index module's
+    per-call API."""
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    for c in (*keys, partition_col):
+    need = (*keys, partition_col) if dedup_index_path is None else (
+        *keys, partition_col, "doc_id", "text"
+    )
+    for c in need:
         if c not in schema.fieldNames():
             raise ValueError(
                 f"ingest_jsonl_stream: {c!r} not in schema "
@@ -88,7 +102,7 @@ def ingest_jsonl_stream(
             if_not_exists=True, lock_wait_s=MERGE_LOCK_WAIT_S,
         )
 
-    stats = {"batches": 0, "dead": 0}
+    stats = {"batches": 0, "dead": 0, "near_dups": 0}
     row = F.struct(*[F.col(c) for c in schema.fieldNames()])
 
     def sink(batch_lines: DataFrame, epoch: int) -> None:
@@ -106,6 +120,16 @@ def ingest_jsonl_stream(
             .agg(F.max_by(row, row).alias("_r"))
             .select("_r.*")
         )
+        if dedup_index_path is not None:
+            from tmdb_sync_spark.functions.dedup_index import (
+                dedup_against_index,
+            )
+
+            res = dedup_against_index(spark, folded, dedup_index_path)
+            folded = res["survivors"]
+            stats["near_dups"] += len(res["dropped_vs_index"]) + len(
+                res["dropped_in_batch"]
+            )
         merge_into_partitioned(
             spark, table_path, folded,
             keys=keys, partition_col=partition_col,
