@@ -92,6 +92,35 @@ def test_update_index_false_leaves_index(spark, index_path):
     assert spark.read.parquet(index_path).count() == before
 
 
+def test_small_drop_prunes_index_buckets(spark, index_path):
+    """A 1-doc drop touches ≤ 4 bb buckets; the index read opens only
+    those partitions (static bucket pruning — file-level assertion)."""
+    d1 = _docs(spark, [(i, _text(i)) for i in (1, 2, 3, 4, 5)])
+    dedup_against_index(spark, d1, index_path)
+    all_files = spark.read.parquet(index_path).inputFiles()
+    one = _docs(spark, [(10, _text(1))])
+    bbs = {
+        r["bb"]
+        for r in _band_rows(minhash_signature(one))
+        .select("bb").distinct().collect()
+    }
+    # inputFiles() ignores filters — ask the SCAN which files it
+    # actually opened
+    pruned = [
+        r["f"]
+        for r in spark.read.parquet(index_path)
+        .where(F.col("bb").isin(sorted(bbs)))
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert len(bbs) <= 4
+    assert 0 < len(pruned) < len(all_files)
+    for f in pruned:
+        assert any(f"bb={b}/" in f for b in bbs)
+    # and the filtered read still catches the duplicate
+    r = dedup_against_index(spark, one, index_path, update_index=False)
+    assert r["dropped_vs_index"] == [10]
+
+
 def test_match_join_never_shuffles_the_index(spark, index_path):
     """The plan contract: the index side of the match join reaches the
     BroadcastHashJoin straight from its scan — no Exchange between

@@ -129,7 +129,19 @@ def dedup_against_index(
 
         dropped_vs_index: set = set()
         if index_exists(index_path):
+            # STATIC bucket pruning: the drop's bb set is bounded
+            # (≤ N_BANDS·|drop|, capped at N_INDEX_BUCKETS) and known
+            # before the join — folding it into the read as a partition
+            # filter skips index buckets a small drop cannot touch.
+            # (Probed: Spark's dynamic partition pruning does NOT fire
+            # on this broadcast join, so the pruning is done by hand.)
+            bbs = sorted(
+                r["bb"]
+                for r in new_bands.select("bb").distinct().collect()
+            )
             idx = spark.read.parquet(index_path)
+            if len(bbs) < N_INDEX_BUCKETS:
+                idx = idx.where(F.col("bb").isin(bbs))
             matches = index_matches(idx, new_bands, min_equal)
             dropped_vs_index = {r["doc_id"] for r in matches.collect()}
 
