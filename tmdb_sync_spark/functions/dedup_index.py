@@ -171,7 +171,14 @@ def dedup_against_index(
 
         if update_index:
             (
+                # repartition by the partition column first: without it
+                # every shuffle partition writes a sliver into every
+                # bucket dir (32×64 = 2048 tiny files per append —
+                # measured in scripts/exp_index_ramp.py); with it each
+                # append adds ONE file per touched bucket. The shuffle
+                # is of the DROP's band rows only — small by contract.
                 _band_rows(surviving_sig)
+                .repartition("bb")
                 .write.mode("append")
                 .partitionBy("bb")
                 .parquet(index_path)
