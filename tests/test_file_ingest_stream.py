@@ -129,6 +129,45 @@ def test_ingest_with_near_dup_index(spark, tmp_path):
     assert sorted(r["doc_id"] for r in t.collect()) == [1, 8]
 
 
+def test_replay_is_idempotent_on_table_errors_and_index(spark, tmp_path):
+    """Maximal crash-replay (checkpoint wiped, every file reprocessed
+    with the same epoch ids): the table is unchanged, dead letters are
+    NOT doubled (dynamic overwrite by batch_id), and the index gains no
+    duplicate band rows (the update is ordered AFTER the merge, so
+    replayed docs match their own signatures and everything no-ops)."""
+    import shutil
+
+    src = os.path.join(str(tmp_path), "drops")
+    state = os.path.join(str(tmp_path), "state")
+    idx = os.path.join(str(tmp_path), "sig_index")
+    os.makedirs(src)
+    base = " ".join(f"xray{i}" for i in range(60))
+    with open(os.path.join(src, "d1.jsonl"), "w") as fh:
+        fh.write("\n".join([_doc(1, base), "{corrupt"]) + "\n")
+
+    def run():
+        return ingest_jsonl_stream(
+            spark, src, DOC_DDL, state,
+            keys=["doc_id"], partition_col="lang",
+            dedup_index_path=idx,
+        )
+
+    run()
+    table_path = os.path.join(state, "corpus")
+    errors_path = os.path.join(state, "errors_corpus")
+    rows = {tuple(r) for r in read_partitioned(spark, table_path).collect()}
+    n_err = spark.read.parquet(errors_path).count()
+    n_index_rows = spark.read.parquet(idx).count()
+
+    shutil.rmtree(os.path.join(state, "_ckpt_corpus"))
+    run()
+    assert {
+        tuple(r) for r in read_partitioned(spark, table_path).collect()
+    } == rows
+    assert spark.read.parquet(errors_path).count() == n_err
+    assert spark.read.parquet(idx).count() == n_index_rows
+
+
 def test_key_and_partition_must_be_in_schema(spark, tmp_path):
     import pytest
 

@@ -96,6 +96,29 @@ def index_matches(
     )
 
 
+def append_docs_to_index(
+    spark: SparkSession, index_path: str, docs: DataFrame
+) -> None:
+    """Append ``docs``' band rows to the index — split out of
+    :func:`dedup_against_index` so callers that MERGE survivors into a
+    table first (streaming/file_ingest.py) can order the index update
+    AFTER their commit point: a crash-replayed batch then re-dedups
+    against an index that does NOT yet contain its own signatures,
+    re-merges idempotently, and appends once. (Appending BEFORE the
+    merge loses the whole batch on replay: the docs match their own
+    signatures and never reach the table — found by this round's
+    crash-ordering review of the composed ingest.)"""
+    (
+        # one file per touched bucket, not a sliver per shuffle
+        # partition (see dedup_against_index)
+        _band_rows(minhash_signature(docs))
+        .repartition("bb")
+        .write.mode("append")
+        .partitionBy("bb")
+        .parquet(index_path)
+    )
+
+
 def index_exists(index_path: str) -> bool:
     return os.path.isdir(index_path) and any(
         e.startswith("bb=") for e in os.listdir(index_path)

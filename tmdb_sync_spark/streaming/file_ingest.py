@@ -109,9 +109,16 @@ def ingest_jsonl_stream(
         clean, dead = parse_jsonl_lines(batch_lines, schema)
         n_dead = dead.count()
         if n_dead:
+            # idempotent BY BATCH (dynamic partition overwrite, the
+            # HTTP ingest's dead-letter discipline): a crash-replayed
+            # epoch replaces exactly its own rows — an append would
+            # double every malformed line on replay
             (
                 dead.withColumn("batch_id", F.lit(int(epoch)).cast("long"))
-                .write.mode("append").parquet(errors_path)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(errors_path)
             )
         # fold in-batch duplicate keys deterministically (the MERGE's
         # unique-source-key contract): greatest full row wins
@@ -120,13 +127,23 @@ def ingest_jsonl_stream(
             .agg(F.max_by(row, row).alias("_r"))
             .select("_r.*")
         )
+        survivors_for_index = None
         if dedup_index_path is not None:
             from tmdb_sync_spark.functions.dedup_index import (
                 dedup_against_index,
             )
 
-            res = dedup_against_index(spark, folded, dedup_index_path)
+            # update_index=False: the index append happens AFTER the
+            # merge (below). Appending first loses the whole batch on
+            # crash-replay — the replayed docs match their OWN
+            # signatures and never reach the table; after-the-merge,
+            # a replay re-dedups against a pre-batch index, re-merges
+            # idempotently, and appends once.
+            res = dedup_against_index(
+                spark, folded, dedup_index_path, update_index=False
+            )
             folded = res["survivors"]
+            survivors_for_index = folded
             stats["near_dups"] += len(res["dropped_vs_index"]) + len(
                 res["dropped_in_batch"]
             )
@@ -135,6 +152,14 @@ def ingest_jsonl_stream(
             keys=keys, partition_col=partition_col,
             lock_wait_s=MERGE_LOCK_WAIT_S,
         )
+        if survivors_for_index is not None:
+            from tmdb_sync_spark.functions.dedup_index import (
+                append_docs_to_index,
+            )
+
+            append_docs_to_index(
+                spark, dedup_index_path, survivors_for_index
+            )
         stats["batches"] += 1
         stats["dead"] += n_dead
 
