@@ -89,6 +89,8 @@ def test_split_expr_validation():
         split_expr(F.col("doc_id"), {})
     with pytest.raises(ValueError):
         split_expr(F.col("doc_id"), {"a": 0.0})
+    with pytest.raises(ValueError):
+        split_expr(F.col("doc_id"), {"a": 0.9, "b": -0.1, "c": 0.2})
 
 
 def test_stratified_sample_per_stratum_tolerance(spark):

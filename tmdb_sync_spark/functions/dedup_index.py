@@ -31,6 +31,13 @@ The operational shape is an INDEX:
 
 Verification threshold: ``NEAR_DUP_MIN`` of ``N_HASHES`` equal
 minhashes, the curation pipeline's policy (pipeline.py).
+
+Concurrency: the index is append-only and concurrent appends are safe
+(uniquely-named parquet files), but two drops deduped CONCURRENTLY
+cannot see each other's in-flight signatures — near-dups split across
+them both survive. Run one dedup-filtering ingest per index at a time
+(the drop-cursor model of streaming/file_ingest.py already serializes
+this), or accept eventual near-dups and sweep with the batch operator.
 """
 
 from __future__ import annotations

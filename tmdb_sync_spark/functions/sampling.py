@@ -100,6 +100,10 @@ def split_expr(
     """
     if not weights:
         raise ValueError("split_expr: weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        # a negative weight makes the cumulative boundaries
+        # non-monotonic and silently mis-buckets every later label
+        raise ValueError(f"split_expr: negative weight in {weights}")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("split_expr: weights must sum > 0")

@@ -123,7 +123,10 @@ def read_csv(
     halves dead-letter (pinned in tests). That is the same trade the
     splittable path of Spark's native CSV reader makes (multiLine=true
     forces one task per file); data with embedded newlines belongs in
-    JSONL."""
+    JSONL. One knowable edge: with an ALL-STRING schema, a data row
+    byte-identical to the header line is dropped as a header (with any
+    non-string column the header can't type-parse as data, so the edge
+    vanishes)."""
     full = _full_schema(schema)
     data_cols = [f.name for f in full.fields[:-1]]
     paths = [path] if isinstance(path, str) else list(path)
