@@ -257,6 +257,39 @@ def test_ffd_kernel_properties_hypothesis():
     check()
 
 
+def test_plan_shapes(spark, docs):
+    """The scale contracts as plan assertions: split adds NO exchange
+    (pure projection), the stratified-sample predicate reaches the
+    scan's data filters, and the pack plan contains exactly ONE
+    exchange (the bucket shuffle)."""
+    split_plan = (
+        split_corpus(docs, seed=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in split_plan
+
+    # the sample is one filter over one scan — no exchange, the hash
+    # predicate right on top (in a cache-free session it lands in the
+    # scan's DataFilters too, but the fixture cache substitutes the
+    # relation, so assert the cache-insensitive shape)
+    samp_plan = (
+        stratified_sample(docs, "lang", {"en": 0.5}, seed=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in samp_plan
+    filt = [l for l in samp_plan.splitlines() if "Filter" in l]
+    assert filt and "xxhash64" in filt[0]
+
+    with_tokens = docs.select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    pack_plan = (
+        pack_sequences(with_tokens, max_tokens=256, n_buckets=4, seed=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert pack_plan.count("Exchange") == 1
+
+
 def test_curation_to_trainer_handoff(spark, sf_dir):
     """The end-to-end intended composition: curated corpus → split →
     pack the train split. Every curated train doc is packed exactly
