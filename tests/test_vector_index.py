@@ -1,0 +1,129 @@
+"""Incremental vector index (functions/vector_index.py): drop-vs-index
+cosine filtering, in-batch folding, validity surfacing, index growth,
+and the zero-index-shuffle plan contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, LongType, StructField, StructType,
+)
+
+from tmdb_sync_spark.functions.similarity import DIM, N_DUP_BITS, bucketed_from
+from tmdb_sync_spark.functions.vector_index import (
+    dedup_vectors_against_index,
+    vector_index_exists,
+    vector_index_matches,
+)
+
+_SCHEMA = StructType([
+    StructField("vec_id", LongType()),
+    StructField("embedding", ArrayType(FloatType())),
+])
+
+
+def _vec(hot: int, sign: float = 1.0):
+    """Same-bucket vectors with disjoint hot components: the first
+    N_DUP_BITS components carry the (tiny) sign pattern, one later
+    component carries the mass — same bucket, cosine ≈ 0.0004."""
+    v = [0.01 * sign] * N_DUP_BITS + [0.0] * (DIM - N_DUP_BITS)
+    v[N_DUP_BITS + hot] = 1.0
+    return v
+
+
+def _near(v, eps: float = 0.01):
+    out = list(v)
+    out[N_DUP_BITS] += eps
+    out[-1] = eps
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+@pytest.fixture()
+def index_path(tmp_path):
+    return os.path.join(str(tmp_path), "vec_index")
+
+
+def test_incremental_vector_drops(spark, index_path):
+    a, b, d = _vec(0), _vec(1), _vec(2, sign=-1.0)
+    r1 = dedup_vectors_against_index(
+        spark, _df(spark, [(1, a), (2, b), (3, d)]), index_path
+    )
+    assert r1["dropped_vs_index"] == [] and r1["dropped_in_batch"] == []
+    assert r1["invalid"] == []
+    assert sorted(
+        r["vec_id"] for r in r1["survivors"].collect()
+    ) == [1, 2, 3]
+    assert vector_index_exists(index_path)
+
+    # drop 2: near-dup of vec 1, a fresh vector, and an invalid one
+    r2 = dedup_vectors_against_index(
+        spark,
+        _df(spark, [
+            (10, _near(a)),
+            (11, _vec(3)),
+            (12, [1.0] * (DIM - 1)),          # wrong DIM → invalid
+        ]),
+        index_path,
+    )
+    assert r2["dropped_vs_index"] == [10]
+    assert r2["invalid"] == [12]
+    assert [r["vec_id"] for r in r2["survivors"].collect()] == [11]
+
+    # drop 3: an in-batch near-dup pair → greedy keep-smallest-id
+    h = _vec(4)
+    r3 = dedup_vectors_against_index(
+        spark, _df(spark, [(20, h), (21, _near(h))]), index_path
+    )
+    assert r3["dropped_in_batch"] == [21]
+    assert [r["vec_id"] for r in r3["survivors"].collect()] == [20]
+
+    # the index holds exactly the accepted vectors — and a re-drop of
+    # an accepted vector's near-dup is caught (growth)
+    idx_ids = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(index_path)
+        .select("vec_id").distinct().collect()
+    )
+    assert idx_ids == [1, 2, 3, 11, 20]
+    r4 = dedup_vectors_against_index(
+        spark, _df(spark, [(30, _near(h, eps=0.02))]), index_path,
+        update_index=False,
+    )
+    assert r4["dropped_vs_index"] == [30]
+
+
+def test_update_index_false_leaves_index(spark, index_path):
+    dedup_vectors_against_index(
+        spark, _df(spark, [(1, _vec(0))]), index_path
+    )
+    before = spark.read.parquet(index_path).count()
+    r = dedup_vectors_against_index(
+        spark, _df(spark, [(2, _vec(1))]), index_path,
+        update_index=False,
+    )
+    assert [x["vec_id"] for x in r["survivors"].collect()] == [2]
+    assert spark.read.parquet(index_path).count() == before
+
+
+def test_match_join_never_shuffles_the_index(spark, index_path):
+    dedup_vectors_against_index(
+        spark, _df(spark, [(1, _vec(0)), (2, _vec(1))]), index_path
+    )
+    idx = spark.read.parquet(index_path)
+    new_b = bucketed_from(_df(spark, [(10, _near(_vec(0)))]), N_DUP_BITS)
+    plan = (
+        vector_index_matches(idx, new_b)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    join_at = plan.index("BroadcastHashJoin")
+    scan_at = plan.index("Scan parquet", join_at)
+    assert "Exchange hashpartitioning" not in plan[join_at:scan_at]

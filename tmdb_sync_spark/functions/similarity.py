@@ -194,15 +194,18 @@ def _codebook_topn(cents, n_out: int):
     return topn
 
 
-def _bucketed(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
-    """vec_id, sign-LSH bucket, quantized v, exact norm — ONE projection.
+def bucketed_from(emb: DataFrame, n_bits: int) -> DataFrame:
+    """vec_id, sign-LSH bucket, quantized v, exact norm — ONE projection
+    over any ``(vec_id, embedding)`` frame.
 
     Bucket bits, quantization and the norm all come out of a single scan
     pass (no self-join back onto the raw table): for self-join consumers
     this halves the scans and keeps each side a scan→project→filter
     pipeline, the shape that matters when the corpus is 10^9 vectors.
+    Shared by the registered batch operators (via :func:`_bucketed`) and
+    the incremental vector index (functions/vector_index.py) — one
+    bucketing definition, or index and batch silently diverge.
     """
-    emb = parallel_table(spark, sf_dir, "embeddings")
     bits = [
         F.when(F.element_at(F.col("embedding"), i + 1) >= 0, "1").otherwise("0")
         for i in range(n_bits)
@@ -214,6 +217,12 @@ def _bucketed(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
     return q.select(
         "vec_id", "bucket", "v", _nrm_expr(F.col("v")).alias("nrm")
     ).where(F.col("nrm") > 0)
+
+
+def _bucketed(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
+    return bucketed_from(
+        parallel_table(spark, sf_dir, "embeddings"), n_bits
+    )
 
 
 @register(

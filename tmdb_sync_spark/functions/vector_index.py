@@ -1,0 +1,170 @@
+"""Incremental embedding near-dup filtering against a persisted
+sign-LSH bucket index — the vector twin of functions/dedup_index.
+
+New embedding drops (fresh documents' vectors, re-crawled media) are
+checked against the accepted corpus WITHOUT re-bucketing it: the index
+persists each accepted vector's sign-LSH bucket, quantized components,
+and exact norm; a drop is bucketed by THE batch projection
+(``similarity.bucketed_from`` — one bucketing definition in the
+codebase), **broadcast** against the index scan, and verified with the
+exact quantized cosine at ``DUP_THRESHOLD`` — the same candidate →
+verify policy as the registered ``dd_embedding_cosine``.
+
+Scale shape, mirroring dedup_index: the index streams MAP-SIDE through
+a BroadcastHashJoin (zero index shuffle at any corpus size); the table
+is hive-partitioned by the bucket string itself (2^N_DUP_BITS dirs),
+so a drop touching few buckets prunes its read statically; appends are
+repartitioned by bucket first (one file per touched bucket per append,
+not a sliver per shuffle partition). The crash-ordering lesson from
+the composed drop ingest applies verbatim: callers that commit
+survivors elsewhere first should pass ``update_index=False`` and
+append via :func:`append_vectors_to_index` AFTER their commit point.
+
+Concurrency: append-only and safe to append concurrently, but two
+drops deduped concurrently cannot see each other's in-flight vectors —
+serialize dedup-filtering ingests per index, or sweep with the batch
+operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.functions.pairs import tiled_self_pairs
+from tmdb_sync_spark.functions.similarity import (
+    DUP_THRESHOLD,
+    N_DUP_BITS,
+    _dot,
+    bucketed_from,
+)
+
+
+def _append(index_path: str, bucketed: DataFrame) -> None:
+    (
+        bucketed.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(index_path)
+    )
+
+
+def append_vectors_to_index(
+    spark: SparkSession, index_path: str, vecs: DataFrame
+) -> None:
+    """Append ``(vec_id, embedding)`` rows' bucketed projections to the
+    index — the post-commit half of the update_index=False protocol
+    (see the module docstring's crash-ordering note)."""
+    _append(index_path, bucketed_from(vecs, N_DUP_BITS))
+
+
+def vector_index_exists(index_path: str) -> bool:
+    return os.path.isdir(index_path) and any(
+        e.startswith("bucket=") for e in os.listdir(index_path)
+    )
+
+
+def vector_index_matches(
+    idx: DataFrame, new_b: DataFrame, threshold: float = DUP_THRESHOLD
+) -> DataFrame:
+    """Drop vec_ids whose exact quantized cosine against ANY indexed
+    vector in their sign bucket clears ``threshold`` — drop side
+    broadcast, index map-side (the dedup_index plan contract)."""
+    cos = _dot(F.col("i.v"), F.col("n.v")) / (
+        F.sqrt(F.col("i.nrm")) * F.sqrt(F.col("n.nrm"))
+    )
+    return (
+        idx.alias("i")
+        .join(
+            F.broadcast(new_b.alias("n")),
+            on=F.col("i.bucket") == F.col("n.bucket"),
+        )
+        .where(cos >= threshold)
+        .select(F.col("n.vec_id").alias("vec_id"))
+        .distinct()
+    )
+
+
+def dedup_vectors_against_index(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    index_path: str,
+    *,
+    threshold: float = DUP_THRESHOLD,
+    update_index: bool = True,
+) -> dict:
+    """Filter a ``(vec_id, embedding)`` drop against the vector index.
+
+    Returns ``{"survivors": DataFrame (of new_vecs rows),
+    "dropped_vs_index": [...], "dropped_in_batch": [...],
+    "invalid": [...]}``. ``invalid`` lists drop vectors failing the
+    validity contract (NULL / wrong DIM / non-finite) — they neither
+    merge nor index, the quantization guard's policy surfaced rather
+    than silently vanishing. Within-drop near-dups fold by the batch
+    candidate machinery (skew-tiled bucket self-pairs, exact cosine,
+    greedy keep-smallest-id). All dropped lists are bounded by the
+    DROP size."""
+    b = bucketed_from(new_vecs, N_DUP_BITS).cache()
+    try:
+        valid_ids = {r["vec_id"] for r in b.select("vec_id").collect()}
+        invalid = sorted(
+            r["vec_id"]
+            for r in new_vecs.select("vec_id").collect()
+            if r["vec_id"] not in valid_ids
+        )
+
+        dropped_vs_index: set = set()
+        if vector_index_exists(index_path):
+            buckets = sorted(
+                r["bucket"]
+                for r in b.select("bucket").distinct().collect()
+            )
+            idx = spark.read.parquet(index_path).where(
+                F.col("bucket").isin(buckets)
+            )
+            dropped_vs_index = {
+                r["vec_id"]
+                for r in vector_index_matches(idx, b, threshold).collect()
+            }
+
+        pairs = tiled_self_pairs(
+            b, "bucket", "vec_id",
+            sym={
+                "cos": lambda l, r: _dot(l["v"], r["v"]) / (
+                    F.sqrt(l["nrm"]) * F.sqrt(r["nrm"])
+                )
+            },
+        ).where(F.col("cos") >= threshold)
+        in_batch = {
+            r["d"]
+            for r in pairs.select(
+                F.greatest(
+                    F.col("a.vec_id"), F.col("b.vec_id")
+                ).alias("d")
+            ).distinct().collect()
+        } - dropped_vs_index
+
+        all_dropped = dropped_vs_index | in_batch | set(invalid)
+        survivors = new_vecs
+        surviving_b = b
+        if all_dropped:
+            drop_df = F.broadcast(
+                spark.createDataFrame(
+                    [(i,) for i in sorted(all_dropped)], "vec_id long"
+                )
+            )
+            survivors = new_vecs.join(drop_df, "vec_id", "left_anti")
+            surviving_b = b.join(drop_df, "vec_id", "left_anti")
+
+        if update_index:
+            _append(index_path, surviving_b)
+        return {
+            "survivors": survivors,
+            "dropped_vs_index": sorted(dropped_vs_index),
+            "dropped_in_batch": sorted(in_batch),
+            "invalid": invalid,
+        }
+    finally:
+        b.unpersist()
