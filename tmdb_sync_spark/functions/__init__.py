@@ -13,4 +13,5 @@ from tmdb_sync_spark.functions import (  # noqa: F401
     sampling,
     similarity,
     text,
+    vector_index,
 )
