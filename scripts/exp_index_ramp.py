@@ -49,7 +49,28 @@ def _corpus(spark, n: int, salt: str):
     )
 
 
+def _vecs(spark, n: int, lo: int):
+    """Deterministic well-spread 64-dim vectors (ids lo..lo+n)."""
+    from pyspark.sql import functions as F
+
+    from tmdb_sync_spark.functions.similarity import DIM
+
+    return spark.range(lo, lo + n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000
+            ).cast("float") / 1000.0,
+        ).alias("embedding"),
+    )
+
+
 def main() -> None:
+    from tmdb_sync_spark.functions.vector_index import (
+        dedup_vectors_against_index,
+    )
+
     spark = get_spark("index-ramp", cpus="32")
     drop = _corpus(spark, 500, "drop").cache()
     drop.count()
@@ -69,6 +90,26 @@ def main() -> None:
             f"index={n} docs ({n_files} files, build {build:.1f}s): "
             f"drop500 query {dt:.2f}s, dropped="
             f"{len(res['dropped_vs_index'])}"
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    vdrop = _vecs(spark, 500, 10_000_000).cache()
+    vdrop.count()
+    for n in (5_000, 20_000, 80_000):
+        tmp = tempfile.mkdtemp(prefix="vecramp_")
+        idx = os.path.join(tmp, "vidx")
+        t0 = time.time()
+        dedup_vectors_against_index(spark, _vecs(spark, n, 0), idx)
+        build = time.time() - t0
+        dedup_vectors_against_index(spark, vdrop, idx,
+                                    update_index=False)
+        t0 = time.time()
+        res = dedup_vectors_against_index(spark, vdrop, idx,
+                                          update_index=False)
+        dt = time.time() - t0
+        print(
+            f"vec index={n} ({build:.1f}s build): drop500 query "
+            f"{dt:.2f}s, dropped={len(res['dropped_vs_index'])}"
         )
         shutil.rmtree(tmp, ignore_errors=True)
 

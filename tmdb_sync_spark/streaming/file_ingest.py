@@ -78,7 +78,11 @@ def ingest_jsonl_stream(
     dead-letter → near-dup-filter → MERGE. Requires ``doc_id`` and
     ``text`` columns; near-dup drop COUNTS ride the returned stats
     (``near_dups``) while the drop-id detail is the index module's
-    per-call API."""
+    per-call API. One stats quirk, by design: a crash-REPLAYED batch
+    re-counts its docs as near-dups (they match their own indexed
+    signatures, which is exactly what makes the replay converge on the
+    table and index — see the replay test), so ``near_dups`` is a
+    per-run observation, not a durable corpus metric."""
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     need = (*keys, partition_col) if dedup_index_path is None else (
