@@ -98,8 +98,17 @@ def main() -> None:
     for n in (5_000, 20_000, 80_000):
         tmp = tempfile.mkdtemp(prefix="vecramp_")
         idx = os.path.join(tmp, "vidx")
+        # bulk build = the append path (no in-batch self-pair pass —
+        # that is the batch operator's job; feeding the whole corpus
+        # through dedup_vectors_against_index measured QUADRATIC,
+        # 4.9/50.9/243 s, because the self-pair pass is Σ bucket² and
+        # the synthetic corpus at threshold 0.30 is a dense graph)
+        from tmdb_sync_spark.functions.vector_index import (
+            append_vectors_to_index,
+        )
+
         t0 = time.time()
-        dedup_vectors_against_index(spark, _vecs(spark, n, 0), idx)
+        append_vectors_to_index(spark, idx, _vecs(spark, n, 0))
         build = time.time() - t0
         dedup_vectors_against_index(spark, vdrop, idx,
                                     update_index=False)
