@@ -125,6 +125,23 @@ def test_jsonl_embeddings_array_round_trip(spark, sf_dir, tmp_path):
     assert _frames_equal(clean, emb)
 
 
+def test_jsonl_binary_media_round_trip(spark, sf_dir, tmp_path):
+    """Multimodal binary payloads survive the JSONL boundary bit-exactly
+    (Spark renders binary as base64 and from_json parses it back) — the
+    media stripe built by the multimodal encoder round-trips whole."""
+    from tmdb_sync_spark.functions.multimodal import (
+        MEDIA_SCHEMA, encode_media,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    media = docs.mapInPandas(encode_media, MEDIA_SCHEMA)
+    out = os.path.join(str(tmp_path), "media_jsonl")
+    write_jsonl(media, out)
+    clean, dead = read_jsonl(spark, out, MEDIA_SCHEMA)
+    assert dead.count() == 0
+    assert _frames_equal(clean, media)
+
+
 def test_jsonl_feeds_the_pipeline(spark, sf_dir, tmp_path):
     """The intended use: a JSONL-delivered corpus flows into the same
     operators the parquet table does — token features over the clean
