@@ -82,6 +82,33 @@ def test_incremental_drops(spark, index_path):
     ) == [1, 2, 3, 12, 21]
 
 
+def test_contamination_check(spark, index_path):
+    """Planted contamination is found with its corpus provenance;
+    clean eval docs aren't flagged; a missing index raises instead of
+    reporting clean."""
+    from tmdb_sync_spark.functions.dedup_index import contamination_check
+
+    corpus = _docs(spark, [(i, _text(i)) for i in (1, 2, 3)])
+    dedup_against_index(spark, corpus, index_path)
+
+    eval_set = _docs(spark, [
+        (100, _text(2)),               # verbatim inclusion
+        (101, _text(3, edit=True)),    # lightly edited inclusion
+        (102, _text(5)),               # clean
+    ])
+    rep = contamination_check(spark, index_path, eval_set)
+    got = {(r["doc_id"], r["corpus_doc_id"]) for r in rep.collect()}
+    assert got == {(100, 2), (101, 3)}
+    # verbatim = all hashes equal
+    full = {r["doc_id"]: r["n_equal_hashes"] for r in rep.collect()}
+    assert full[100] == 8 and full[101] >= 6
+
+    with pytest.raises(ValueError):
+        contamination_check(
+            spark, index_path + "_missing", eval_set
+        )
+
+
 def test_update_index_false_leaves_index(spark, index_path):
     d1 = _docs(spark, [(1, _text(1))])
     dedup_against_index(spark, d1, index_path)

@@ -78,14 +78,17 @@ def _band_rows(sig: DataFrame) -> DataFrame:
     )
 
 
-def index_matches(
+def index_match_pairs(
     idx: DataFrame, new_bands: DataFrame, min_equal: int = NEAR_DUP_MIN
 ) -> DataFrame:
-    """Drop doc_ids near-dup-matched by the index: band equi-join with
-    the DROP side broadcast — the index streams map-side with ZERO
-    index shuffle regardless of corpus size (plan-asserted in
-    tests/test_dedup_index.py) — then signature verification on the
-    band rows' carried hashes."""
+    """Verified (probe doc, indexed doc) near-dup matches: band
+    equi-join with the PROBE side broadcast — the index streams
+    map-side with ZERO index shuffle regardless of corpus size
+    (plan-asserted in tests/test_dedup_index.py) — then signature
+    verification on the band rows' carried hashes. Returns
+    ``(doc_id, corpus_doc_id, n_equal_hashes)`` — one row per matched
+    pair (band-deduped), the detail surface the contamination checker
+    reports from."""
     n_equal = reduce(
         lambda x, y: x + y,
         [(F.col(f"i.{h}") == F.col(f"n.{h}")).cast("int") for h in _H],
@@ -98,8 +101,23 @@ def index_matches(
             & (F.col("i.bb") == F.col("n.bb")),
         )
         .where(n_equal >= min_equal)
-        .select(F.col("n.doc_id").alias("doc_id"))
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("i.doc_id").alias("corpus_doc_id"),
+            n_equal.alias("n_equal_hashes"),
+        )
         .distinct()
+    )
+
+
+def index_matches(
+    idx: DataFrame, new_bands: DataFrame, min_equal: int = NEAR_DUP_MIN
+) -> DataFrame:
+    """Just the matched probe doc_ids — the dedup filter's view of
+    :func:`index_match_pairs`."""
+    return (
+        index_match_pairs(idx, new_bands, min_equal)
+        .select("doc_id").distinct()
     )
 
 
@@ -124,6 +142,48 @@ def append_docs_to_index(
         .partitionBy("bb")
         .parquet(index_path)
     )
+
+
+def contamination_check(
+    spark: SparkSession,
+    index_path: str,
+    eval_docs: DataFrame,
+    *,
+    min_equal: int = NEAR_DUP_MIN,
+) -> DataFrame:
+    """Benchmark-contamination scan: which eval documents near-match
+    the training corpus?
+
+    The question is the dedup question pointed backwards — instead of
+    dropping corpus docs that match the index, REPORT eval docs that
+    do. ``eval_docs`` is ``(doc_id, text, ...)`` (an eval set: small
+    by definition, so it broadcasts); the corpus is the maintained
+    signature index. Returns one row per VERIFIED match —
+    ``(doc_id, corpus_doc_id, n_equal_hashes)`` — lazy and composable
+    (count it for a contamination rate, join it back to eval metadata,
+    anti-join it to get the clean eval subset). An eval set with no
+    matches returns an empty frame; a missing index raises (scanning
+    nothing and reporting "clean" would be the worst failure mode).
+
+    Same sensitivity knob as the dedup family: ``min_equal`` of
+    ``N_HASHES`` minhashes ≈ Jaccard ``min_equal/N_HASHES`` on
+    3-token shingles — catches verbatim and lightly-edited inclusions,
+    not paraphrase (that is an embedding question: point
+    ``vector_index.vector_index_matches`` at eval embeddings the same
+    way)."""
+    if not index_exists(index_path):
+        raise ValueError(
+            f"contamination_check: no signature index at {index_path!r}"
+            " — build one with append_docs_to_index over the corpus"
+        )
+    bands = _band_rows(minhash_signature(eval_docs))
+    bbs = sorted(
+        r["bb"] for r in bands.select("bb").distinct().collect()
+    )
+    idx = spark.read.parquet(index_path)
+    if len(bbs) < N_INDEX_BUCKETS:
+        idx = idx.where(F.col("bb").isin(bbs))
+    return index_match_pairs(idx, bands, min_equal)
 
 
 def index_exists(index_path: str) -> bool:
