@@ -300,3 +300,75 @@ def tx_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+# --- PII redaction (corpus-prep scrub) --------------------------------
+#
+# The standard pre-training scrub: replace emails, phone-like number
+# runs, and IPv4 literals with stable placeholder tokens, as pure
+# Catalyst regexp_replace chains — JVM-side, fused into whatever scan
+# the caller is already running, one row in / one row out, no shuffle.
+#
+# Deliberate scope (stated, not hidden): pattern-based PII only.
+# Emails and IPv4s are crisp; "phone numbers" is a heuristic over
+# digit-run shapes (≥9 digits with separators) that WILL both miss
+# exotic formats and occasionally eat a long numeric id — callers
+# needing NER-grade scrubbing run a model pass downstream; this is the
+# cheap always-on layer. Order matters and is fixed: emails first
+# (their local parts can contain digits a phone pattern could bite),
+# then IPv4 (dotted quads would otherwise match the phone shape), then
+# phones.
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+# octets allow leading zeros (192.168.001.1 is how routers print them)
+IPV4_PATTERN = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9]{1,2})\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9]{1,2})\b"
+)
+# Phone-shaped runs: optional +country, then a digit/separator body
+# ending in a digit. The lookahead asserts ≥9 DIGITS reachable through
+# SEPARATORS ONLY (its filler class excludes letters, so it can never
+# satisfy itself with digits beyond the run); the lookbehind/lookahead
+# keep it off the tails of longer identifiers. '.' is deliberately NOT
+# a phone separator: with it, decimals (3.14159...) and dotted quads
+# phone-match (found live by the test corpus) — dotted phone formats
+# are the accepted miss, stated here. Java regex (Spark) supports the
+# lookarounds; this expression has no DuckDB twin and needs none —
+# redaction is an engine-side prep step, not a registered query.
+PHONE_PATTERN = (
+    r"(?<![0-9A-Za-z.])\+?(?=(?:[ ()\-]*[0-9]){9})"
+    r"[0-9][0-9 ()\-]{7,}[0-9](?![0-9A-Za-z])"
+)
+
+EMAIL_TOKEN = "[EMAIL]"
+IP_TOKEN = "[IP]"
+PHONE_TOKEN = "[PHONE]"
+
+
+def redact_pii_expr(col: Column) -> Column:
+    """``text`` → scrubbed text: emails → ``[EMAIL]``, IPv4 →
+    ``[IP]``, phone-shaped runs (≥9 digits through separators) →
+    ``[PHONE]``. Idempotent: placeholder tokens contain no redactable
+    shapes. Order is fixed — emails first (local parts contain digit
+    runs), then IPv4 (dotted quads would otherwise phone-match), then
+    phones."""
+    out = F.regexp_replace(col, EMAIL_PATTERN, EMAIL_TOKEN)
+    out = F.regexp_replace(out, IPV4_PATTERN, IP_TOKEN)
+    return F.regexp_replace(out, PHONE_PATTERN, PHONE_TOKEN)
+
+
+def pii_counts_expr(col: Column) -> Column:
+    """Struct of per-category hit counts on the RAW text — the audit
+    column a scrub job writes next to the redacted text (monitoring
+    redaction volume is how pattern drift gets noticed)."""
+    return F.struct(
+        F.regexp_count(col, F.lit(EMAIL_PATTERN)).alias("emails"),
+        F.regexp_count(col, F.lit(IPV4_PATTERN)).alias("ips"),
+        F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(col, EMAIL_PATTERN, EMAIL_TOKEN),
+                IPV4_PATTERN, IP_TOKEN,
+            ),
+            F.lit(PHONE_PATTERN),
+        ).alias("phones"),
+    )
