@@ -168,6 +168,30 @@ def test_replay_is_idempotent_on_table_errors_and_index(spark, tmp_path):
     assert spark.read.parquet(idx).count() == n_index_rows
 
 
+def test_csv_drops_ingest(spark, tmp_path):
+    """CSV drops route through the shared parser: headers dropped per
+    line, type-mismatched rows dead-lettered, clean rows merged."""
+    src = os.path.join(str(tmp_path), "drops")
+    state = os.path.join(str(tmp_path), "state")
+    os.makedirs(src)
+    with open(os.path.join(src, "d1.csv"), "w") as fh:
+        fh.write("doc_id,text,lang,source,n_chars\n")
+        fh.write("1,hello,en,s,5\n")
+        fh.write("oops,bad,en,s,0\n")
+    with open(os.path.join(src, "d2.csv"), "w") as fh:
+        fh.write("doc_id,text,lang,source,n_chars\n")
+        fh.write("2,welt,de,s,4\n")
+    res = ingest_jsonl_stream(
+        spark, src, DOC_DDL, state,
+        keys=["doc_id"], partition_col="lang", fmt="csv",
+    )
+    assert res["dead"] == 1
+    t = read_partitioned(spark, res["table_path"])
+    assert sorted(r["doc_id"] for r in t.collect()) == [1, 2]
+    dead = spark.read.parquet(res["errors_path"]).collect()
+    assert len(dead) == 1 and "oops" in dead[0]["raw_record"]
+
+
 def test_key_and_partition_must_be_in_schema(spark, tmp_path):
     import pytest
 
@@ -175,4 +199,9 @@ def test_key_and_partition_must_be_in_schema(spark, tmp_path):
         ingest_jsonl_stream(
             spark, str(tmp_path), DOC_DDL, str(tmp_path),
             keys=["nope"], partition_col="lang",
+        )
+    with pytest.raises(ValueError):
+        ingest_jsonl_stream(
+            spark, str(tmp_path), DOC_DDL, str(tmp_path),
+            keys=["doc_id"], partition_col="lang", fmt="xml",
         )

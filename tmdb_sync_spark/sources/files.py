@@ -99,6 +99,29 @@ def read_jsonl(
     return parse_jsonl_lines(spark.read.text(paths), schema)
 
 
+def parse_csv_lines(
+    lines: DataFrame,
+    schema: StructType | str,
+    *,
+    header: bool = True,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """The shared CSV parser over a ``value string`` line frame — the
+    :func:`parse_jsonl_lines` twin, shared by :func:`read_csv` and the
+    streaming file ingest. Header lines (exact schema match) are
+    dropped PER LINE, which is what makes headers safe under file
+    splitting and multi-file micro-batches alike."""
+    full = _full_schema(schema)
+    data_cols = [f.name for f in full.fields[:-1]]
+    kept = lines.where(F.trim(F.col("value")) != "")
+    if header:
+        kept = kept.where(F.col("value") != sep.join(data_cols))
+    parsed = kept.select(
+        F.from_csv("value", F.lit(_csv_ddl(full)), _OPTS).alias("p")
+    )
+    return _split(parsed, data_cols)
+
+
 def read_csv(
     spark: SparkSession,
     path: str | Sequence[str],
@@ -127,16 +150,11 @@ def read_csv(
     byte-identical to the header line is dropped as a header (with any
     non-string column the header can't type-parse as data, so the edge
     vanishes)."""
-    full = _full_schema(schema)
-    data_cols = [f.name for f in full.fields[:-1]]
+    _full_schema(schema)          # validate before touching the path
     paths = [path] if isinstance(path, str) else list(path)
-    lines = spark.read.text(paths).where(F.trim(F.col("value")) != "")
-    if header:
-        lines = lines.where(F.col("value") != sep.join(data_cols))
-    parsed = lines.select(
-        F.from_csv("value", F.lit(_csv_ddl(full)), _OPTS).alias("p")
+    return parse_csv_lines(
+        spark.read.text(paths), schema, header=header, sep=sep
     )
-    return _split(parsed, data_cols)
 
 
 def _csv_ddl(schema: StructType) -> str:

@@ -60,6 +60,8 @@ def ingest_jsonl_stream(
     partition_col: str,
     table_name: str = "corpus",
     dedup_index_path: str | None = None,
+    fmt: str = "jsonl",
+    csv_sep: str = ",",
 ) -> dict:
     """One ``availableNow`` pass over the drop directory: every file
     not yet seen by the checkpoint is parsed, cleaned, folded, and
@@ -82,7 +84,15 @@ def ingest_jsonl_stream(
     re-counts its docs as near-dups (they match their own indexed
     signatures, which is exactly what makes the replay converge on the
     table and index — see the replay test), so ``near_dups`` is a
-    per-run observation, not a durable corpus metric."""
+    per-run observation, not a durable corpus metric.
+
+    ``fmt``: ``"jsonl"`` (default) or ``"csv"`` (header lines dropped
+    per line — safe across files and micro-batches; ``csv_sep`` sets
+    the separator). Both route through the shared batch parsers, so
+    dead-letter semantics are identical across boundary and format."""
+    if fmt not in ("jsonl", "csv"):
+        raise ValueError(f"ingest_jsonl_stream: fmt {fmt!r} not in "
+                         "('jsonl', 'csv')")
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     need = (*keys, partition_col) if dedup_index_path is None else (
@@ -110,7 +120,14 @@ def ingest_jsonl_stream(
     row = F.struct(*[F.col(c) for c in schema.fieldNames()])
 
     def sink(batch_lines: DataFrame, epoch: int) -> None:
-        clean, dead = parse_jsonl_lines(batch_lines, schema)
+        if fmt == "csv":
+            from tmdb_sync_spark.sources.files import parse_csv_lines
+
+            clean, dead = parse_csv_lines(
+                batch_lines, schema, header=True, sep=csv_sep
+            )
+        else:
+            clean, dead = parse_jsonl_lines(batch_lines, schema)
         n_dead = dead.count()
         if n_dead:
             # idempotent BY BATCH (dynamic partition overwrite, the
