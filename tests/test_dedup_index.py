@@ -148,6 +148,33 @@ def test_small_drop_prunes_index_buckets(spark, index_path):
     assert r["dropped_vs_index"] == [10]
 
 
+def test_oversized_probe_drops_the_broadcast(spark, index_path):
+    """Above the probe-row bound the match join gives up the broadcast
+    hint (shuffle join instead of OOM-shipping a corpus-sized probe),
+    with identical results."""
+    from tmdb_sync_spark.functions.dedup_index import index_match_pairs
+
+    d1 = _docs(spark, [(i, _text(i)) for i in (1, 2, 3)])
+    dedup_against_index(spark, d1, index_path)
+    idx = spark.read.parquet(index_path)
+    probe = _band_rows(
+        minhash_signature(_docs(spark, [(10, _text(1)), (11, _text(4))]))
+    )
+    small = index_match_pairs(idx, probe, probe_rows=8)
+    big = index_match_pairs(idx, probe, probe_rows=10**9)
+    # the gate controls the HINT, not the outcome: with the hint gone,
+    # AQE is free to pick broadcast for a genuinely small probe (and
+    # does here) — what must never happen is FORCING one on a
+    # corpus-sized probe, so assert on the logical plan's hint
+    p_small = small._jdf.queryExecution().optimizedPlan().toString()
+    p_big = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in p_small.lower()
+    assert "broadcast" not in p_big.lower()
+    assert {tuple(r) for r in small.collect()} == {
+        tuple(r) for r in big.collect()
+    } == {(10, 1, 8)}
+
+
 def test_match_join_never_shuffles_the_index(spark, index_path):
     """The plan contract: the index side of the match join reaches the
     BroadcastHashJoin straight from its scan — no Exchange between

@@ -58,6 +58,15 @@ from tmdb_sync_spark.functions.pipeline import NEAR_DUP_MIN
 
 N_INDEX_BUCKETS = 64
 
+# Above this many PROBE band rows the match join drops its broadcast
+# hint: force-broadcasting a huge "drop" (someone feeding a corpus
+# through the incremental path) trades a shuffle for an executor OOM,
+# which is the wrong trade. Same discipline as the engine's size-gated
+# broadcast hints elsewhere (plans/joins). 2M rows of (band_key, 8
+# hashes, id) ≈ low hundreds of MB — comfortably under the default
+# broadcast ceiling with margin for skewed string lengths.
+BROADCAST_PROBE_MAX_ROWS = 2_000_000
+
 _H = [f"h{i}" for i in range(N_HASHES)]
 
 
@@ -79,7 +88,8 @@ def _band_rows(sig: DataFrame) -> DataFrame:
 
 
 def index_match_pairs(
-    idx: DataFrame, new_bands: DataFrame, min_equal: int = NEAR_DUP_MIN
+    idx: DataFrame, new_bands: DataFrame, min_equal: int = NEAR_DUP_MIN,
+    probe_rows: int | None = None,
 ) -> DataFrame:
     """Verified (probe doc, indexed doc) near-dup matches: band
     equi-join with the PROBE side broadcast — the index streams
@@ -88,15 +98,23 @@ def index_match_pairs(
     verification on the band rows' carried hashes. Returns
     ``(doc_id, corpus_doc_id, n_equal_hashes)`` — one row per matched
     pair (band-deduped), the detail surface the contamination checker
-    reports from."""
+    reports from.
+
+    ``probe_rows``: the probe's known band-row count, when the caller
+    has it. Above ``BROADCAST_PROBE_MAX_ROWS`` the broadcast hint is
+    dropped — the join falls back to a plain equi-join (both sides
+    shuffle) rather than OOM-broadcasting a corpus-sized "drop"."""
     n_equal = reduce(
         lambda x, y: x + y,
         [(F.col(f"i.{h}") == F.col(f"n.{h}")).cast("int") for h in _H],
     )
+    probe = new_bands.alias("n")
+    if probe_rows is None or probe_rows <= BROADCAST_PROBE_MAX_ROWS:
+        probe = F.broadcast(probe)
     return (
         idx.alias("i")
         .join(
-            F.broadcast(new_bands.alias("n")),
+            probe,
             on=(F.col("i.band_key") == F.col("n.band_key"))
             & (F.col("i.bb") == F.col("n.bb")),
         )
@@ -111,12 +129,13 @@ def index_match_pairs(
 
 
 def index_matches(
-    idx: DataFrame, new_bands: DataFrame, min_equal: int = NEAR_DUP_MIN
+    idx: DataFrame, new_bands: DataFrame, min_equal: int = NEAR_DUP_MIN,
+    probe_rows: int | None = None,
 ) -> DataFrame:
     """Just the matched probe doc_ids — the dedup filter's view of
     :func:`index_match_pairs`."""
     return (
-        index_match_pairs(idx, new_bands, min_equal)
+        index_match_pairs(idx, new_bands, min_equal, probe_rows)
         .select("doc_id").distinct()
     )
 
@@ -183,7 +202,9 @@ def contamination_check(
     idx = spark.read.parquet(index_path)
     if len(bbs) < N_INDEX_BUCKETS:
         idx = idx.where(F.col("bb").isin(bbs))
-    return index_match_pairs(idx, bands, min_equal)
+    return index_match_pairs(
+        idx, bands, min_equal, probe_rows=bands.count()
+    )
 
 
 def index_exists(index_path: str) -> bool:
@@ -232,7 +253,10 @@ def dedup_against_index(
             idx = spark.read.parquet(index_path)
             if len(bbs) < N_INDEX_BUCKETS:
                 idx = idx.where(F.col("bb").isin(bbs))
-            matches = index_matches(idx, new_bands, min_equal)
+            matches = index_matches(
+                idx, new_bands, min_equal,
+                probe_rows=sig.count() * N_BANDS,
+            )
             dropped_vs_index = {r["doc_id"] for r in matches.collect()}
 
         # within-drop near-dups: batch machinery, greedy keep-first

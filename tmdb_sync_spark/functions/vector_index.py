@@ -67,18 +67,32 @@ def vector_index_exists(index_path: str) -> bool:
 
 
 def vector_index_matches(
-    idx: DataFrame, new_b: DataFrame, threshold: float = DUP_THRESHOLD
+    idx: DataFrame, new_b: DataFrame, threshold: float = DUP_THRESHOLD,
+    probe_rows: int | None = None,
 ) -> DataFrame:
     """Drop vec_ids whose exact quantized cosine against ANY indexed
     vector in their sign bucket clears ``threshold`` — drop side
-    broadcast, index map-side (the dedup_index plan contract)."""
+    broadcast, index map-side (the dedup_index plan contract).
+    ``probe_rows`` engages the same size gate as dedup_index: above
+    the bound the broadcast hint is dropped rather than OOM-shipping a
+    corpus-sized probe (quantized vectors are ~DIM×8 bytes each, so
+    the row bound is scaled down by DIM/4 vs the band index's)."""
+    from tmdb_sync_spark.functions.dedup_index import (
+        BROADCAST_PROBE_MAX_ROWS,
+    )
+    from tmdb_sync_spark.functions.similarity import DIM
+
     cos = _dot(F.col("i.v"), F.col("n.v")) / (
         F.sqrt(F.col("i.nrm")) * F.sqrt(F.col("n.nrm"))
     )
+    probe = new_b.alias("n")
+    bound = max(1, BROADCAST_PROBE_MAX_ROWS // (DIM // 4))
+    if probe_rows is None or probe_rows <= bound:
+        probe = F.broadcast(probe)
     return (
         idx.alias("i")
         .join(
-            F.broadcast(new_b.alias("n")),
+            probe,
             on=F.col("i.bucket") == F.col("n.bucket"),
         )
         .where(cos >= threshold)
@@ -126,7 +140,9 @@ def dedup_vectors_against_index(
             )
             dropped_vs_index = {
                 r["vec_id"]
-                for r in vector_index_matches(idx, b, threshold).collect()
+                for r in vector_index_matches(
+                    idx, b, threshold, probe_rows=len(valid_ids)
+                ).collect()
             }
 
         pairs = tiled_self_pairs(
