@@ -10,7 +10,7 @@ import os
 from pyspark.sql import functions as F
 
 from tmdb_sync_spark.plans.partitioned import read_partitioned
-from tmdb_sync_spark.streaming.file_ingest import ingest_jsonl_stream
+from tmdb_sync_spark.streaming.file_ingest import ingest_file_stream
 
 DOC_DDL = (
     "doc_id bigint, text string, lang string, source string, "
@@ -26,7 +26,7 @@ def _doc(i, text, lang="en"):
 
 
 def _run(spark, src, state):
-    return ingest_jsonl_stream(
+    return ingest_file_stream(
         spark, src, DOC_DDL, state,
         keys=["doc_id"], partition_col="lang", table_name="corpus",
     )
@@ -109,7 +109,7 @@ def test_ingest_with_near_dup_index(spark, tmp_path):
 
     with open(os.path.join(src, "d1.jsonl"), "w") as fh:
         fh.write(_doc(1, base) + "\n")
-    r1 = ingest_jsonl_stream(
+    r1 = ingest_file_stream(
         spark, src, DOC_DDL, state,
         keys=["doc_id"], partition_col="lang",
         dedup_index_path=idx,
@@ -119,7 +119,7 @@ def test_ingest_with_near_dup_index(spark, tmp_path):
     # d2: a near-dup of doc 1 under a new id, and a genuinely new doc
     with open(os.path.join(src, "d2.jsonl"), "w") as fh:
         fh.write("\n".join([_doc(7, edited), _doc(8, other)]) + "\n")
-    r2 = ingest_jsonl_stream(
+    r2 = ingest_file_stream(
         spark, src, DOC_DDL, state,
         keys=["doc_id"], partition_col="lang",
         dedup_index_path=idx,
@@ -146,7 +146,7 @@ def test_replay_is_idempotent_on_table_errors_and_index(spark, tmp_path):
         fh.write("\n".join([_doc(1, base), "{corrupt"]) + "\n")
 
     def run():
-        return ingest_jsonl_stream(
+        return ingest_file_stream(
             spark, src, DOC_DDL, state,
             keys=["doc_id"], partition_col="lang",
             dedup_index_path=idx,
@@ -181,7 +181,7 @@ def test_csv_drops_ingest(spark, tmp_path):
     with open(os.path.join(src, "d2.csv"), "w") as fh:
         fh.write("doc_id,text,lang,source,n_chars\n")
         fh.write("2,welt,de,s,4\n")
-    res = ingest_jsonl_stream(
+    res = ingest_file_stream(
         spark, src, DOC_DDL, state,
         keys=["doc_id"], partition_col="lang", fmt="csv",
     )
@@ -196,12 +196,12 @@ def test_key_and_partition_must_be_in_schema(spark, tmp_path):
     import pytest
 
     with pytest.raises(ValueError):
-        ingest_jsonl_stream(
+        ingest_file_stream(
             spark, str(tmp_path), DOC_DDL, str(tmp_path),
             keys=["nope"], partition_col="lang",
         )
     with pytest.raises(ValueError):
-        ingest_jsonl_stream(
+        ingest_file_stream(
             spark, str(tmp_path), DOC_DDL, str(tmp_path),
             keys=["doc_id"], partition_col="lang", fmt="xml",
         )

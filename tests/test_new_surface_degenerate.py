@@ -97,12 +97,12 @@ def test_contamination_empty_eval(spark, tmp_path):
 
 def test_ingest_empty_drop_dir(spark, tmp_path):
     from tmdb_sync_spark.plans.partitioned import read_partitioned
-    from tmdb_sync_spark.streaming.file_ingest import ingest_jsonl_stream
+    from tmdb_sync_spark.streaming.file_ingest import ingest_file_stream
 
     src = os.path.join(str(tmp_path), "drops")
     state = os.path.join(str(tmp_path), "state")
     os.makedirs(src)
-    res = ingest_jsonl_stream(
+    res = ingest_file_stream(
         spark, src, "doc_id bigint, text string, lang string", state,
         keys=["doc_id"], partition_col="lang",
     )

@@ -1,5 +1,5 @@
-"""Streaming JSONL ingest: a watched drop directory MERGEd into a
-partitioned table, with per-batch dead-lettering.
+"""Streaming file ingest (JSONL/CSV): a watched drop directory MERGEd
+into a partitioned table, with per-batch dead-lettering.
 
 The file-boundary twin of the HTTP cursor ingest (ingest.py): corpora
 that arrive as JSONL drops (the delivery shape of crawled / vendored
@@ -50,7 +50,7 @@ from tmdb_sync_spark.streaming.ingest import MERGE_LOCK_WAIT_S
 FILE_ERROR_SCHEMA = "raw_record STRING, batch_id BIGINT"
 
 
-def ingest_jsonl_stream(
+def ingest_file_stream(
     spark: SparkSession,
     src_dir: str,
     schema: StructType | str,
@@ -91,7 +91,7 @@ def ingest_jsonl_stream(
     the separator). Both route through the shared batch parsers, so
     dead-letter semantics are identical across boundary and format."""
     if fmt not in ("jsonl", "csv"):
-        raise ValueError(f"ingest_jsonl_stream: fmt {fmt!r} not in "
+        raise ValueError(f"ingest_file_stream: fmt {fmt!r} not in "
                          "('jsonl', 'csv')")
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
@@ -101,7 +101,7 @@ def ingest_jsonl_stream(
     for c in need:
         if c not in schema.fieldNames():
             raise ValueError(
-                f"ingest_jsonl_stream: {c!r} not in schema "
+                f"ingest_file_stream: {c!r} not in schema "
                 f"{schema.fieldNames()}"
             )
     table_path = os.path.join(state_dir, table_name)
@@ -197,3 +197,8 @@ def ingest_jsonl_stream(
         "errors_path": errors_path,
         **stats,
     }
+
+
+# Back-compat alias from when the ingest was JSONL-only; ``fmt`` made
+# the generic name the honest one.
+ingest_jsonl_stream = ingest_file_stream
