@@ -106,6 +106,42 @@ def test_csv_quoted_sep_ok_embedded_newline_dead_letters(spark, tmp_path):
     assert dead.count() == 2
 
 
+def test_jsonl_round_trip_hypothesis_unicode(spark, tmp_path):
+    """Property: ANY unicode text survives write_jsonl → read_jsonl
+    bit-exactly with zero dead letters (JSON escaping handles embedded
+    newlines, quotes, control chars — the line scan never splits a
+    document because \\n inside a JSON string is escaped, not literal).
+    The repo has caught real cross-engine unicode divergences before
+    (the \\x0B tokenizer incident); this pins the boundary the same
+    way."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    out_root = str(tmp_path)
+    case = [0]
+
+    @settings(
+        max_examples=20, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(st.text(max_size=60), min_size=1, max_size=6),
+    )
+    def check(texts):
+        case[0] += 1
+        out = os.path.join(out_root, f"hyp{case[0]}")
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        write_jsonl(df, out)
+        clean, dead = read_jsonl(spark, out, "doc_id long, text string")
+        assert dead.count() == 0
+        got = {r["doc_id"]: r["text"] for r in clean.collect()}
+        assert got == {i: t for i, t in enumerate(texts)}
+
+    check()
+
+
 def test_schema_with_corrupt_col_refused(spark):
     with pytest.raises(ValueError):
         read_jsonl(spark, "/nonexistent", f"a bigint, {CORRUPT_COL} string")
