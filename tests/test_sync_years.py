@@ -43,7 +43,8 @@ def test_two_year_backfill_with_per_year_cursors(spark, tmp_path):
         assert cur["page"] == pages
         assert cur["inserted"] == len(expected_ok_ids(y, n))
 
-    # dead letters keyed by (year, page): both years' page-1 rows coexist
+    # dead letters keyed by (content_type, year, page): both years'
+    # page-1 rows coexist
     errs = spark.read.parquet(f"{state}/errors_years")
     got = {(r["year"], r["item_id"]) for r in errs.collect()}
     bad = {i for i in range(19990001, 19990001 + n)
@@ -364,3 +365,35 @@ def test_provenance_fields_category_and_sort_by(spark, tmp_path):
     assert yr["category"] == "discover_year_1999"
     assert yr["sort_by"] == "popularity.desc"
     assert yr["last_popularity_sync_at"] is not None
+
+
+def test_dead_letters_isolated_per_content_type(spark, tmp_path):
+    """r6-ADVICE (medium): the fixture's ids repeat across content types
+    within a year (year*10000 + rank), so a tv run over the same
+    year/page range as an earlier movie run used to _clear_batch_errors
+    and dynamically overwrite the movie run's year=Y/page=P partitions —
+    silently destroying the other feed's current-failure rows. The table
+    is now partitioned by (content_type, year, page) and the clear keys
+    on content_type too: both runs' dead letters coexist, each keyed by
+    its own feed identity."""
+    state = str(tmp_path / "s")
+    run_sync_years(spark, state, start_year=1999, content_type="movie")
+    run_sync_years(spark, state, start_year=1999, content_type="tv")
+
+    errs = spark.read.parquet(f"{state}/errors_years")
+    got = {(r["content_type"], r["item_id"]) for r in errs.collect()}
+
+    def bad(n):
+        return {i for i in range(19990001, 19990001 + n)
+                if i % 97 == 0 or i % 89 == 0}
+
+    want = ({("movie", i) for i in bad(fixture.YEAR_ITEMS["movie"])}
+            | {("tv", i) for i in bad(fixture.YEAR_ITEMS["tv"])})
+    assert got == want
+    # a replay of ONE content type clears and rewrites only its own
+    # partitions: the other feed's rows survive byte-for-byte
+    run_sync_years(spark, state, start_year=1999, content_type="movie",
+                   resume=False)
+    errs2 = spark.read.parquet(f"{state}/errors_years")
+    got2 = {(r["content_type"], r["item_id"]) for r in errs2.collect()}
+    assert got2 == want

@@ -390,10 +390,14 @@ def run_sync_years(
       BATCH granularity (a set-oriented engine commits whole batches;
       the reference stops mid-page), counting successfully upserted
       rows exactly as the reference counts successful upserts.
-    - dead-letters go to ``errors_years`` partitioned by (year, page):
-      page numbers repeat across years, so the replay-idempotent
-      clear+overwrite must key on the FEED identity too — the engine's
-      layout for the reference's single blind-insert collection.
+    - dead-letters go to ``errors_years`` partitioned by
+      (content_type, year, page): page numbers repeat across years AND
+      the fixture's ids repeat across content types within a year, so
+      the replay-idempotent clear+overwrite must key on the FULL feed
+      identity — a tv run over year=Y/page=P must never clear or
+      dynamically overwrite a movie run's current-failure rows for the
+      same (Y, P). The engine's layout for the reference's single
+      blind-insert collection.
     """
     # sort_by picks which sync stamp the upsert sets (upsert.py:94-99);
     # the reference passes it through to the discover request too — the
@@ -442,7 +446,9 @@ def run_sync_years(
                 failed = F.col("id") % 97 == 0
                 skipped = F.col("id") % 89 == 0
                 _clear_batch_errors(
-                    os.path.join(errors_path, f"year={year}"),
+                    os.path.join(errors_path,
+                                 f"content_type={content_type}",
+                                 f"year={year}"),
                     page, int(last_page),
                 )
                 src.where(failed | skipped).select(
@@ -455,7 +461,7 @@ def run_sync_years(
                 ).to(StructType.fromDDL(YEAR_ERROR_SCHEMA)).write.mode(
                     "overwrite"
                 ).option("partitionOverwriteMode", "dynamic").partitionBy(
-                    "year", "page"
+                    "content_type", "year", "page"
                 ).parquet(errors_path)
 
                 ok = src.where(~(failed | skipped)).drop("page")
