@@ -127,3 +127,36 @@ def test_match_join_never_shuffles_the_index(spark, index_path):
     join_at = plan.index("BroadcastHashJoin")
     scan_at = plan.index("Scan parquet", join_at)
     assert "Exchange hashpartitioning" not in plan[join_at:scan_at]
+
+
+def test_zero_norm_vectors_survive_with_their_own_bucket(spark, index_path):
+    """r6-ADVICE: an all-zero vector satisfies the validity contract
+    (non-NULL, DIM components, all finite) — it just cannot cosine-match
+    anything. It must NOT be reported as invalid or silently dropped:
+    it survives, is listed under `zero_norm`, and is neither probed nor
+    appended to the index (cosine is undefined for it)."""
+    a = _vec(0)
+    r = dedup_vectors_against_index(
+        spark,
+        _df(spark, [
+            (1, a),
+            (2, [0.0] * DIM),                  # valid, zero norm
+            (3, [1.0] * (DIM - 1)),            # wrong DIM → invalid
+        ]),
+        index_path,
+    )
+    assert r["invalid"] == [3]
+    assert r["zero_norm"] == [2]
+    assert sorted(x["vec_id"] for x in r["survivors"].collect()) == [1, 2]
+    # the index holds only the bucketable survivor
+    idx_ids = sorted(
+        x["vec_id"] for x in
+        spark.read.parquet(index_path).select("vec_id").collect()
+    )
+    assert idx_ids == [1]
+    # a second drop: the zero vector neither matches nor is matched
+    r2 = dedup_vectors_against_index(
+        spark, _df(spark, [(10, [0.0] * DIM)]), index_path
+    )
+    assert r2["zero_norm"] == [10]
+    assert [x["vec_id"] for x in r2["survivors"].collect()] == [10]

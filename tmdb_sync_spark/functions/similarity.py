@@ -206,8 +206,16 @@ def bucketed_from(emb: DataFrame, n_bits: int) -> DataFrame:
     the incremental vector index (functions/vector_index.py) — one
     bucketing definition, or index and batch silently diverge.
     """
+    # try_element_at, not element_at: under ANSI mode a malformed
+    # embedding with < n_bits components would raise INVALID_ARRAY_INDEX
+    # from the bit probe if a consumer filter on `bucket` ever reordered
+    # ahead of the nrm > 0 validity drop — the same optimizer-placement
+    # fragility _guarded_quant closes for the arithmetic. NULL probes
+    # fold to "0" bits; the row's v/nrm are NULL anyway, so the validity
+    # contract still excludes it downstream (r6 ADVICE).
     bits = [
-        F.when(F.element_at(F.col("embedding"), i + 1) >= 0, "1").otherwise("0")
+        F.when(F.try_element_at(F.col("embedding"), F.lit(i + 1)) >= 0,
+               "1").otherwise("0")
         for i in range(n_bits)
     ]
     q = emb.select(

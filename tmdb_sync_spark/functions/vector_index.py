@@ -113,21 +113,36 @@ def dedup_vectors_against_index(
 
     Returns ``{"survivors": DataFrame (of new_vecs rows),
     "dropped_vs_index": [...], "dropped_in_batch": [...],
-    "invalid": [...]}``. ``invalid`` lists drop vectors failing the
-    validity contract (NULL / wrong DIM / non-finite) — they neither
-    merge nor index, the quantization guard's policy surfaced rather
-    than silently vanishing. Within-drop near-dups fold by the batch
-    candidate machinery (skew-tiled bucket self-pairs, exact cosine,
-    greedy keep-smallest-id). All dropped lists are bounded by the
-    DROP size."""
+    "invalid": [...], "zero_norm": [...]}``. ``invalid`` lists drop
+    vectors failing the validity contract (NULL / wrong DIM /
+    non-finite) — they neither merge nor index, the quantization
+    guard's policy surfaced rather than silently vanishing.
+    ``zero_norm`` lists structurally VALID vectors whose quantized norm
+    is 0 (r6 ADVICE: a zero vector satisfies the validity contract; it
+    just cannot cosine-match anything) — they SURVIVE, but are neither
+    probed nor indexed, since cosine is undefined for them and the
+    bucketed projection excludes them by construction. Within-drop
+    near-dups fold by the batch candidate machinery (skew-tiled bucket
+    self-pairs, exact cosine, greedy keep-smallest-id). All dropped
+    lists are bounded by the DROP size."""
+    from tmdb_sync_spark.functions.similarity import (
+        _guarded_quant,
+        _nrm_expr,
+    )
+
     b = bucketed_from(new_vecs, N_DUP_BITS).cache()
     try:
-        valid_ids = {r["vec_id"] for r in b.select("vec_id").collect()}
-        invalid = sorted(
-            r["vec_id"]
-            for r in new_vecs.select("vec_id").collect()
-            if r["vec_id"] not in valid_ids
-        )
+        # one pass splits the taxonomy: nrm NULL ⇒ structurally invalid
+        # (the guarded quantization refused the row), nrm 0 ⇒ valid but
+        # zero-norm (excluded from b by its nrm > 0 filter, yet NOT
+        # invalid under the documented contract)
+        norms = new_vecs.select(
+            "vec_id",
+            _nrm_expr(_guarded_quant(F.col("embedding"))).alias("nrm"),
+        ).collect()
+        invalid = sorted(r["vec_id"] for r in norms if r["nrm"] is None)
+        zero_norm = sorted(r["vec_id"] for r in norms if r["nrm"] == 0)
+        valid_ids = {r["vec_id"] for r in norms if r["nrm"]}
 
         dropped_vs_index: set = set()
         if vector_index_exists(index_path):
@@ -181,6 +196,7 @@ def dedup_vectors_against_index(
             "dropped_vs_index": sorted(dropped_vs_index),
             "dropped_in_batch": sorted(in_batch),
             "invalid": invalid,
+            "zero_norm": zero_norm,
         }
     finally:
         b.unpersist()
