@@ -144,3 +144,28 @@ def test_report_frame_appends(spark, state, tmp_path):
     with pytest.raises(ValueError, match="200"):
         report_frame(spark, reports, movie_id=1, path="/b.jpg",
                      reason="x" * 201)
+
+
+def test_stored_frames_carry_aspect_ratio(spark, state):
+    """r6-ADVICE: the reference's _normalize_frames keeps aspect_ratio on
+    every stored frame (app/catalog/upsert.py:26-34) and _project_movie
+    serves it verbatim — the stored struct must not be narrower. The
+    fixture's generator pins the exact expected value per (id, j)."""
+    mid = pick_target(spark, state)
+    frames = [f.asDict() for f in movie_row(spark, state, mid)["frames"]]
+    assert frames and all("aspect_ratio" in f for f in frames)
+    # every survivor passed the validity filter, so its stored ratio is
+    # in-range AND matches the fixture formula for SOME api slot j
+    from tmdb_sync_spark.sources import fixture
+
+    # keep-FIRST-valid per path (the dedup runs after the validity
+    # filter): a duplicate path at j+5 has a different ratio, so the
+    # order of this dict build is load-bearing
+    expect: dict = {}
+    for j in range(fixture.n_frames(mid)):
+        f = fixture.frame(mid, j)
+        if 1.5 <= f["aspect_ratio"] <= 2.2 and f["vote_average"] >= 0:
+            expect.setdefault(f["path"], f["aspect_ratio"])
+    for f in frames:
+        assert 1.5 <= f["aspect_ratio"] <= 2.2
+        assert f["aspect_ratio"] == expect[f["path"]]

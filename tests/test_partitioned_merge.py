@@ -949,7 +949,7 @@ def test_concurrent_first_ever_syncs_union_not_clobber(spark, tmp_path):
 
     movies = str(tmp_path / "movies")
     frames_t = ("array<struct<path:string,vote_average:double,"
-                "width:bigint>>")
+                "width:bigint,aspect_ratio:double>>")
 
     def batch(ids, year):
         return spark.createDataFrame(
@@ -961,6 +961,7 @@ def test_concurrent_first_ever_syncs_union_not_clobber(spark, tmp_path):
                 F.lit("/a.jpg").alias("path"),
                 F.lit(5.0).alias("vote_average"),
                 F.lit(640).cast("bigint").alias("width"),
+                F.lit(1.78).alias("aspect_ratio"),
             )).cast(frames_t).alias("frames"),
             F.lit(1).cast("long").alias("n_valid_frames"),
             F.current_timestamp().alias("synced_at"),

@@ -77,12 +77,18 @@ def valid_deduped_frames(frames: DataFrame) -> DataFrame:
     ``app/tmdb_client.py:194-196``) then keep-first dedup by (id, path) in
     API order (``:199-212``) — via aggregates, not windows: one shuffle on
     (id, path) after a map-side partial combine. The surviving struct ``s``
-    carries (vote_average, width) for the downstream argmax."""
+    carries (vote_average, width) for the downstream argmax plus
+    aspect_ratio, which the reference's ``_normalize_frames`` keeps on
+    every stored frame (``app/catalog/upsert.py:26-34``) and
+    ``_project_movie`` serves verbatim — dropping it here would make
+    served documents narrower than the reference's (r6 ADVICE)."""
     valid = frames.where(
         F.col("aspect_ratio").between(1.5, 2.2) & (F.col("vote_average") >= 0)
     )
     return valid.groupBy("id", "path").agg(
-        F.min_by(F.struct("vote_average", "width"), "j").alias("s")
+        F.min_by(
+            F.struct("vote_average", "width", "aspect_ratio"), "j"
+        ).alias("s")
     )
 
 
@@ -106,6 +112,10 @@ def frames_array_agg() -> "F.Column":
                 F.col("path"),
                 F.col("s.vote_average").alias("vote_average"),
                 F.col("s.width").alias("width"),
+                # appended LAST: array_sort compares struct fields in
+                # order, and (id, path) is unique post-dedup, so the
+                # canonical path-first ordering is unchanged
+                F.col("s.aspect_ratio").alias("aspect_ratio"),
             )
         )
     )
@@ -120,7 +130,8 @@ def pick_backdrop_expr(frames: "F.Column", bad: "F.Column") -> "F.Column":
     Returns NULL when no frame survives (the reference returns None)."""
     allowed = F.filter(
         F.coalesce(frames, F.array().cast(
-            "array<struct<path:string,vote_average:double,width:bigint>>")),
+            "array<struct<path:string,vote_average:double,width:bigint,"
+            "aspect_ratio:double>>")),
         lambda f: ~F.array_contains(
             F.coalesce(bad, F.array().cast("array<string>")), f["path"]
         ),

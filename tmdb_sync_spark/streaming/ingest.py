@@ -117,7 +117,8 @@ def _build_source(feed: DataFrame) -> DataFrame:
     # upsert.py:76-90's "mix in existing marks, then pick_backdrop").
     frames_agg = dedup.groupBy("id").agg(frames_array_agg().alias("frames"))
     empty_frames = F.array().cast(
-        "array<struct<path:string,vote_average:double,width:bigint>>"
+        "array<struct<path:string,vote_average:double,width:bigint,"
+        "aspect_ratio:double>>"
     )
     return (
         enriched.join(frames_agg, "id", "left")
