@@ -259,3 +259,23 @@ def test_release_dir_lock_only_removes_own_lock(tmp_path):
     assert not os.path.exists(lock2)
     # 5. already-gone lock: quiet no-op
     util.release_dir_lock(lock2)
+
+
+def test_reset_hook_kinds_split_staged_from_model(monkeypatch):
+    """bench.py's warm reps drop staged intermediates but keep trained
+    model artifacts (the IVF codebook memo carries its own fingerprint
+    invalidation); a full reset still clears both."""
+    calls: list[str] = []
+    monkeypatch.setattr(util, "_RESET_HOOKS", [])
+    util.register_reset_hook(lambda: calls.append("staged"))
+    util.register_reset_hook(lambda: calls.append("model"), kind="model")
+
+    util.reset_materialization_cache(kinds=("staged",))
+    assert calls == ["staged"]
+
+    calls.clear()
+    util.reset_materialization_cache()
+    assert sorted(calls) == ["model", "staged"]
+
+    with pytest.raises(ValueError, match="kind"):
+        util.register_reset_hook(lambda: None, kind="index")
