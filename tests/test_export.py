@@ -1,0 +1,246 @@
+"""Sharded training export + source mixing contracts
+(functions/export.py).
+
+No SQL oracle exists for file layout / xxhash64, so the contracts are
+pinned directly: exactly-once membership, deterministic within-shard
+order, one data file per shard, manifest-vs-data agreement, atomic
+publish, and mix proportion/determinism bounds — the same treatment as
+tests/test_sampling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.functions.export import (
+    MANIFEST_NAME,
+    export_training_shards,
+    mix_sources,
+    order_expr,
+    read_manifest,
+    shard_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from tmdb_sync_spark.io import table
+
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+
+
+def _data_files(shard_dir: str) -> list[str]:
+    return [
+        f for f in os.listdir(shard_dir)
+        if not f.startswith(("_", ".")) and not f.endswith(".crc")
+    ]
+
+
+def test_export_exactly_once_ordered_one_file_per_shard(
+    spark, docs, tmp_path
+):
+    out = str(tmp_path / "export_v1")
+    n = 8
+    m = export_training_shards(
+        docs, out, n, seed=7, keep_order_col="rank"
+    )
+
+    # manifest agrees with itself and with the input
+    n_in = docs.count()
+    assert m["total_rows"] == n_in
+    assert sum(s["rows"] for s in m["shards"].values()) == n_in
+    assert read_manifest(out) == m
+
+    back = spark.read.parquet(out)
+    # exactly-once membership, shard assignment = the pure expression
+    got = {
+        (r["doc_id"], r["shard"])
+        for r in back.select("doc_id", "shard").collect()
+    }
+    want = {
+        (r["doc_id"], r["s"])
+        for r in docs.select(
+            "doc_id", shard_expr(F.col("doc_id"), n, 7).alias("s")
+        ).collect()
+    }
+    assert got == want
+
+    # one data file per non-empty shard; rows inside are rank-ascending
+    for i in range(n):
+        sd = os.path.join(out, f"shard={i}")
+        if not os.path.isdir(sd):
+            assert m["shards"][str(i)]["rows"] == 0
+            continue
+        files = _data_files(sd)
+        assert len(files) == 1, f"shard {i}: {files}"
+        ranks = [
+            r["rank"]
+            for r in spark.read.parquet(sd).select("rank").collect()
+        ]
+        # parquet preserves write order within a file
+        assert ranks == sorted(ranks)
+        assert len(ranks) == m["shards"][str(i)]["rows"]
+
+
+def test_export_order_is_layout_independent(spark, docs, tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    export_training_shards(docs, a, 4, seed=3, keep_order_col="rank")
+    export_training_shards(
+        docs.repartition(17).orderBy(F.desc("doc_id")), b, 4, seed=3,
+        keep_order_col="rank",
+    )
+    for i in range(4):
+        da, db = f"{a}/shard={i}", f"{b}/shard={i}"
+        assert os.path.isdir(da) == os.path.isdir(db)
+        if not os.path.isdir(da):
+            continue
+        ra = [r["doc_id"] for r in spark.read.parquet(da).collect()]
+        rb = [r["doc_id"] for r in spark.read.parquet(db).collect()]
+        assert ra == rb
+
+
+def test_export_seed_changes_order_not_membership_count(
+    spark, docs, tmp_path
+):
+    a = str(tmp_path / "s0")
+    b = str(tmp_path / "s1")
+    export_training_shards(docs, a, 4, seed=0, keep_order_col="rank")
+    export_training_shards(docs, b, 4, seed=1, keep_order_col="rank")
+    ids_a = sorted(
+        r["doc_id"] for r in spark.read.parquet(a).collect()
+    )
+    ids_b = sorted(
+        r["doc_id"] for r in spark.read.parquet(b).collect()
+    )
+    assert ids_a == ids_b                     # same corpus
+    seq_a = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{a}/shard=0").collect()
+    ]
+    seq_b = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{b}/shard=0").collect()
+    ]
+    assert seq_a != seq_b                     # a new epoch order
+
+
+def test_export_manifest_tokens_and_jsonl(spark, docs, tmp_path):
+    out = str(tmp_path / "jl")
+    with_tok = docs.withColumn("n_tokens", F.length("text"))
+    m = export_training_shards(
+        with_tok, out, 3, fmt="jsonl", tokens_col="n_tokens"
+    )
+    want = with_tok.agg(F.sum("n_tokens")).collect()[0][0]
+    assert m["total_tokens"] == want
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, n_tokens long"
+    ).json(f"{out}/shard=0")
+    assert back.count() == m["shards"]["0"]["rows"]
+
+
+def test_export_refuses_existing_and_clears_stale_staging(
+    docs, tmp_path
+):
+    out = str(tmp_path / "pub")
+    # a crashed run's leftovers must not poison the retry
+    staging = out + "._staging"
+    os.makedirs(os.path.join(staging, "shard=0"))
+    with open(os.path.join(staging, "shard=0", "junk"), "w") as f:
+        f.write("partial")
+    m = export_training_shards(docs, out, 2)
+    assert not os.path.exists(staging)
+    assert m["total_rows"] > 0
+    assert os.path.exists(os.path.join(out, MANIFEST_NAME))
+    with pytest.raises(ValueError, match="immutable"):
+        export_training_shards(docs, out, 2)
+
+
+def test_read_manifest_rejects_unpublished(tmp_path):
+    d = str(tmp_path / "not_an_export")
+    os.makedirs(d)
+    with pytest.raises(ValueError, match="manifest"):
+        read_manifest(d)
+
+
+def test_order_expr_independent_of_shard_expr(spark):
+    # membership and order must decorrelate: across shards, order ranks
+    # of shard-0 docs span the full range, not a band
+    df = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    rows = df.select(
+        shard_expr(F.col("doc_id"), 2).alias("s"),
+        order_expr(F.col("doc_id")).alias("r"),
+    ).collect()
+    r0 = sorted(r["r"] for r in rows if r["s"] == 0)
+    r1 = sorted(r["r"] for r in rows if r["s"] == 1)
+    # interleaving check: the medians of the two groups are close
+    # relative to the overall spread (a correlated hash would split
+    # the rank space)
+    all_r = sorted(r["r"] for r in rows)
+    spread = all_r[-1] - all_r[0]
+    assert abs(r0[len(r0) // 2] - r1[len(r1) // 2]) < spread / 10
+
+
+def test_mix_proportions_and_determinism(spark):
+    big = spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+    small = spark.range(100000, 105000).select(
+        F.col("id").alias("doc_id")
+    )
+    mixed = mix_sources(
+        {"web": (big, 1.0), "code": (small, 1.0)}, seed=5
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # binding source (code: 5000/1.0) rides whole; web downsamples to
+    # ~5000 (hash noise ~ sqrt(5000) ≈ 71; allow 5 sigma)
+    assert counts["code"] == 5000
+    assert abs(counts["web"] - 5000) < 400
+
+    again = mix_sources(
+        {"web": (big, 1.0), "code": (small, 1.0)}, seed=5
+    )
+    assert sorted(
+        (r["doc_id"], r["source"]) for r in mixed.collect()
+    ) == sorted((r["doc_id"], r["source"]) for r in again.collect())
+
+    # exactly-once: no row appears twice
+    assert mixed.count() == mixed.select("doc_id", "source").distinct() \
+                                 .count()
+
+
+def test_mix_rejects_empty_and_nonpositive(spark):
+    df = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    empty = df.where(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        mix_sources({"a": (df, 1.0), "b": (empty, 1.0)})
+    with pytest.raises(ValueError, match="> 0"):
+        mix_sources({"a": (df, 0.0)})
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_sources({})
+
+
+def test_mix_weights_skewed(spark):
+    a = spark.range(0, 30000).select(F.col("id").alias("doc_id"))
+    b = spark.range(50000, 80000).select(F.col("id").alias("doc_id"))
+    mixed = mix_sources({"a": (a, 3.0), "b": (b, 1.0)}, seed=2)
+    counts = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # scale = min(30000/3, 30000/1) = 10000 → a: 30000 (binding),
+    # b: 10000 ± noise
+    assert counts["a"] == 30000
+    assert abs(counts["b"] - 10000) < 500

@@ -8,6 +8,7 @@ tables. Importing this package populates the query registry.
 from tmdb_sync_spark.functions import (  # noqa: F401
     dedup,
     dedup_index,
+    export,
     multimodal,
     pipeline,
     sampling,

@@ -1,0 +1,282 @@
+"""Deterministic sharded training export + weighted source mixing — the
+trainer handoff at the end of the curation pipeline.
+
+Two operations between a curated corpus (functions/pipeline.py →
+functions/sampling.py) and a training job, each expressed so the 100 TB
+shape is the natural one:
+
+- **Sharded export with a deterministic global shuffle.** Trainers
+  consume fixed shard files in a reproducible pseudo-random document
+  order — "shuffle once at export, stream shards at train time" — so
+  the export must pin BOTH shard membership and within-shard order as
+  pure functions of (key, seed), never of cluster layout. Shard =
+  ``pmod(xxhash64(key, salt, seed), n_shards)``; order within a shard =
+  ascending ``xxhash64(key, order_salt, seed)`` (an independent salt,
+  so order is decorrelated from membership). One shuffle total: rows
+  are repartitioned BY the shard column and sorted within partitions,
+  so the partitioned writer emits exactly ONE file per shard, already
+  in final order — no global sort, no second pass, no driver funnel.
+  A new seed is a new epoch order; re-exporting a grown corpus moves no
+  existing row between shards beyond the modulus change the caller
+  asked for.
+
+- **Weighted source mixing**: combine N source frames into one corpus
+  matching target proportions, without replacement — the
+  domain-mixture step every pretraining run tunes. The largest corpus
+  honoring the proportions is taken: the binding source (smallest
+  count/weight ratio) rides through whole; every other source is
+  hash-threshold downsampled (sampling.py's deterministic keep) to its
+  share. One bounded count() per source at plan-build; the plan itself
+  is a union of filtered scans — no shuffle at all.
+
+Crash safety: the export stages into ``<out>._staging`` and publishes
+with one atomic rename — a reader never sees a half-written shard set,
+and a crashed export leaves only a staging dir the next run clears
+(same single-writer contract as the MERGE swap, without the journal:
+an export target is immutable once published, so there is nothing to
+roll forward). The manifest (per-shard rows/tokens/bytes) is written
+INSIDE the staging dir before the rename, so its presence certifies a
+complete export.
+
+No DuckDB oracle twins: file layout and xxhash64 have no SQL-parity
+surface — the contracts are pinned by property tests
+(tests/test_export.py), the same weaker-but-honest treatment as
+functions/sampling.py. These are beyond-registry operators (the
+50-entry driver window is full); they compose with the registered
+surface: ``export_training_shards(curated_corpus(...))``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Salt spaces, disjoint from sampling.py's: a doc's split label, sample
+# keep, pack bucket, shard, order rank, and mix keep must be mutually
+# independent hashes.
+_SHARD_SALT = "shard"
+_ORDER_SALT = "order"
+_MIX_SALT = "mix"
+
+# sampling.py's hash-space modulus — same quantization bound (1e-6).
+from tmdb_sync_spark.functions.sampling import _M  # noqa: E402
+
+MANIFEST_NAME = "_export_manifest.json"
+
+
+def shard_expr(key: Column, n_shards: int, seed: int = 0) -> Column:
+    """Deterministic shard index in [0, n_shards) for ``key``."""
+    return F.pmod(
+        F.xxhash64(key, F.lit(_SHARD_SALT), F.lit(seed)), F.lit(n_shards)
+    )
+
+
+def order_expr(key: Column, seed: int = 0) -> Column:
+    """Deterministic pseudo-shuffle rank — independent of shard
+    membership (distinct salt). Ties are possible only on xxhash64
+    collisions; the writer breaks them on the key itself, so the
+    exported order is total either way."""
+    return F.xxhash64(key, F.lit(_ORDER_SALT), F.lit(seed))
+
+
+def export_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    *,
+    key: str = "doc_id",
+    seed: int = 0,
+    fmt: str = "parquet",
+    tokens_col: str | None = None,
+    keep_order_col: str | None = None,
+) -> dict:
+    """Publish ``df`` as ``n_shards`` shard files under ``out_dir`` in a
+    deterministic pseudo-random order, plus a manifest.
+
+    Layout: ``out_dir/shard=<i>/part-...`` with exactly one data file
+    per shard (one writer task per shard value by construction), rows
+    inside each file in ascending ``order_expr`` — so a loader that
+    streams shards sequentially replays the same document order on
+    every run, any cluster, any input partitioning. ``fmt``:
+    ``parquet`` or ``jsonl``.
+
+    The manifest (``out_dir/_export_manifest.json``) records per-shard
+    ``rows`` (and ``tokens`` when ``tokens_col`` is given) plus totals
+    — the loader's integrity check, computed from the DATA in the same
+    job (one extra bounded aggregate of ``n_shards`` rows), not trusted
+    bookkeeping. Returns the manifest dict.
+
+    ``keep_order_col``: also write the rank under this name (tests use
+    it to assert order; trainers normally leave it out).
+
+    Sizing: one task writes each shard, so pick ``n_shards`` to land
+    shards in the loader-friendly 100 MB–1 GB band (a 100 TB corpus ⇒
+    ~10⁵ shards) — that simultaneously bounds writer-task memory and
+    keeps the range exchange wide.
+
+    Crash/replay contract: refuses an existing ``out_dir`` (exports are
+    immutable, version the path); a stale ``._staging`` from a crashed
+    run is cleared and redone; publish is one atomic rename.
+
+    Precondition: ``key`` is unique (the curated corpus's contract —
+    dedup runs upstream). Duplicate keys still export exactly once each,
+    but their relative order within the shard is unpinned (shard, rank,
+    and tie-break are all functions of the key alone).
+    """
+    if n_shards <= 0:
+        raise ValueError("export_training_shards: n_shards must be > 0")
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(
+            f"export_training_shards: fmt {fmt!r} not in "
+            "('parquet', 'jsonl')"
+        )
+    if os.path.exists(out_dir):
+        raise ValueError(
+            f"export_training_shards: {out_dir!r} exists — exports are "
+            "immutable; write to a new (versioned) path"
+        )
+    if key not in df.columns:
+        raise ValueError(f"export_training_shards: no {key!r} column")
+
+    staging = out_dir.rstrip("/") + "._staging"
+    if os.path.exists(staging):
+        # a crashed export's leftovers — single-writer contract, same as
+        # the MERGE lock's domain; safe to clear and redo
+        shutil.rmtree(staging)
+
+    kcol = F.col(key)
+    rank = order_expr(kcol, seed)
+    laid = df.withColumn("shard", shard_expr(kcol, n_shards, seed)) \
+             .withColumn("_rank", rank)
+    # ONE exchange: hash-repartition on the shard value, then a
+    # partition-local sort. Each shard value lands wholly in one task,
+    # so partitionBy() emits one file per shard, already ordered; the
+    # key tie-break makes the order total under rank collisions.
+    out_cols = [c for c in df.columns] + (
+        ["_rank"] if keep_order_col else []
+    )
+    laid = (
+        # range partitioning, not hash: with values 0..n_shards-1 into
+        # n_shards partitions it is ~one shard per task, so the widest
+        # writer task owns ONE shard file; hash-partitioning the shard
+        # value collides ~1/e of tasks into 2-3 shards — a 2-3× write
+        # straggler at scale for no benefit
+        laid.repartitionByRange(n_shards, "shard")
+        .sortWithinPartitions("shard", "_rank", key)
+        .select("shard", *out_cols)
+    )
+    if keep_order_col:
+        laid = laid.withColumnRenamed("_rank", keep_order_col)
+
+    writer = laid.write.mode("errorifexists").partitionBy("shard")
+    if fmt == "parquet":
+        writer.parquet(staging)
+    else:
+        writer.json(staging)
+
+    # manifest from the data itself: n_shards bounded rows
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    if tokens_col is not None:
+        aggs.append(F.sum(F.col(tokens_col).cast("long")).alias("tokens"))
+    per_shard = {
+        int(r["shard"]): {k: int(r[k]) for k in r.asDict() if k != "shard"}
+        for r in df.withColumn("shard", shard_expr(kcol, n_shards, seed))
+        .groupBy("shard").agg(*aggs).collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "key": key,
+        "format": fmt,
+        "shards": {str(i): per_shard.get(i, {"rows": 0}) for i in
+                   range(n_shards)},
+        "total_rows": sum(s["rows"] for s in per_shard.values()),
+    }
+    if tokens_col is not None:
+        manifest["total_tokens"] = sum(
+            s.get("tokens", 0) for s in per_shard.values()
+        )
+    with open(os.path.join(staging, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
+    os.rename(staging, out_dir)   # the publish point — atomic
+    return manifest
+
+
+def read_manifest(out_dir: str) -> dict:
+    """The published export's manifest; raises if absent (an export dir
+    without one was never published — a staging leak or a foreign
+    directory, either way not a readable export)."""
+    p = os.path.join(out_dir, MANIFEST_NAME)
+    if not os.path.exists(p):
+        raise ValueError(f"read_manifest: no manifest at {p!r}")
+    with open(p) as f:
+        return json.load(f)
+
+
+def mix_sources(
+    sources: Mapping[str, tuple[DataFrame, float]],
+    *,
+    key: str = "doc_id",
+    seed: int = 0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Union of the sources downsampled to target proportions, without
+    replacement — the largest corpus honoring the weights.
+
+    ``sources``: ``{name: (frame, weight)}``. The binding source
+    (smallest ``count/weight``) passes whole; each other source keeps a
+    deterministic hash fraction of its rows so realized proportions
+    track the weights (quantized at 1e-6 + hash noise ~ 1/sqrt(n) —
+    proportions are targets, not exact counts; an exact-count mix needs
+    a global rank, i.e. a sort, which the hash keep deliberately
+    avoids). Output carries ``source_col`` naming each row's origin.
+
+    Plan shape: one bounded ``count()`` per source at build time, then
+    a union of filtered scans — the keep predicate sits directly on
+    each source's scan, no shuffle anywhere. Deterministic per
+    (key, seed): re-running, repartitioning, or growing OTHER sources
+    never flips a kept row, and the mix salt is independent of the
+    split/sample/shard salts so downstream sampling stays unbiased.
+    """
+    if not sources:
+        raise ValueError("mix_sources: sources must be non-empty")
+    for name, (sdf, w) in sources.items():
+        if w <= 0:
+            raise ValueError(
+                f"mix_sources: weight for {name!r} must be > 0 (drop the "
+                "source instead of zero-weighting it)"
+            )
+        if key not in sdf.columns:
+            raise ValueError(f"mix_sources: {name!r} has no {key!r} column")
+
+    counts = {
+        name: sdf.count() for name, (sdf, _) in sources.items()
+    }
+    empty = [n for n, c in counts.items() if c == 0]
+    if empty:
+        raise ValueError(
+            f"mix_sources: empty source(s) {empty} — a zero-row source "
+            "forces the whole mix to zero; drop it explicitly"
+        )
+    # the binding source fixes the scale: take_i = weight_i * scale
+    scale = min(counts[n] / w for n, (_, w) in sources.items())
+
+    parts = []
+    for name, (sdf, w) in sources.items():
+        frac = min(1.0, (w * scale) / counts[name])
+        b = F.pmod(
+            F.xxhash64(F.col(key), F.lit(_MIX_SALT), F.lit(seed)),
+            F.lit(_M),
+        )
+        kept = sdf.where(b < F.lit(int(round(frac * _M))))
+        parts.append(kept.withColumn(source_col, F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

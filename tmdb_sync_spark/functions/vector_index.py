@@ -132,17 +132,23 @@ def dedup_vectors_against_index(
 
     b = bucketed_from(new_vecs, N_DUP_BITS).cache()
     try:
-        # one pass splits the taxonomy: nrm NULL ⇒ structurally invalid
-        # (the guarded quantization refused the row), nrm 0 ⇒ valid but
-        # zero-norm (excluded from b by its nrm > 0 filter, yet NOT
-        # invalid under the documented contract)
-        norms = new_vecs.select(
+        # taxonomy split: nrm NULL ⇒ structurally invalid (the guarded
+        # quantization refused the row), nrm 0 ⇒ valid but zero-norm
+        # (excluded from b by its nrm > 0 filter, yet NOT invalid under
+        # the documented contract). Collect ONLY the anomalous rows —
+        # driver memory is O(anomalies), not O(drop): a "drop" can be a
+        # vendor delivery of millions of vectors, and the previous
+        # full-drop collect made the driver the bottleneck exactly when
+        # the distributed path was doing its job. The valid count for
+        # the broadcast size gate comes from the cached bucketed frame,
+        # which IS the valid subset by construction.
+        anomalies = new_vecs.select(
             "vec_id",
             _nrm_expr(_guarded_quant(F.col("embedding"))).alias("nrm"),
-        ).collect()
-        invalid = sorted(r["vec_id"] for r in norms if r["nrm"] is None)
-        zero_norm = sorted(r["vec_id"] for r in norms if r["nrm"] == 0)
-        valid_ids = {r["vec_id"] for r in norms if r["nrm"]}
+        ).where(F.col("nrm").isNull() | (F.col("nrm") == 0)).collect()
+        invalid = sorted(r["vec_id"] for r in anomalies if r["nrm"] is None)
+        zero_norm = sorted(r["vec_id"] for r in anomalies if r["nrm"] == 0)
+        n_valid = b.count()
 
         dropped_vs_index: set = set()
         if vector_index_exists(index_path):
@@ -156,7 +162,7 @@ def dedup_vectors_against_index(
             dropped_vs_index = {
                 r["vec_id"]
                 for r in vector_index_matches(
-                    idx, b, threshold, probe_rows=len(valid_ids)
+                    idx, b, threshold, probe_rows=n_valid
                 ).collect()
             }
 
