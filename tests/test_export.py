@@ -244,3 +244,26 @@ def test_mix_weights_skewed(spark):
     # b: 10000 ± noise
     assert counts["a"] == 30000
     assert abs(counts["b"] - 10000) < 500
+
+
+def test_export_layout_is_one_exchange(spark, docs):
+    """The scale claim, on the plan: ONE range exchange on shard, a
+    partition-local sort, no second exchange, no global sort."""
+    from tmdb_sync_spark.functions.export import shard_layout
+
+    plan = shard_layout(docs, 8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan
+    # the sort is partition-local (global=false in the Sort operator)
+    assert "Sort [shard" in plan and "false, 0" in plan
+
+
+def test_mix_plan_is_shuffle_free(spark):
+    from tmdb_sync_spark.functions.export import mix_sources
+
+    a = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    b = spark.range(9000, 14000).select(F.col("id").alias("doc_id"))
+    plan = mix_sources({"a": (a, 1.0), "b": (b, 1.0)})._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -84,6 +84,38 @@ def order_expr(key: Column, seed: int = 0) -> Column:
     return F.xxhash64(key, F.lit(_ORDER_SALT), F.lit(seed))
 
 
+def shard_layout(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    key: str = "doc_id",
+    seed: int = 0,
+    keep_order_col: str | None = None,
+) -> DataFrame:
+    """The export's physical layout, exposed for plan assertion: rows
+    with their ``shard`` column, range-partitioned BY shard (values
+    0..n-1 into n partitions ≈ one shard per task — hash-partitioning
+    the shard value collides ~1/e of tasks into 2-3 shards, a 2-3×
+    write straggler at scale) and sorted within partitions by
+    ``(shard, rank, key)`` — the key tie-break makes the order total
+    under rank collisions. ONE exchange total; ``partitionBy("shard")``
+    on this frame emits one file per shard, already in final order."""
+    kcol = F.col(key)
+    laid = df.withColumn("shard", shard_expr(kcol, n_shards, seed)) \
+             .withColumn("_rank", order_expr(kcol, seed))
+    out_cols = [c for c in df.columns] + (
+        ["_rank"] if keep_order_col else []
+    )
+    laid = (
+        laid.repartitionByRange(n_shards, "shard")
+        .sortWithinPartitions("shard", "_rank", key)
+        .select("shard", *out_cols)
+    )
+    if keep_order_col:
+        laid = laid.withColumnRenamed("_rank", keep_order_col)
+    return laid
+
+
 def export_training_shards(
     df: DataFrame,
     out_dir: str,
@@ -149,29 +181,9 @@ def export_training_shards(
         # the MERGE lock's domain; safe to clear and redo
         shutil.rmtree(staging)
 
-    kcol = F.col(key)
-    rank = order_expr(kcol, seed)
-    laid = df.withColumn("shard", shard_expr(kcol, n_shards, seed)) \
-             .withColumn("_rank", rank)
-    # ONE exchange: hash-repartition on the shard value, then a
-    # partition-local sort. Each shard value lands wholly in one task,
-    # so partitionBy() emits one file per shard, already ordered; the
-    # key tie-break makes the order total under rank collisions.
-    out_cols = [c for c in df.columns] + (
-        ["_rank"] if keep_order_col else []
+    laid = shard_layout(
+        df, n_shards, key=key, seed=seed, keep_order_col=keep_order_col
     )
-    laid = (
-        # range partitioning, not hash: with values 0..n_shards-1 into
-        # n_shards partitions it is ~one shard per task, so the widest
-        # writer task owns ONE shard file; hash-partitioning the shard
-        # value collides ~1/e of tasks into 2-3 shards — a 2-3× write
-        # straggler at scale for no benefit
-        laid.repartitionByRange(n_shards, "shard")
-        .sortWithinPartitions("shard", "_rank", key)
-        .select("shard", *out_cols)
-    )
-    if keep_order_col:
-        laid = laid.withColumnRenamed("_rank", keep_order_col)
 
     writer = laid.write.mode("errorifexists").partitionBy("shard")
     if fmt == "parquet":
@@ -185,8 +197,9 @@ def export_training_shards(
         aggs.append(F.sum(F.col(tokens_col).cast("long")).alias("tokens"))
     per_shard = {
         int(r["shard"]): {k: int(r[k]) for k in r.asDict() if k != "shard"}
-        for r in df.withColumn("shard", shard_expr(kcol, n_shards, seed))
-        .groupBy("shard").agg(*aggs).collect()
+        for r in df.withColumn(
+            "shard", shard_expr(F.col(key), n_shards, seed)
+        ).groupBy("shard").agg(*aggs).collect()
     }
     manifest = {
         "n_shards": n_shards,

@@ -372,3 +372,167 @@ def pii_counts_expr(col: Column) -> Column:
             F.lit(PHONE_PATTERN),
         ).alias("phones"),
     )
+
+
+# --- repetition quality signals (corpus-prep filter family) -----------
+#
+# The standard repetition heuristics pretraining pipelines gate on
+# (popularized by the Gopher/MassiveText filtering rules): documents
+# dominated by repeated lines, repeated n-grams, or a single frequent
+# n-gram are boilerplate/spam, not prose. Two shapes on purpose:
+#
+# - max_char_run_expr is a pure projection (one regex pass, no shuffle);
+# - repetition_stats is explode + two-level aggregation — per-doc
+#   distinct-counting CANNOT be a linear projection (an array-HOF form
+#   is O(lines²) per doc: each distinct-line occurrence count rescans
+#   the array — a 10k-line doc would do 10⁸ comparisons in one task),
+#   so the scalable form shuffles on (doc_id, unit) with map-side
+#   partial counts, exactly the tx_ngram_topk layout. Both shuffles key
+#   on doc-scoped units: uniform, unskewable by any single hot n-gram.
+
+def max_char_run_expr(col: Column) -> Column:
+    """Length of the longest same-character run — the cheap spam tell
+    ("aaaaaaa…"), as one linear regex extraction (runs can't overlap,
+    so extract-all sees each once; map-side, no shuffle)."""
+    runs = F.regexp_extract_all(col, F.lit(r"((.)\2*)"), 1)
+    return F.coalesce(
+        F.array_max(F.transform(runs, F.length)), F.lit(0)
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-document repetition signals: ``(id_col, n_lines,
+    dup_line_frac, dup_line_char_frac, top_ngram_frac, dup_ngram_frac,
+    max_char_run)``.
+
+    - ``dup_line_frac``: fraction of (trimmed, non-empty) line
+      OCCURRENCES beyond the first of their text — 0 when every line is
+      unique.
+    - ``dup_line_char_frac``: fraction of line CHARACTERS sitting in
+      duplicated lines (all occurrences count, the Gopher reading: a
+      doc that is one boilerplate line pasted 50× scores ≈ 1).
+    - ``top_ngram_frac``: fraction of token positions covered by the
+      single most frequent ``top_n``-gram (ties broken toward the
+      higher count; 0 when the doc has fewer than ``top_n`` tokens).
+    - ``dup_ngram_frac``: fraction of ``dup_n``-gram occurrences that
+      are repeats of an already-seen ``dup_n``-gram.
+    - ``max_char_run``: :func:`max_char_run_expr`.
+
+    Documents whose text is NULL/empty surface with zeroed stats (they
+    are the quality filter's problem, not a missing row). Tokenization
+    is THE shared tokenizer (:data:`tokens_expr`); lines split on
+    ``\\n`` and trim ``WS_CHARS``.
+
+    A typical gate (the caller's policy, deliberately not baked in):
+    ``dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.30 AND
+    top_ngram_frac <= 0.20 AND dup_ngram_frac <= 0.30``.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    ).withColumn("_toks", tokens_expr(F.col("_t")))
+
+    # map-side pieces: token count + char run, one row per doc
+    per_doc = base.select(
+        id_col,
+        F.when(F.col("_t") == "", 0).otherwise(F.size("_toks"))
+         .alias("_ntok"),
+        max_char_run_expr(F.col("_t")).alias("max_char_run"),
+    )
+
+    # lines: explode → (id, line) partial counts → per-doc roll-up
+    lines = base.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.transform(F.split("_t", "\n"), trim_ws),
+                lambda x: x != "",
+            )
+        ).alias("_line"),
+    )
+    line_stats = (
+        lines.groupBy(id_col, "_line")
+        .agg(F.count(F.lit(1)).alias("_c"), F.length("_line").alias("_len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n_lines"),
+            (1 - F.count(F.lit(1)) / F.sum("_c")).alias("dup_line_frac"),
+            (
+                F.sum(F.when(F.col("_c") > 1, F.col("_c") * F.col("_len"))
+                      .otherwise(0))
+                / F.sum(F.col("_c") * F.col("_len"))
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+    def _ngrams(n: int) -> Column:
+        # positions 0..ntok-n; the join separator is "\n", which no
+        # token can contain (tokens are WS-split and \n ∈ WS_CHARS), so
+        # distinct n-grams never collide into one joined string
+        return F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.array_join(
+                    F.slice("_toks", i + 1, n), "\n"
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _gram_stats(n: int, out: str, kind: str) -> DataFrame:
+        grams = base.select(
+            id_col, F.explode(_ngrams(n)).alias("_g")
+        )
+        counted = grams.groupBy(id_col, "_g").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        if kind == "top":
+            # fraction of token positions covered by the top n-gram:
+            # max count × n over the doc's token count
+            agg = counted.groupBy(id_col).agg(
+                F.max("_c").alias("_m"), F.sum("_c").alias("_tot")
+            )
+            return agg.select(
+                id_col,
+                # capped at 1: overlapping occurrences ("a a a a"'s
+                # 2-gram "a a" appears 3× in 4 tokens) would otherwise
+                # push the covered-positions estimate past the doc
+                F.least(
+                    F.col("_m") * n / (F.col("_tot") + n - 1), F.lit(1.0)
+                ).alias(out),
+            )
+        # dup: fraction of n-gram occurrences that are repeats
+        agg = counted.groupBy(id_col).agg(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c") - 1).otherwise(0))
+             .alias("_d"),
+            F.sum("_c").alias("_tot"),
+        )
+        return agg.select(
+            id_col, (F.col("_d") / F.col("_tot")).alias(out)
+        )
+
+    top = _gram_stats(top_n, "top_ngram_frac", "top")
+    dup = _gram_stats(dup_n, "dup_ngram_frac", "dup")
+
+    return (
+        per_doc.join(line_stats, id_col, "left")
+        .join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0))
+             .alias("dup_line_char_frac"),
+            F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+            F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+            "max_char_run",
+        )
+    )
