@@ -138,3 +138,32 @@ def test_shuffles_key_on_doc_scoped_units(spark):
 
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert "doc_id" in m.group(1), m.group(0)
+
+
+def test_crlf_and_unicode_lines(spark):
+    """Windows line endings: split on \\n leaves a trailing \\r, which
+    trim_ws strips (\\r is in WS_CHARS) — so 'a\\r\\na\\r\\n' is a
+    duplicated line, not two distinct lines 'a\\r' / 'a'. Unicode
+    content rides through untouched."""
+    s = _stats(spark, [
+        (1, "a\r\na\r\nb"),
+        (2, "héllo wörld\nhéllo wörld"),
+        (3, "x x\nx x"),
+    ])
+    assert s[1]["n_lines"] == 3
+    assert s[1]["dup_line_frac"] == pytest.approx(1 - 2 / 3)
+    assert s[2]["dup_line_frac"] == pytest.approx(0.5)
+    assert s[3]["dup_line_frac"] == pytest.approx(0.5)
+    # doc 3 tokenizes across the newline (\\n is WS): x,x,x,x → the
+    # 2-gram 'x x' appears 3× in 4 tokens → 3·2/4 = 1.5 → capped at 1
+    assert s[3]["top_ngram_frac"] == pytest.approx(1.0)
+
+
+def test_huge_single_line_is_one_line(spark):
+    doc = "tok " * 5000
+    s = _stats(spark, [(1, doc)])
+    assert s[1]["n_lines"] == 1
+    assert s[1]["dup_line_frac"] == 0.0
+    # 5000 identical tokens: every 2-gram identical → frac capped at 1
+    assert s[1]["top_ngram_frac"] == pytest.approx(1.0)
+    assert s[1]["dup_ngram_frac"] == pytest.approx(1 - 1 / 4996)

@@ -159,6 +159,12 @@ def export_training_shards(
     dedup runs upstream). Duplicate keys still export exactly once each,
     but their relative order within the shard is unpinned (shard, rank,
     and tie-break are all functions of the key alone).
+
+    ``df`` must be deterministic between actions (the manifest aggregate
+    is a second scan — a frame derived from ``rand()`` could publish a
+    manifest disagreeing with its own data; a table-backed frame, the
+    normal input, cannot). Same contract as the engine's other
+    plan-time-probe operators (pairs.tiled_self_pairs).
     """
     if n_shards <= 0:
         raise ValueError("export_training_shards: n_shards must be > 0")
