@@ -205,3 +205,37 @@ def test_key_and_partition_must_be_in_schema(spark, tmp_path):
             spark, str(tmp_path), DOC_DDL, str(tmp_path),
             keys=["doc_id"], partition_col="lang", fmt="xml",
         )
+
+
+def test_gzip_drops_ingest(spark, tmp_path):
+    """Vendor deliveries arrive gzipped: the file-stream text source
+    decompresses .gz transparently (one task per gz file — the files.py
+    splittability note), and the parse/dead-letter path is unchanged.
+    A mixed drop dir (plain + gz) processes both exactly once."""
+    import gzip
+
+    src = os.path.join(str(tmp_path), "drops")
+    state = os.path.join(str(tmp_path), "state")
+    os.makedirs(src)
+
+    with gzip.open(os.path.join(src, "drop1.jsonl.gz"), "wt") as fh:
+        fh.write("\n".join([
+            _doc(1, "packed alpha"),
+            "corrupt { line",
+            _doc(2, "packed beta", "de"),
+        ]) + "\n")
+    with open(os.path.join(src, "drop2.jsonl"), "w") as fh:
+        fh.write(_doc(3, "plain gamma") + "\n")
+
+    res = _run(spark, src, state)
+    assert res["dead"] == 1
+    t = read_partitioned(spark, res["table_path"])
+    assert {r["doc_id"] for r in t.select("doc_id").collect()} == {1, 2, 3}
+    assert t.where(F.col("doc_id") == 1).collect()[0]["text"] == \
+        "packed alpha"
+
+    # resume: nothing new → nothing reprocessed
+    res2 = _run(spark, src, state)
+    assert res2["batches"] == 0 or read_partitioned(
+        spark, res2["table_path"]
+    ).count() == 3
