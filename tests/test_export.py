@@ -267,3 +267,40 @@ def test_mix_plan_is_shuffle_free(spark):
     plan = mix_sources({"a": (a, 1.0), "b": (b, 1.0)})._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_read_training_shards_verifies_and_detects_loss(
+    spark, docs, tmp_path
+):
+    import shutil
+
+    out = str(tmp_path / "verified")
+    m = export_training_shards(docs, out, 4)
+    from tmdb_sync_spark.functions.export import read_training_shards
+
+    back = read_training_shards(spark, out)
+    assert back.count() == m["total_rows"]
+
+    # simulate a lost shard file (partial copy): verify must fail loudly
+    lost = next(
+        i for i in range(4) if m["shards"][str(i)]["rows"] > 0
+    )
+    shutil.rmtree(os.path.join(out, f"shard={lost}"))
+    spark.catalog.refreshByPath(out)
+    with pytest.raises(ValueError, match=f"shard {lost}"):
+        read_training_shards(spark, out)
+    # opting out of verification reads what remains (caller's choice)
+    assert read_training_shards(spark, out, verify=False).count() < \
+        m["total_rows"]
+
+
+def test_read_training_shards_jsonl_roundtrip(spark, docs, tmp_path):
+    out = str(tmp_path / "jl_rt")
+    m = export_training_shards(docs, out, 2, fmt="jsonl")
+    from tmdb_sync_spark.functions.export import read_training_shards
+
+    back = read_training_shards(spark, out)
+    assert back.count() == m["total_rows"]
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }

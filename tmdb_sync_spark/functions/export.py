@@ -238,6 +238,53 @@ def read_manifest(out_dir: str) -> dict:
         return json.load(f)
 
 
+def read_training_shards(
+    spark, out_dir: str, *, verify: bool = True
+) -> DataFrame:
+    """The loader side: the published export as a DataFrame (with its
+    ``shard`` column), after checking the data against the manifest.
+
+    ``verify=True`` (default) runs ONE bounded aggregate — per-shard
+    row counts vs the manifest's — and raises listing every diverging
+    shard. This is the integrity check the manifest exists for: a
+    shard file lost to a partial copy, or rows lost to a corrupted
+    transfer, fails loudly here instead of silently shortening an
+    epoch. (Token sums are deliberately not re-verified: rows are the
+    file-loss signal; re-summing a token column costs a full column
+    scan for no additional detection power.) Skip it only on hot paths
+    that re-read an export they just verified.
+
+    Order note: Spark does not guarantee row order across a parquet
+    scan — a trainer that needs the exported order streams shard files
+    directly (their physical row order IS the rank order); this reader
+    is for set-oriented consumers (stats, re-mixing, re-export).
+    """
+    m = read_manifest(out_dir)
+    df = (
+        spark.read.parquet(out_dir) if m.get("format") == "parquet"
+        else spark.read.json(out_dir)
+    )
+    if verify:
+        got = {
+            int(r["shard"]): r["n"]
+            for r in df.groupBy("shard").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        bad = []
+        for i in range(m["n_shards"]):
+            want = m["shards"][str(i)]["rows"]
+            have = got.get(i, 0)
+            if want != have:
+                bad.append(f"shard {i}: manifest={want} data={have}")
+        if bad:
+            raise ValueError(
+                f"read_training_shards: {out_dir!r} fails integrity: "
+                + "; ".join(bad)
+            )
+    return df
+
+
 def mix_sources(
     sources: Mapping[str, tuple[DataFrame, float]],
     *,
