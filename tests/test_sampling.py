@@ -331,3 +331,64 @@ def test_split_then_pack_composes(spark, docs):
     packed = pack_sequences(with_tokens, max_tokens=512, n_buckets=2,
                             seed=9)
     assert packed.count() == with_tokens.count()
+
+
+def test_cap_per_group_exact_and_layout_independent(spark):
+    """Per-domain quota: kept set == the naive single-window answer,
+    and identical under adversarial input layouts (the phase-1 salt is
+    layout-dependent; the RESULT must not be)."""
+    from pyspark.sql import Window
+
+    from tmdb_sync_spark.functions.sampling import cap_per_group
+
+    rows = [
+        (i, f"dom{i % 7}", float((i * 37) % 100)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, q double")
+
+    got = cap_per_group(df, "domain", "q", 5)
+    w = Window.partitionBy("domain").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    want = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 5).drop("_rn")
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == \
+        sorted(r["doc_id"] for r in want.collect())
+    # every domain capped
+    per = got.groupBy("domain").count().collect()
+    assert all(r["count"] == 5 for r in per)
+
+    relaid = cap_per_group(
+        df.repartition(13).orderBy(F.desc("doc_id")), "domain", "q", 5
+    )
+    assert sorted(r["doc_id"] for r in relaid.collect()) == \
+        sorted(r["doc_id"] for r in got.collect())
+
+
+def test_cap_per_group_small_groups_ride_whole(spark):
+    from tmdb_sync_spark.functions.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 9.0)],
+        "doc_id long, domain string, q double",
+    )
+    got = cap_per_group(df, "domain", "q", 10)
+    assert got.count() == 3
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        cap_per_group(df, "domain", "q", 0)
+
+
+def test_cap_per_group_ascending_keeps_worst_first(spark):
+    """descending=False: keep the k LOWEST (e.g. cap by perplexity)."""
+    from tmdb_sync_spark.functions.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "d", float(i)) for i in range(10)],
+        "doc_id long, domain string, ppl double",
+    )
+    got = cap_per_group(df, "domain", "ppl", 3, descending=False)
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1, 2]

@@ -315,3 +315,63 @@ def pack_sequences(
         bucketed.groupBy("_pb")
         .applyInPandas(pack_bucket, schema=out_schema)
     )
+
+
+# --- per-group caps (domain quota sampling) ---------------------------
+
+def cap_per_group(
+    df: DataFrame,
+    group: str,
+    rank_col: str,
+    k: int,
+    *,
+    key: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most ``k`` rows per ``group``, best-first by ``rank_col``
+    (ties broken ascending on ``key``) — the per-domain quota step
+    (CCNet-style: cap each web domain at its k best-quality pages so no
+    single host dominates the corpus).
+
+    Deterministic: the kept set is defined by the total order
+    ``(rank_col, key)`` alone. Requires unique ``key`` (the corpus
+    contract); duplicate keys make the tie-break ambiguous.
+
+    Scale shape — the naive single window (`row_number() OVER
+    (PARTITION BY group)`) funnels each group through ONE task before
+    cutting it, so a hot domain (one host = 10⁹ pages) becomes a
+    straggler exactly like the LSH hot bucket pairs.py tiles. Two
+    phases instead:
+
+    1. local top-k within ``(group, arrival partition)`` — the
+       arrival-partition id spreads any hot group across however many
+       tasks already hold its rows, and every row of the TRUE global
+       top-k survives its local cut (a row beaten by k rows locally is
+       beaten by k rows globally);
+    2. global top-k per group over the ≤ k·P survivors — by then the
+       hot group is at most k·P rows, not 10⁹.
+
+    The arrival-partition id is layout-dependent, but only the
+    SUPERSET it shapes is — phase 2's total order makes the final kept
+    set layout-independent (pinned by the repartition test).
+    """
+    if k <= 0:
+        raise ValueError("cap_per_group: k must be positive")
+    from pyspark.sql import Window
+
+    rank = F.col(rank_col).desc() if descending else F.col(rank_col).asc()
+    ordering = [rank, F.col(key).asc()]
+
+    w_local = Window.partitionBy(group, "_cap_salt").orderBy(*ordering)
+    survivors = (
+        df.withColumn("_cap_salt", F.spark_partition_id())
+        .withColumn("_cap_rn", F.row_number().over(w_local))
+        .where(F.col("_cap_rn") <= k)
+        .drop("_cap_salt", "_cap_rn")
+    )
+    w_global = Window.partitionBy(group).orderBy(*ordering)
+    return (
+        survivors.withColumn("_cap_rn", F.row_number().over(w_global))
+        .where(F.col("_cap_rn") <= k)
+        .drop("_cap_rn")
+    )
