@@ -150,13 +150,16 @@ def test_export_refuses_existing_and_clears_stale_staging(
     docs, tmp_path
 ):
     out = str(tmp_path / "pub")
-    # a crashed run's leftovers must not poison the retry
-    staging = out + "._staging"
-    os.makedirs(os.path.join(staging, "shard=0"))
-    with open(os.path.join(staging, "shard=0", "junk"), "w") as f:
-        f.write("partial")
+    # crashed runs' leftovers (both the legacy shared name and the
+    # writer-unique form) must not poison the retry
+    stagings = [out + "._staging", out + "._staging-99999-0"]
+    for staging in stagings:
+        os.makedirs(os.path.join(staging, "shard=0"))
+        with open(os.path.join(staging, "shard=0", "junk"), "w") as f:
+            f.write("partial")
     m = export_training_shards(docs, out, 2)
-    assert not os.path.exists(staging)
+    for staging in stagings:
+        assert not os.path.exists(staging)
     assert m["total_rows"] > 0
     assert os.path.exists(os.path.join(out, MANIFEST_NAME))
     with pytest.raises(ValueError, match="immutable"):

@@ -29,8 +29,8 @@ shape is the natural one:
   share. One bounded count() per source at plan-build; the plan itself
   is a union of filtered scans — no shuffle at all.
 
-Crash safety: the export stages into ``<out>._staging`` and publishes
-with one atomic rename — a reader never sees a half-written shard set,
+Crash safety: the export stages into a writer-unique
+``<out>._staging-<pid>-<seq>`` and publishes with one atomic rename — a reader never sees a half-written shard set,
 and a crashed export leaves only a staging dir the next run clears
 (same single-writer contract as the MERGE swap, without the journal:
 an export target is immutable once published, so there is nothing to
@@ -67,6 +67,20 @@ _MIX_SALT = "mix"
 from tmdb_sync_spark.functions.sampling import _M  # noqa: E402
 
 MANIFEST_NAME = "_export_manifest.json"
+
+# writer-unique staging suffix counter (see export_training_shards)
+import itertools as _itertools  # noqa: E402
+
+_STAGING_SEQ = _itertools.count()
+
+
+def _stale_stagings(base: str) -> list:
+    """Leftover staging dirs for ``base`` from crashed or raced runs."""
+    import glob as _glob
+
+    return _glob.glob(base + "._staging-*") + (
+        [base + "._staging"] if os.path.exists(base + "._staging") else []
+    )
 
 
 def shard_expr(key: Column, n_shards: int, seed: int = 0) -> Column:
@@ -152,8 +166,11 @@ def export_training_shards(
     keeps the range exchange wide.
 
     Crash/replay contract: refuses an existing ``out_dir`` (exports are
-    immutable, version the path); a stale ``._staging`` from a crashed
-    run is cleared and redone; publish is one atomic rename.
+    immutable, version the path); stale ``._staging-*`` dirs from
+    crashed or raced runs are cleared and redone; publish is one atomic
+    rename. Staging is writer-unique, so two racing exporters to the
+    same target write privately — the first rename publishes, the
+    second fails loudly on the existing target.
 
     Precondition: ``key`` is unique (the curated corpus's contract —
     dedup runs upstream). Duplicate keys still export exactly once each,
@@ -181,11 +198,20 @@ def export_training_shards(
     if key not in df.columns:
         raise ValueError(f"export_training_shards: no {key!r} column")
 
-    staging = out_dir.rstrip("/") + "._staging"
-    if os.path.exists(staging):
-        # a crashed export's leftovers — single-writer contract, same as
-        # the MERGE lock's domain; safe to clear and redo
-        shutil.rmtree(staging)
+    # staging is WRITER-UNIQUE (pid + monotonic counter): with a shared
+    # staging name, two concurrent exporters to the same target would
+    # rmtree each other's half-written staging and interleave their
+    # task files — found by this round's own review. Unique staging
+    # makes the race benign: both write privately, the first atomic
+    # rename publishes, the second fails LOUDLY on the existing target.
+    # Leftovers from crashed/raced runs match the glob prefix and are
+    # cleared here, where the immutable-target check already passed —
+    # any surviving *._staging-* under a published target is dead by
+    # construction (its rename can never succeed).
+    base = out_dir.rstrip("/")
+    for stale in _stale_stagings(base):
+        shutil.rmtree(stale, ignore_errors=True)
+    staging = f"{base}._staging-{os.getpid()}-{next(_STAGING_SEQ)}"
 
     laid = shard_layout(
         df, n_shards, key=key, seed=seed, keep_order_col=keep_order_col
