@@ -307,3 +307,63 @@ def test_read_training_shards_jsonl_roundtrip(spark, docs, tmp_path):
     assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
         r["doc_id"] for r in docs.select("doc_id").collect()
     }
+
+
+def test_full_corpus_to_trainer_chain(spark, sf_dir, tmp_path):
+    """The complete round-7 composition, end to end on the driver
+    corpus: documents → repetition gate → per-source cap → 2-source
+    mix → deterministic split → sharded export → verified read-back.
+    Every stage's invariant holds on the final artifact: membership is
+    a subset chain, nothing duplicates, and the manifest certifies the
+    published rows."""
+    from tmdb_sync_spark.functions.export import (
+        export_training_shards,
+        mix_sources,
+        read_training_shards,
+    )
+    from tmdb_sync_spark.functions.sampling import (
+        cap_per_group,
+        split_corpus,
+    )
+    from tmdb_sync_spark.functions.text import repetition_stats
+    from tmdb_sync_spark.io import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+    # quality gate: repetition thresholds (the caller-policy example
+    # from the docstring)
+    stats = repetition_stats(docs)
+    ok_ids = stats.where(
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("top_ngram_frac") <= 0.80)
+    ).select("doc_id")
+    gated = docs.join(ok_ids, "doc_id")
+    n_gated = gated.count()
+    assert 0 < n_gated <= docs.count()
+
+    # per-source cap, then a 2:1 mix of the two largest sources
+    capped = cap_per_group(gated, "source", "n_chars", 200)
+    srcs = [r["source"] for r in capped.groupBy("source").count()
+            .orderBy(F.desc("count")).limit(2).collect()]
+    mixed = mix_sources(
+        {srcs[0]: (capped.where(F.col("source") == srcs[0]), 2.0),
+         srcs[1]: (capped.where(F.col("source") == srcs[1]), 1.0)},
+        seed=11, source_col="mix_source",
+    )
+    train = split_corpus(mixed, seed=11).where(F.col("split") == "train")
+    n_train = train.count()
+    assert 0 < n_train <= n_gated
+
+    out = str(tmp_path / "train_v1")
+    m = export_training_shards(
+        train.drop("split"), out, 4, seed=11, tokens_col="n_chars"
+    )
+    assert m["total_rows"] == n_train
+
+    back = read_training_shards(spark, out)   # manifest-verified
+    assert back.count() == n_train
+    # membership chain: exported ⊆ gated ⊆ documents, no duplicates
+    assert back.select("doc_id").distinct().count() == n_train
+    assert back.join(gated, "doc_id", "left_anti").count() == 0

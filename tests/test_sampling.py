@@ -392,3 +392,18 @@ def test_cap_per_group_ascending_keeps_worst_first(spark):
     )
     got = cap_per_group(df, "domain", "ppl", 3, descending=False)
     assert sorted(r["doc_id"] for r in got.collect()) == [0, 1, 2]
+
+
+def test_pack_null_doc_id_fails_loudly(spark):
+    """A NULL doc id used to surface as a pandas IntCastingNaNError
+    buried in the Arrow kernel stack; the contract failure must name
+    itself (found by this round's NULL-probe of the kernel)."""
+    import pytest
+
+    from tmdb_sync_spark.functions.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        pack_sequences(df, 64, n_buckets=2).collect()

@@ -278,6 +278,13 @@ def pack_sequences(
         for pdf in pdfs:
             if pdf.empty:
                 continue
+            if pdf[dcol].isna().any():
+                # without this, a NULL id dies as a cryptic pandas
+                # IntCastingNaNError deep in the Arrow kernel (probed)
+                raise ValueError(
+                    f"pack_sequences: NULL {dcol} in the corpus — doc "
+                    "ids are the pack contract's key; fix upstream"
+                )
             if pdf[tcol].isna().any() or (pdf[tcol] < 0).any():
                 bad = pdf.loc[
                     pdf[tcol].isna() | (pdf[tcol] < 0), dcol
