@@ -197,3 +197,64 @@ def test_match_join_never_shuffles_the_index(spark, index_path):
     join_at = plan.index("BroadcastHashJoin")
     scan_at = plan.index("Scan parquet", join_at)
     assert "Exchange hashpartitioning" not in plan[join_at:scan_at]
+
+
+def test_compact_index_one_file_per_bucket_same_matches(spark, tmp_path):
+    """Compaction: many append files fold to one per bucket; match
+    results are byte-identical before/after; the swap is the journaled
+    write_partitioned path, so the crash contract is inherited."""
+    from tmdb_sync_spark.functions.dedup_index import (
+        _band_rows,
+        append_docs_to_index,
+        compact_index,
+        index_match_pairs,
+    )
+    from tmdb_sync_spark.functions.dedup import minhash_signature
+
+    idx_path = str(tmp_path / "idx")
+
+    def docs(lo, hi, suffix=""):
+        return spark.createDataFrame(
+            [(i, f"the quick brown fox {i} jumps over {i} dogs{suffix}")
+             for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    # five appends → ≥5 files in any touched bucket's history
+    for k in range(5):
+        append_docs_to_index(spark, idx_path, docs(k * 20, k * 20 + 20))
+
+    probe = _band_rows(minhash_signature(
+        docs(0, 10)  # exact re-sends: guaranteed index matches
+    ))
+    idx = spark.read.parquet(idx_path)
+    before = sorted(
+        (r["doc_id"], r["corpus_doc_id"], r["n_equal_hashes"])
+        for r in index_match_pairs(idx, probe).collect()
+    )
+    assert before   # non-vacuous
+
+    res = compact_index(spark, idx_path)
+    assert res["files_before"] > res["files_after"]
+    # exactly one data file per surviving bucket dir
+    import os as _os
+
+    for e in _os.scandir(idx_path):
+        if e.is_dir() and e.name.startswith("bb="):
+            files = [f for f in _os.listdir(e.path)
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (e.name, files)
+
+    spark.catalog.refreshByPath(idx_path)
+    idx2 = spark.read.parquet(idx_path)
+    assert idx2.count() == res["rows"]
+    after = sorted(
+        (r["doc_id"], r["corpus_doc_id"], r["n_equal_hashes"])
+        for r in index_match_pairs(idx2, probe).collect()
+    )
+    assert after == before
+
+    # appends keep working on the compacted layout
+    append_docs_to_index(spark, idx_path, docs(100, 110, "new"))
+    spark.catalog.refreshByPath(idx_path)
+    assert spark.read.parquet(idx_path).count() > res["rows"]

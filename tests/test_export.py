@@ -367,3 +367,67 @@ def test_full_corpus_to_trainer_chain(spark, sf_dir, tmp_path):
     # membership chain: exported ⊆ gated ⊆ documents, no duplicates
     assert back.select("doc_id").distinct().count() == n_train
     assert back.join(gated, "doc_id", "left_anti").count() == 0
+
+
+def test_embedding_quantization_roundtrip(spark, sf_dir):
+    """int8 payload quantization: per-component error ≤ scale/2 on the
+    real embeddings table, cosine preserved to ~1e-3, degenerate
+    vectors (NULL / all-zero) follow the engine conventions."""
+    from tmdb_sync_spark.functions.export import (
+        dequantize_embedding_expr,
+        quantize_embedding_expr,
+    )
+    from tmdb_sync_spark.io import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes, scale = quantize_embedding_expr(F.col("embedding"))
+    q = emb.select(
+        "vec_id", "embedding", codes.alias("codes"), scale.alias("scale")
+    ).withColumn(
+        "back", dequantize_embedding_expr(F.col("codes"), F.col("scale"))
+    )
+    # error bound + cosine drift, aggregated over the whole table
+    err = q.select(
+        F.array_max(F.zip_with(
+            "embedding", "back", lambda a, b: F.abs(a - b)
+        )).alias("max_err"),
+        F.col("scale").alias("s"),
+        (
+            F.aggregate(
+                F.zip_with("embedding", "back", lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            / (
+                F.sqrt(F.aggregate(
+                    F.transform("embedding", lambda a: a * a),
+                    F.lit(0.0), lambda acc, x: acc + x))
+                * F.sqrt(F.aggregate(
+                    F.transform("back", lambda a: a * a),
+                    F.lit(0.0), lambda acc, x: acc + x))
+            )
+        ).alias("cos"),
+    )
+    row = err.agg(
+        F.max(F.col("max_err") - F.col("s") / 2 - 1e-6).alias("viol"),
+        F.min("cos").alias("min_cos"),
+    ).collect()[0]
+    assert row["viol"] <= 0          # every component inside the bound
+    assert row["min_cos"] > 0.999
+
+    # degenerate conventions
+    d = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    c2, s2 = quantize_embedding_expr(F.col("embedding"))
+    rows = {
+        r["vec_id"]: r
+        for r in d.select(
+            "vec_id", c2.alias("c"), s2.alias("s")
+        ).withColumn(
+            "back", dequantize_embedding_expr(F.col("c"), F.col("s"))
+        ).collect()
+    }
+    assert rows[1]["c"] == [0, 0, 0] and rows[1]["s"] == 0.0
+    assert list(rows[1]["back"]) == [0.0, 0.0, 0.0]
+    assert rows[2]["c"] is None and rows[2]["back"] is None

@@ -160,3 +160,32 @@ def test_zero_norm_vectors_survive_with_their_own_bucket(spark, index_path):
     )
     assert r2["zero_norm"] == [10]
     assert [x["vec_id"] for x in r2["survivors"].collect()] == [10]
+
+
+def test_compact_vector_index(spark, tmp_path):
+    from tmdb_sync_spark.functions.vector_index import (
+        append_vectors_to_index,
+        compact_vector_index,
+    )
+    from tmdb_sync_spark.functions.similarity import DIM
+
+    idx_path = str(tmp_path / "vidx")
+
+    def vecs(lo, hi):
+        import math
+
+        return spark.createDataFrame(
+            [(i, [math.sin(i * 0.7 + p) for p in range(DIM)])
+             for i in range(lo, hi)],
+            f"vec_id long, embedding array<double>",
+        ).selectExpr(
+            "vec_id", "cast(embedding as array<float>) as embedding"
+        )
+
+    for k in range(4):
+        append_vectors_to_index(spark, idx_path, vecs(k * 50, k * 50 + 50))
+
+    res = compact_vector_index(spark, idx_path)
+    assert res["files_before"] > res["files_after"]
+    spark.catalog.refreshByPath(idx_path)
+    assert spark.read.parquet(idx_path).count() == res["rows"]

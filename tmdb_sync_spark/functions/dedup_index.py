@@ -213,6 +213,62 @@ def index_exists(index_path: str) -> bool:
     )
 
 
+def compact_index(
+    spark: SparkSession, index_path: str, *, cluster_by: str = "band_key"
+) -> dict:
+    """Rewrite the append-only index into one file per bucket.
+
+    Every drop appends ≥1 file per touched bucket, so a year of daily
+    drops leaves each ``bb=`` dir with hundreds of small files — at
+    which point the per-drop "one map-side index scan" pays more in
+    file-open overhead than in bytes. Compaction is a maintenance
+    rewrite: same rows, one file per bucket, locally sorted by
+    ``cluster_by`` so parquet row-group stats are tight for the
+    band-key equi-join.
+
+    Crash safety is NOT hand-rolled: the rewrite delegates to
+    ``plans.partitioned.write_partitioned`` — staging dir, journaled
+    swap plan, roll-forward recovery, writer lock — so a crash
+    mid-compaction leaves either the old file set or the new one,
+    never a torn index. Single-writer contract: do not compact while
+    a drop ingest is appending (the same serialization the dedup
+    ingest already requires); the lock makes a violation block rather
+    than corrupt.
+
+    Returns ``{"files_before", "files_after", "rows"}``.
+    """
+    from tmdb_sync_spark.plans.partitioned import write_partitioned
+
+    if not index_exists(index_path):
+        raise ValueError(f"compact_index: no index at {index_path!r}")
+
+    def _count_files() -> int:
+        n = 0
+        for e in os.scandir(index_path):
+            if e.is_dir() and e.name.startswith("bb="):
+                n += sum(
+                    1 for f in os.listdir(e.path)
+                    if not f.startswith(("_", ".")) and f.endswith(".parquet")
+                )
+        return n
+
+    before = _count_files()
+    idx = spark.read.parquet(index_path)
+    rows = idx.count()
+    # one task per bucket → exactly one output file per bucket; without
+    # this, every input task would write a sliver into every bucket —
+    # the very problem being compacted away
+    write_partitioned(
+        idx.repartition("bb"), index_path, "bb",
+        cluster_by=(cluster_by,),
+    )
+    return {
+        "files_before": before,
+        "files_after": _count_files(),
+        "rows": rows,
+    }
+
+
 def dedup_against_index(
     spark: SparkSession,
     new_docs: DataFrame,

@@ -372,3 +372,47 @@ def mix_sources(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- embedding payload quantization (export compression) --------------
+
+def quantize_embedding_expr(emb: Column):
+    """``(codes, scale)`` column pair: symmetric per-vector int8
+    quantization — ``codes[i] = round(emb[i] / scale)`` with
+    ``scale = max(|emb|) / 127`` — the standard 4× storage cut for
+    embedding payloads riding a training export (float32 → int8 +
+    one float scale). Pure Catalyst (two array HOFs, no shuffle, no
+    UDF); reconstruction error per component is ≤ scale/2 by
+    construction.
+
+    Degenerate inputs follow the engine's embedding conventions: a
+    NULL embedding yields NULL codes/scale; an all-zero vector yields
+    zero codes with scale 0 (dequantizing reproduces it exactly).
+    Non-finite components are the caller's problem (run the validity
+    contract first — similarity._valid_expr — exactly as the index
+    builders do): NaN poisons its own vector only.
+    """
+    mx = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    scale = (mx / F.lit(127.0)).cast("float")
+    codes = F.when(
+        scale > 0,
+        F.transform(
+            emb, lambda x: F.round(x / scale).cast("tinyint")
+        ),
+    ).otherwise(
+        F.when(
+            emb.isNotNull(),
+            F.transform(emb, lambda x: F.lit(0).cast("tinyint")),
+        )
+    )
+    return codes, scale
+
+
+def dequantize_embedding_expr(codes: Column, scale: Column) -> Column:
+    """Inverse of :func:`quantize_embedding_expr`:
+    ``codes[i] * scale`` as float — zero-scale vectors reconstruct to
+    exact zeros, NULLs stay NULL."""
+    return F.when(
+        codes.isNotNull(),
+        F.transform(codes, lambda c: (c * scale).cast("float")),
+    )

@@ -66,6 +66,42 @@ def vector_index_exists(index_path: str) -> bool:
     )
 
 
+def compact_vector_index(spark: SparkSession, index_path: str) -> dict:
+    """One file per bucket — the vector twin of
+    ``dedup_index.compact_index`` (same journaled-swap crash safety via
+    ``write_partitioned``, same single-writer contract); rows cluster
+    by ``vec_id`` for tight row-group stats."""
+    from tmdb_sync_spark.plans.partitioned import write_partitioned
+
+    if not vector_index_exists(index_path):
+        raise ValueError(
+            f"compact_vector_index: no index at {index_path!r}"
+        )
+
+    def _count_files() -> int:
+        n = 0
+        for e in os.scandir(index_path):
+            if e.is_dir() and e.name.startswith("bucket="):
+                n += sum(
+                    1 for f in os.listdir(e.path)
+                    if not f.startswith(("_", ".")) and f.endswith(".parquet")
+                )
+        return n
+
+    before = _count_files()
+    idx = spark.read.parquet(index_path)
+    rows = idx.count()
+    write_partitioned(
+        idx.repartition("bucket"), index_path, "bucket",
+        cluster_by=("vec_id",),
+    )
+    return {
+        "files_before": before,
+        "files_after": _count_files(),
+        "rows": rows,
+    }
+
+
 def vector_index_matches(
     idx: DataFrame, new_b: DataFrame, threshold: float = DUP_THRESHOLD,
     probe_rows: int | None = None,
