@@ -167,3 +167,50 @@ def test_huge_single_line_is_one_line(spark):
     # 5000 identical tokens: every 2-gram identical → frac capped at 1
     assert s[1]["top_ngram_frac"] == pytest.approx(1.0)
     assert s[1]["dup_ngram_frac"] == pytest.approx(1 - 1 / 4996)
+
+
+def test_quality_gate_audit_and_kept(spark):
+    from tmdb_sync_spark.functions.text import quality_gate
+
+    spam = "\n".join(["Buy now! Limited offer today only."] * 50)
+    runs = "Read this " + "a" * 200
+    clean = ("The quick brown fox jumps over the lazy dog.\n"
+             "Pack my box with five dozen liquor jugs.")
+    df = spark.createDataFrame(
+        [(1, clean), (2, spam), (3, runs), (4, clean + " indeed")],
+        "doc_id long, text string",
+    )
+    res = quality_gate(df)
+    kept_ids = {r["doc_id"] for r in res["kept"].collect()}
+    assert kept_ids == {1, 4}
+    a = res["audit"]
+    assert a["n_in"] == 4 and a["n_kept"] == 2
+    # the spam doc trips the line rules; the run doc trips the char run
+    assert a["dup_line_frac"] >= 1
+    assert a["max_char_run"] >= 1
+    # kept frame carries ORIGINAL columns untouched
+    assert set(res["kept"].columns) == {"doc_id", "text"}
+
+
+def test_quality_gate_threshold_typo_is_loud(spark):
+    from tmdb_sync_spark.functions.text import quality_gate
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown threshold"):
+        quality_gate(df, thresholds={"max_dup_lines_frac": 0.1})
+
+
+def test_quality_gate_min_quality(spark):
+    from tmdb_sync_spark.functions.text import quality_gate
+
+    good = ("the cat and the dog went to the market in town and "
+            "bought a fish")
+    df = spark.createDataFrame(
+        [(1, good), (2, "zz qq ww")],
+        "doc_id long, text string",
+    )
+    res = quality_gate(df, min_quality=0.8)
+    assert {r["doc_id"] for r in res["kept"].collect()} == {1}
+    assert res["audit"]["min_quality"] == 1

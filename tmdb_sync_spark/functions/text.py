@@ -536,3 +536,88 @@ def repetition_stats(
             "max_char_run",
         )
     )
+
+
+# default repetition-gate thresholds (the Gopher-style rule set the
+# docstrings cite); callers override per corpus
+GATE_DEFAULTS = {
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.30,
+    "max_top_ngram_frac": 0.20,
+    "max_dup_ngram_frac": 0.30,
+    "max_char_run": 80,
+}
+
+
+def quality_gate(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float | None = None,
+    thresholds: dict | None = None,
+) -> dict:
+    """The composed corpus filter: repetition signals (+ optionally the
+    quality score) applied with per-rule AUDIT COUNTS — the
+    observability a production scrub needs (a threshold drifting from
+    dropping 2% to 40% of a crawl should page someone, not silently
+    shrink the corpus).
+
+    Returns ``{"kept": DataFrame (input rows), "audit": {rule:
+    n_dropped_by_it, ..., "n_in", "n_kept"}}``. A document failing
+    several rules counts once PER RULE in the audit (the counts answer
+    "what is each rule doing", not "how many dropped" — that is
+    ``n_in - n_kept``). One stats pass + one bounded audit aggregate;
+    the kept frame is the input anti-joined against failing ids, so
+    downstream plans see original columns untouched.
+
+    ``thresholds`` overrides :data:`GATE_DEFAULTS` per key (unknown
+    keys raise — a typo'd threshold silently defaulting is the worst
+    failure mode for a filter). ``min_quality`` additionally applies
+    :func:`quality_score_expr` ≥ the bound.
+    """
+    th = dict(GATE_DEFAULTS)
+    for k, v in (thresholds or {}).items():
+        if k not in GATE_DEFAULTS:
+            raise ValueError(
+                f"quality_gate: unknown threshold {k!r} "
+                f"(valid: {sorted(GATE_DEFAULTS)})"
+            )
+        th[k] = v
+
+    stats = repetition_stats(df, id_col=id_col, text_col=text_col)
+    rules = {
+        "dup_line_frac": F.col("dup_line_frac") > th["max_dup_line_frac"],
+        "dup_line_char_frac":
+            F.col("dup_line_char_frac") > th["max_dup_line_char_frac"],
+        "top_ngram_frac": F.col("top_ngram_frac") > th["max_top_ngram_frac"],
+        "dup_ngram_frac": F.col("dup_ngram_frac") > th["max_dup_ngram_frac"],
+        "max_char_run": F.col("max_char_run") > th["max_char_run"],
+    }
+    if min_quality is not None:
+        stats = stats.join(
+            df.select(
+                id_col,
+                quality_score_expr(F.col(text_col)).alias("_q"),
+            ),
+            id_col,
+        )
+        rules["min_quality"] = F.col("_q") < F.lit(float(min_quality))
+
+    fail_any = None
+    for cond in rules.values():
+        fail_any = cond if fail_any is None else (fail_any | cond)
+
+    audit_row = stats.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        *[
+            F.sum(cond.cast("long")).alias(name)
+            for name, cond in rules.items()
+        ],
+        F.sum((~fail_any).cast("long")).alias("n_kept"),
+    ).collect()[0]
+    audit = {k: int(audit_row[k] or 0) for k in audit_row.asDict()}
+
+    failing = stats.where(fail_any).select(id_col)
+    kept = df.join(failing, id_col, "left_anti")
+    return {"kept": kept, "audit": audit}
