@@ -431,3 +431,19 @@ def test_embedding_quantization_roundtrip(spark, sf_dir):
     assert rows[1]["c"] == [0, 0, 0] and rows[1]["s"] == 0.0
     assert list(rows[1]["back"]) == [0.0, 0.0, 0.0]
     assert rows[2]["c"] is None and rows[2]["back"] is None
+
+
+def test_shard_read_order_is_a_stable_permutation():
+    from tmdb_sync_spark.functions.export import shard_read_order
+
+    a = shard_read_order(16, epoch=0)
+    assert sorted(a) == list(range(16))      # a permutation
+    assert a == shard_read_order(16, epoch=0)   # stable
+    assert a != shard_read_order(16, epoch=1)   # epochs differ
+    assert a != list(range(16))              # epoch 0 already shuffled
+    assert shard_read_order(16, epoch=1, seed=9) != \
+        shard_read_order(16, epoch=1)        # seeds differ
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shard_read_order(0, epoch=0)

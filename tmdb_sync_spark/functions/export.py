@@ -416,3 +416,21 @@ def dequantize_embedding_expr(codes: Column, scale: Column) -> Column:
         codes.isNotNull(),
         F.transform(codes, lambda c: (c * scale).cast("float")),
     )
+
+
+def shard_read_order(n_shards: int, epoch: int, seed: int = 0) -> list:
+    """Deterministic shard permutation for an epoch — the cheap way to
+    vary training order across epochs WITHOUT re-exporting: write the
+    corpus once, stream shards in ``shard_read_order(n, epoch)`` order
+    each epoch (plus any loader-side buffer shuffle). Fisher–Yates
+    driven by the same xxhash64 family via Python's seeded Random —
+    pure driver-side arithmetic, identical on every machine and
+    every Python build (random.Random is version-stable by contract).
+    Epoch 0 is already shuffled (the permutation, not identity)."""
+    if n_shards <= 0:
+        raise ValueError("shard_read_order: n_shards must be > 0")
+    import random
+
+    order = list(range(n_shards))
+    random.Random(f"shard-order:{seed}:{epoch}").shuffle(order)
+    return order
