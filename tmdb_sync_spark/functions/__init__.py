@@ -6,6 +6,7 @@ tables. Importing this package populates the query registry.
 """
 
 from tmdb_sync_spark.functions import (  # noqa: F401
+    chunking,
     dedup,
     dedup_index,
     export,
@@ -13,6 +14,7 @@ from tmdb_sync_spark.functions import (  # noqa: F401
     pipeline,
     sampling,
     similarity,
+    stats,
     text,
     vector_index,
 )
