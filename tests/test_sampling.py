@@ -407,3 +407,67 @@ def test_pack_null_doc_id_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="NULL doc_id"):
         pack_sequences(df, 64, n_buckets=2).collect()
+
+
+def test_materialize_packs_roundtrip(spark, docs):
+    """The pack text splits back into exactly its members, in FFD
+    insertion order; every doc's text appears exactly once corpus-wide;
+    the separator tokenizes as one token so materialized token counts
+    are Σ members + (n_docs − 1)."""
+    from tmdb_sync_spark.functions.sampling import (
+        EOD_SEP,
+        materialize_packs,
+    )
+
+    base = docs.where(F.col("text").isNotNull())
+    with_tokens = base.select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    packed = pack_sequences(with_tokens, max_tokens=256, seed=1)
+    packs = materialize_packs(base, packed).cache()
+    try:
+        tok_by_id = {
+            r["doc_id"]: (r["n_tokens"], r["text"])
+            for r in base.select(
+                "doc_id", F.size(tokens_expr(F.col("text")))
+                .alias("n_tokens"), "text",
+            ).collect()
+        }
+        seen: list = []
+        for p in packs.collect():
+            members = p["text"].split(f"\n{EOD_SEP}\n")
+            assert len(members) == p["n_docs"] == len(p["doc_ids"])
+            # member texts match their ids, in (tokens desc, id) order
+            assert members == [tok_by_id[i][1] for i in p["doc_ids"]]
+            order = [(-tok_by_id[i][0], i) for i in p["doc_ids"]]
+            assert order == sorted(order)
+            assert p["pack_tokens"] == sum(
+                tok_by_id[i][0] for i in p["doc_ids"]
+            )
+            seen += list(p["doc_ids"])
+        assert sorted(seen) == sorted(tok_by_id)
+        # the separator is one whitespace token: materialized text
+        # tokenizes to pack_tokens + (n_docs - 1)
+        mat = packs.select(
+            "pack_id",
+            (F.size(tokens_expr(F.col("text")))
+             - (F.col("n_docs") - 1)).alias("t"),
+            "pack_tokens",
+        ).where(F.col("t") != F.col("pack_tokens"))
+        assert mat.count() == 0
+    finally:
+        packs.unpersist()
+
+
+def test_materialize_packs_single_shuffle_after_join(spark, docs):
+    """Plan shape: one join on the doc key + one aggregate exchange on
+    pack_id — no window, no extra sort exchange."""
+    from tmdb_sync_spark.functions.sampling import materialize_packs
+
+    with_tokens = docs.select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    packed = pack_sequences(with_tokens, max_tokens=256, n_buckets=4)
+    plan = materialize_packs(docs, packed)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in plan

@@ -382,3 +382,79 @@ def cap_per_group(
         .where(F.col("_cap_rn") <= k)
         .drop("_cap_rn")
     )
+
+
+# --- pack materialization (the trainer-input last mile) ----------------
+
+# Default end-of-document separator woven between packed docs — a
+# sentinel the whitespace tokenizer sees as ONE token, so a pack's
+# materialized token count is Σ member tokens + (members − 1).
+EOD_SEP = "<|endofdoc|>"
+
+
+def materialize_packs(
+    docs: DataFrame,
+    assignments: DataFrame,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = EOD_SEP,
+) -> DataFrame:
+    """Turn :func:`pack_sequences` assignments into actual trainer
+    inputs: one row per pack — ``(pack_id, doc_ids, n_docs,
+    pack_tokens, oversize, text)`` with members' texts joined by
+    ``\\n<sep>\\n`` in the pack's insertion order.
+
+    Insertion order is reconstructed, not stored: FFD inserts a pack's
+    members longest-first with the id tie-break, so sorting members by
+    ``(n_tokens desc, doc id asc)`` reproduces it exactly — the
+    assignment table stays narrow and the order is still deterministic
+    end to end. ``doc_ids`` carries provenance in the same order, the
+    column a loss-masking or attention-boundary consumer derives spans
+    from (spans are re-derivable from the member texts + separator
+    length; storing offsets would duplicate what the text already
+    pins).
+
+    Scale shape: one equi-join on ``doc_col`` (the docs side carries
+    the heavy text column straight from its scan; the assignment side
+    is narrow), then ONE shuffle on ``pack_id`` whose per-group state —
+    ``collect_list`` of member structs — is bounded by the pack budget
+    (≤ max_tokens of text per group by construction), so no group can
+    outgrow a task. A pack whose members are missing from ``docs``
+    (inner join) simply shrinks: callers feed the same frame they
+    packed, and the tests pin the every-doc-exactly-once contract.
+
+    ``oversize`` is true iff the pack is a single-doc over-budget pack
+    (FFD flags the doc; the pack inherits it).
+    """
+    member = F.struct(
+        (-F.col("n_tokens")).alias("_neg"),
+        F.col("_mid").alias("_mid"),
+        F.col(text_col).alias("_txt"),
+    )
+    joined = assignments.select(
+        F.col(doc_col).alias("_mid"), "n_tokens", "pack_id",
+        "pack_tokens", "oversize",
+    ).join(
+        docs.select(F.col(doc_col).alias("_mid"), text_col), "_mid"
+    )
+    ordered = F.array_sort(F.collect_list(member))
+    return (
+        joined.groupBy("pack_id")
+        .agg(
+            F.max("pack_tokens").alias("pack_tokens"),
+            F.max("oversize").alias("oversize"),
+            ordered.alias("_m"),
+        )
+        .select(
+            "pack_id",
+            F.transform(F.col("_m"), lambda m: m["_mid"]).alias("doc_ids"),
+            F.size("_m").alias("n_docs"),
+            "pack_tokens",
+            "oversize",
+            F.array_join(
+                F.transform(F.col("_m"), lambda m: m["_txt"]),
+                f"\n{sep}\n",
+            ).alias(text_col),
+        )
+    )
