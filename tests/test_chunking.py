@@ -202,3 +202,39 @@ def test_no_shuffle_in_plan(spark, sf_dir):
             table(spark, sf_dir, "documents"), 100, 20
         )._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_char_parity_unicode(spark, tmp_path):
+    """Cross-engine codepoint contract: Spark length/substr and DuckDB
+    length/substring both count CODEPOINTS — including combining marks,
+    ZWJ emoji sequences (each codepoint separate), and astral-plane
+    chars (never split surrogate pairs). Probed, then pinned with frame
+    parity on a hostile unicode corpus."""
+    texts = [
+        "héllo wörld héllo wörld",
+        "日本語のテキストです。長い文書を分割します。",
+        "emoji 👩‍👩‍👧‍👦 zwj sequence 👩‍👩‍👧‍👦 again",
+        "é combining é combining é",
+        "𝔪𝔞𝔱𝔥𝔢𝔪𝔞𝔱𝔦𝔠𝔰 𐍈 astral 𝔪𝔞𝔱𝔥",
+    ]
+    p = str(tmp_path / "uni.parquet")
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).write.parquet(p)
+    got = canon(
+        chunk_documents(spark.read.parquet(p), 7, 3)
+        .withColumn("chunk_index", F.col("chunk_index").cast("int"))
+        .withColumn("chunk_start", F.col("chunk_start").cast("int"))
+        .toPandas()
+    )
+    want = canon(duckdb.connect().execute(f"""
+        SELECT doc_id, CAST(i AS INT) AS chunk_index,
+               CAST(i * 4 AS INT) AS chunk_start,
+               substring(text, CAST(i * 4 AS INT) + 1, 7) AS chunk_text
+        FROM read_parquet('{p}/*.parquet'),
+             unnest(generate_series(0, CAST(ceil(
+                 greatest(length(text) - 7, 0) / 4) AS BIGINT))) AS t(i)
+        WHERE text IS NOT NULL
+    """).df())
+    assert len(got) == len(want) > len(texts)
+    pd.testing.assert_frame_equal(got, want)

@@ -153,3 +153,35 @@ def test_validation(spark, tmp_path):
         dedup_within_watermark(df, ["event_id", "ts"])
     with pytest.raises(ValueError):
         dedup_within_watermark(df, ["nope"])
+
+
+def test_null_key_and_null_ts_semantics(spark, tmp_path):
+    """Observed-and-pinned edge semantics: ALL NULL-key rows share one
+    dedup state (first NULL-key arrival survives, the rest drop — the
+    grouping reading of NULL, same as the batch groupBy operators), and
+    a NULL event-time row is ADMITTED (emitted, deduped by key) rather
+    than dropped — unlike the windowed aggregates, which discard
+    NULL-event-time rows before windowing. Corpora where NULL ids/times
+    are errors filter upstream; this pin makes the operator's actual
+    contract visible instead of folklore."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_file(
+        spark, tmp_path, src, "a",
+        [(1, "2024-01-01 00:00:00", "a"),
+         (None, "2024-01-01 00:01:00", "n1"),
+         (None, "2024-01-01 00:02:00", "n2"),
+         (2, None, "nots"),
+         (1, "2024-01-01 00:03:00", "dup")],
+        order=0,
+    )
+    res = run_dedup_stream(
+        spark, str(src), SCHEMA, str(tmp_path / "state"),
+        keys=["event_id"], delay="10 minutes",
+    )
+    assert res["input_rows"] == 5 and res["emitted_rows"] == 3
+    got = sorted(
+        (r["payload"])
+        for r in spark.read.parquet(res["out_path"]).collect()
+    )
+    assert got == ["a", "n1", "nots"]
