@@ -447,3 +447,77 @@ def test_shard_read_order_is_a_stable_permutation():
 
     with _pt.raises(ValueError):
         shard_read_order(0, epoch=0)
+
+
+def test_gate_to_verified_shards_end_to_end(spark, sf_dir, tmp_path):
+    """The FULL trainer handoff in one run: quality_gate → corpus_report
+    sanity → split → FFD pack → materialize pack text → sharded export
+    → manifest-verified load. Every gated train doc reaches exactly one
+    pack; the export's token accounting equals the pack totals; the
+    loader's integrity check passes on the published dir."""
+    from pyspark.sql import functions as F
+
+    from tmdb_sync_spark.functions.export import read_training_shards
+    from tmdb_sync_spark.functions.sampling import (
+        materialize_packs,
+        pack_sequences,
+        split_corpus,
+    )
+    from tmdb_sync_spark.functions.stats import corpus_report
+    from tmdb_sync_spark.functions.text import quality_gate, tokens_expr
+    from tmdb_sync_spark.io import table
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    gate = quality_gate(docs)
+    kept = gate["kept"].cache()
+    try:
+        n_kept = kept.count()
+        assert gate["audit"]["n_kept"] == n_kept
+        assert gate["audit"]["n_in"] == docs.count()
+
+        # sketch report agrees with the frame it profiled
+        total = {
+            r["grouping_id"]: r
+            for r in corpus_report(kept, ("lang",)).collect()
+        }[1]
+        assert total["n_docs"] == n_kept
+
+        train = split_corpus(kept, seed=3).where(
+            F.col("split") == "train"
+        ).select(
+            "doc_id", "text",
+            F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+        ).cache()
+        n_train = train.count()
+        packed = pack_sequences(
+            train.select("doc_id", "n_tokens"),
+            max_tokens=512, n_buckets=2, seed=3,
+        )
+        packs = materialize_packs(train, packed).cache()
+        assert packs.agg(F.sum("n_docs")).collect()[0][0] == n_train
+
+        out = str(tmp_path / "shards")
+        manifest = export_training_shards(
+            packs, out, 4, key="pack_id", tokens_col="pack_tokens"
+        )
+        n_packs = packs.count()
+        assert manifest["total_rows"] == n_packs
+        assert manifest["total_tokens"] == packs.agg(
+            F.sum("pack_tokens")
+        ).collect()[0][0]
+
+        loaded = read_training_shards(spark, out, verify=True)
+        assert loaded.count() == n_packs
+        # provenance survives the export: the union of loaded packs'
+        # doc_ids is exactly the train split
+        ids = loaded.select(
+            F.explode("doc_ids").alias("doc_id")
+        )
+        assert ids.distinct().count() == n_train
+        assert ids.join(train, "doc_id", "left_anti").count() == 0
+        packs.unpersist()
+        train.unpersist()
+    finally:
+        kept.unpersist()
