@@ -1,0 +1,186 @@
+"""Split-leakage audit — near-duplicate contamination BETWEEN corpus
+splits (train ↔ val/test), the eval-integrity check every trainer
+pipeline runs before trusting a held-out number.
+
+The hash split (sampling.split_corpus) guarantees a DOCUMENT is in
+exactly one split — it cannot guarantee its near-twin is. A web-scale
+corpus is full of lightly-edited copies (mirrors, quotes, boilerplate
+rewraps); when one lands in train and the other in val, the val loss is
+measuring memorization, not generalization. This module answers "how
+leaky is this split?" with the engine's own near-dup machinery:
+
+- one :func:`~tmdb_sync_spark.functions.dedup.minhash_signature` pass
+  over the corpus with the split label carried through the signature
+  aggregation (no second scan for labels);
+- ONE banded-LSH self-join for candidates — the same skew-guarded
+  :func:`~tmdb_sync_spark.functions.dedup.banded_pairs_with_overlap`
+  the dedup family uses, so a pathological corpus cannot hand one task
+  a quadratic hot band;
+- verification by signature agreement (``n_equal_hashes >=
+  min_equal``, the NEAR_DUP_MIN policy shared with pipeline_curation);
+- a CROSS-SPLIT filter: same-split near-dups are dedup's business
+  (within-train redundancy is a curation question), leakage is
+  strictly pairs whose split labels differ.
+
+Orientation contract (so each unordered pair is reported exactly once,
+deterministically): the EVAL side (split != ``train_split``) is the
+left/reported document; when both sides are eval (a val ↔ test twin —
+not train leakage, but the same eval-integrity hazard, so it IS
+reported), the smaller ``doc_id`` is left. Columns:
+``(eval_doc_id, eval_split, other_doc_id, other_split,
+n_equal_hashes, est_jaccard)``.
+
+Scale shape: identical to dd_minhash_lsh — the audit is the dedup pass
+with a label filter, so a pipeline that already runs near-dup dedup
+gets leakage for one extra band-key shuffle over the SAME signature
+table (pass your staged signature frame via ``sig=``). Nothing here is
+O(n²); nothing collects.
+
+Reference scope: beyond-reference (the reference syncs a catalog, it
+does not train on one) and beyond-registry (the 50-entry driver window
+is full) — tested to the registered-surface bar in
+tests/test_leakage.py with a full DuckDB frame-parity twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.functions.dedup import (
+    N_HASHES,
+    banded_pairs_with_overlap,
+    minhash_signature,
+)
+from tmdb_sync_spark.functions.pipeline import NEAR_DUP_MIN
+from tmdb_sync_spark.functions.sampling import split_corpus
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    *,
+    split_col: str | None = None,
+    weights=None,
+    seed: int = 0,
+    train_split: str = "train",
+    min_equal: int = NEAR_DUP_MIN,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """Verified cross-split near-dup pairs, eval side first.
+
+    ``docs`` is ``(doc_id, text, ...)``. Labels come from an existing
+    ``split_col`` if named, else from ``split_corpus(docs, weights,
+    seed)`` — the same pure-projection hash split, so the audit sees
+    exactly the labels training will. Callers that already staged a
+    signature table (pipeline_curation does) pass it as ``sig`` —
+    it must carry ``doc_id, h0..h{n}, <split_col>`` — and the corpus
+    is not re-shingled.
+
+    Returns a lazy frame; compose it:
+
+    - ``leaks.count()`` → is the split leaky at all;
+    - :func:`leakage_rates` → per-eval-split contamination rates;
+    - ``eval_df.join(leaks, on=.., "left_anti")`` → the decontaminated
+      eval set (drop the eval twin, keep the train doc — eval sets are
+      cheap to shrink, train tokens are not).
+    """
+    if sig is not None:
+        label = split_col or "split"
+        if label not in sig.columns:
+            raise ValueError(
+                f"split_leakage_audit: sig has no {label!r} column — "
+                "carry the split label through minhash_signature(carry=...)"
+            )
+    else:
+        if split_col is None:
+            docs = split_corpus(docs, weights=weights, seed=seed)
+            label = "split"
+        else:
+            if split_col not in docs.columns:
+                raise ValueError(
+                    f"split_leakage_audit: no {split_col!r} column in docs"
+                )
+            label = split_col
+        sig = minhash_signature(docs, carry=(label,))
+
+    pairs = banded_pairs_with_overlap(sig).where(
+        F.col("n_equal_hashes") >= F.lit(int(min_equal))
+    )
+    labels = sig.select("doc_id", label)
+    la = labels.withColumnsRenamed({"doc_id": "doc_a", label: "split_a"})
+    lb = labels.withColumnsRenamed({"doc_id": "doc_b", label: "split_b"})
+    labeled = (
+        pairs.join(la, "doc_a").join(lb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+
+    # orient: eval side left; train (if present) right; both-eval ties
+    # broken by doc_id — pairs arrive doc_a < doc_b, so "swap iff a is
+    # the train side" is a complete, deterministic rule.
+    swap = F.col("split_a") == F.lit(train_split)
+    pick = lambda yes, no: F.when(swap, yes).otherwise(no)  # noqa: E731
+    return labeled.select(
+        pick(F.col("doc_b"), F.col("doc_a")).alias("eval_doc_id"),
+        pick(F.col("split_b"), F.col("split_a")).alias("eval_split"),
+        pick(F.col("doc_a"), F.col("doc_b")).alias("other_doc_id"),
+        pick(F.col("split_a"), F.col("split_b")).alias("other_split"),
+        "n_equal_hashes",
+        (F.col("n_equal_hashes") / F.lit(float(N_HASHES))).alias(
+            "est_jaccard"
+        ),
+    )
+
+
+def leakage_rates(
+    docs_with_split: DataFrame,
+    leaks: DataFrame,
+    *,
+    split_col: str = "split",
+    train_split: str = "train",
+) -> DataFrame:
+    """Per-eval-split contamination summary from an audit frame.
+
+    One row per non-train split: ``(split, n_docs, n_leaked,
+    leak_rate)`` where ``n_leaked`` counts DISTINCT eval documents with
+    at least one cross-split twin (a doc matching five train mirrors is
+    one leaked doc, not five). Splits with zero leaks still appear —
+    the report proves the audit RAN on them, absence of a row is never
+    the evidence of cleanliness."""
+    evals = docs_with_split.where(
+        F.col(split_col) != F.lit(train_split)
+    ).groupBy(F.col(split_col).alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    hit = leaks.groupBy(F.col("eval_split").alias("split")).agg(
+        F.count_distinct("eval_doc_id").alias("n_leaked")
+    )
+    return evals.join(hit, "split", "left").select(
+        "split",
+        "n_docs",
+        F.coalesce(F.col("n_leaked"), F.lit(0)).alias("n_leaked"),
+        (
+            F.coalesce(F.col("n_leaked"), F.lit(0))
+            / F.col("n_docs").cast("double")
+        ).alias("leak_rate"),
+    )
+
+
+def decontaminated_eval(
+    docs_with_split: DataFrame,
+    leaks: DataFrame,
+    *,
+    split_col: str = "split",
+    train_split: str = "train",
+) -> DataFrame:
+    """The eval rows that survive the audit: every non-train document
+    with NO cross-split twin (train docs pass through untouched — the
+    policy is "shrink eval, never train"). Pure anti-join on the audit
+    frame; eval ↔ eval twins drop only the reported (smaller-id) side,
+    keeping one representative."""
+    leaked = leaks.select(F.col("eval_doc_id").alias("doc_id")).distinct()
+    is_eval = F.col(split_col) != F.lit(train_split)
+    return docs_with_split.join(
+        leaked.withColumn("_leaked", F.lit(True)), "doc_id", "left"
+    ).where(
+        ~is_eval | F.col("_leaked").isNull()
+    ).drop("_leaked")
