@@ -132,3 +132,209 @@ def test_single_scan_partial_agg_plan(spark, sf_dir):
     assert plan.count("FileScan") <= 1 or plan.count("Scan parquet") <= 1
     assert "Expand" in plan
     assert "partial" in plan.lower()
+
+
+# --- incremental profiling (drop state + merge) -----------------------
+
+import math
+import os
+
+from tmdb_sync_spark.functions.stats import (
+    HIST_BPO,
+    incremental_report,
+    merge_profile_states,
+    profile_drop_state,
+    profile_estimates,
+    read_profile_states,
+    write_profile_drop,
+)
+
+_G = 2.0 ** (1.0 / HIST_BPO)  # histogram bucket ratio (quantile bound)
+
+
+def _docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+def _est_map(df, dims):
+    return {
+        tuple(r[d] for d in dims): r
+        for r in profile_estimates(df, dims).collect()
+    }
+
+
+def test_merge_equals_whole(spark, sf_dir):
+    """The monoid law: merging per-drop states IS profiling the union —
+    exact for the algebraic columns AND the histogram; the HLL sketches
+    are in sparse mode at this cardinality, where union is lossless, so
+    even the distinct estimates agree exactly."""
+    docs = _docs(spark, sf_dir)
+    a = docs.where(F.col("doc_id") % 3 == 0)
+    b = docs.where(F.col("doc_id") % 3 != 0)
+    merged = merge_profile_states(
+        profile_drop_state(a, ("source", "lang")).unionByName(
+            profile_drop_state(b, ("source", "lang"))
+        ),
+        ("source", "lang"),
+    )
+    whole = profile_drop_state(docs, ("source", "lang"))
+    got = _est_map(merged, ("source", "lang"))
+    want = _est_map(whole, ("source", "lang"))
+    assert set(got) == set(want) and len(got) > 1
+    for k, w in want.items():
+        g = got[k]
+        for c in ("n_docs", "n_sized", "total_size", "max_size",
+                  "mean_size", "size_q"):
+            assert g[c] == w[c], (k, c, g[c], w[c])
+        # per-slice cardinalities here keep the union sparse (lossless),
+        # but equality of ESTIMATES across routes is not a law once a
+        # union densifies — bound it like every other sketch assert
+        assert abs(
+            g["n_distinct_keys_approx"] - w["n_distinct_keys_approx"]
+        ) <= max(2, 0.05 * w["n_docs"]), (k, g, w)
+
+
+def test_hll_dedups_across_drops(spark):
+    """A doc id present in five drops counts ONCE in the merged
+    distinct estimate — the property a persisted count could never
+    have, and the reason the state carries a sketch."""
+    one = spark.createDataFrame(
+        [(i, "s", 10 + i) for i in range(200)],
+        "doc_id long, source string, n_chars long",
+    )
+    states = [profile_drop_state(one, ("source",)) for _ in range(5)]
+    merged = merge_profile_states(
+        states[0].unionByName(states[1]).unionByName(states[2])
+        .unionByName(states[3]).unionByName(states[4]),
+        ("source",),
+    )
+    r = profile_estimates(merged, ("source",)).collect()[0]
+    assert r["n_docs"] == 1000          # honest row count (5 replays)
+    assert r["n_distinct_keys_approx"] == 200   # sketch saw a SET
+
+
+def test_quantile_estimates_within_log_bucket_bound(spark, sf_dir):
+    """Every size_q estimate is ≥ the true (rank-lower) quantile and
+    < true × 2^(1/HIST_BPO) — the published relative bound."""
+    docs = _docs(spark, sf_dir)
+    state = profile_drop_state(docs, ("source",))
+    est = _est_map(state, ("source",))
+    rows = docs.select("source", "n_chars").where(
+        F.col("n_chars").isNotNull()
+    ).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    assert set(by_src) == set(k for (k,) in est)
+    for src, sizes in by_src.items():
+        sizes.sort()
+        got_q = est[(src,)]["size_q"]
+        for q, g in zip((0.5, 0.9, 0.99), got_q):
+            true = sizes[max(0, math.ceil(q * len(sizes)) - 1)]
+            assert true <= g <= max(true, 1) * _G * (1 + 1e-9), (
+                src, q, true, g
+            )
+
+
+def test_estimates_match_one_shot_report_at_leaf(spark, sf_dir):
+    """The incremental report's exact columns equal corpus_report's at
+    the leaf level (same corpus, two routes)."""
+    docs = _docs(spark, sf_dir)
+    inc = _est_map(profile_drop_state(docs, ("source", "lang")),
+                   ("source", "lang"))
+    leaf = {
+        (r["source"], r["lang"]): r
+        for r in corpus_report(docs, ("source", "lang")).collect()
+        if r["grouping_id"] == 0
+    }
+    assert set(inc) == set(leaf)
+    for k, w in leaf.items():
+        g = inc[k]
+        assert g["n_docs"] == w["n_docs"]
+        assert g["total_size"] == w["total_size"]
+        assert g["max_size"] == w["max_size"]
+        assert g["mean_size"] == pytest.approx(w["mean_size"])
+
+
+def test_rollup_from_leaf_state(spark, sf_dir):
+    """Re-grouping the SAME leaf state at a dims subset gives the
+    rollup level exactly — including dims=() for the corpus total."""
+    docs = _docs(spark, sf_dir)
+    leaf = profile_drop_state(docs, ("source", "lang"))
+    up = _est_map(merge_profile_states(leaf, ("source",)), ("source",))
+    direct = _est_map(profile_drop_state(docs, ("source",)), ("source",))
+    assert up == direct
+    total = profile_estimates(
+        merge_profile_states(leaf, ()), ()
+    ).collect()[0]
+    assert total["n_docs"] == docs.count()
+    # lgK=12 ⇒ rsd ≈ 1.6%; the estimator is not exact at this
+    # cardinality (503 vs 500 observed) — assert the bound, and that
+    # BOTH routes (leaf-merged vs direct) give the identical estimate
+    # lgK=12 ⇒ rsd ≈ 1.6%. NOTE: the leaf-merged estimate (503 on this
+    # corpus) need not equal a direct whole-corpus sketch's (500): the
+    # union gadget densifies past sparse mode and estimates diverge
+    # WITHIN the bound — union is exact as a set operation, not as an
+    # estimator. Assert the bound, never route-equality, at this size.
+    nd = docs.select("doc_id").distinct().count()
+    assert abs(total["n_distinct_keys_approx"] - nd) <= max(
+        4, 5 * 0.016 * nd
+    )
+
+
+def test_null_sizes_and_null_dims(spark):
+    df = spark.createDataFrame(
+        [(1, None, None), (2, None, None), (3, "en", 100)],
+        "doc_id long, lang string, n_chars long",
+    )
+    est = _est_map(profile_drop_state(df, ("lang",)), ("lang",))
+    nul = est[(None,)]
+    assert nul["n_docs"] == 2 and nul["n_sized"] == 0
+    assert nul["total_size"] is None and nul["mean_size"] is None
+    assert all(v is None for v in nul["size_q"])
+    en = est[("en",)]
+    assert en["n_sized"] == 1 and en["size_q"][0] >= 100
+
+
+def test_profile_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """write N drops → incremental_report == direct profile of the
+    whole corpus; immutability + missing-path guards."""
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "profile")
+    for i in range(3):
+        write_profile_drop(
+            profile_drop_state(
+                docs.where(F.col("doc_id") % 3 == i), ("source", "lang")
+            ),
+            path,
+            f"d{i}",
+        )
+    got = {
+        tuple(r[d] for d in ("source", "lang")): r
+        for r in incremental_report(
+            spark, path, ("source", "lang")
+        ).collect()
+    }
+    want = _est_map(
+        profile_drop_state(docs, ("source", "lang")), ("source", "lang")
+    )
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k]
+    # drop partitions on disk, one file each
+    assert sorted(
+        e for e in os.listdir(path) if e.startswith("drop=")
+    ) == ["drop=d0", "drop=d1", "drop=d2"]
+
+    with pytest.raises(ValueError, match="already recorded"):
+        write_profile_drop(
+            profile_drop_state(docs, ("source",)), path, "d1"
+        )
+    with pytest.raises(ValueError, match="no profile"):
+        read_profile_states(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="bad drop_id"):
+        write_profile_drop(
+            profile_drop_state(docs, ("source",)), path, "a/b"
+        )

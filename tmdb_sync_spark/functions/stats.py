@@ -46,9 +46,10 @@ exact columns, since sketches have no cross-engine value parity.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_QUANTILES = (0.5, 0.9, 0.99)
@@ -113,4 +114,279 @@ def corpus_report(
         F.percentile_approx(
             size, F.array(*[F.lit(q) for q in qs]), F.lit(int(accuracy))
         ).alias("size_q"),
+    )
+
+
+# --- incremental profiling: mergeable sketch STATE across drops --------
+#
+# corpus_report answers "profile this frame, now"; at 100 TB the frame
+# is the problem — a report that rescans the corpus after every
+# incremental drop pays the full corpus scan for a KB of answer. The
+# functions below split the report into per-drop STATE and a merge:
+#
+#   state(drop_i)  = one scan of drop_i  → O(groups) rows of sketches
+#   profile(corpus) = merge(state(drop_1) … state(drop_n))  → no rescan
+#
+# Every state column is a commutative monoid, so merge is exact —
+# merging per-drop states IS profiling the union (the merge-equals-
+# whole law, pinned in tests/test_stats.py):
+#
+# - n_docs / total_size: sums;  max_size: max.
+# - distinct keys: a Datasketches HLL sketch (binary). Sketch union is
+#   the set-union operation itself — a doc id appearing in five drops
+#   counts ONCE, which no count-sum can do. (This is Spark 4's
+#   hll_sketch_agg / hll_union_agg / hll_sketch_estimate surface —
+#   the same mergeable-sketch algebra the one-shot report leans on,
+#   with the state made durable instead of discarded at query end.)
+# - size quantiles: Greenwald-Khanna state is not exposed for
+#   persistence, so quantiles come from a LOG-HISTOGRAM: bucket
+#   1 + floor(log2(size) * HIST_BPO), counts merged by key-wise sum
+#   (map_zip_with). A histogram quantile returns its bucket's upper
+#   edge 2^(b/HIST_BPO): a deterministic OVERestimate of the true
+#   quantile by at most the bucket ratio 2^(1/HIST_BPO) (≈ +19% at
+#   BPO=4) — a published RELATIVE bound at every size magnitude,
+#   which is the right contract for size distributions spanning
+#   1 byte … 1 GB. NULL sizes are excluded from the histogram
+#   (and from total/mean/max — SQL aggregate semantics) but counted
+#   in n_docs; size <= 0 lands in bucket 0 with edge 0.
+#
+# Scale shape: building a drop's state is one scan with map-side
+# partial aggregation (the shuffle moves sketches, never rows);
+# merging reads ONLY state (KB per group per drop); and because the
+# state is mergeable at ANY dims subset, every rollup level — and the
+# grand total — comes from re-grouping the SAME persisted leaf state
+# (merge_profile_states(dims=()) is the corpus total), no per-level
+# state or corpus rescan. A year of daily drops is ~365 KB-scale
+# partitions; the report stays sub-second forever.
+
+HIST_BPO = 4  # log-histogram buckets per octave: rel. err ≤ 2^(1/4)-1
+_EMPTY_HIST = "cast(map() as map<int,bigint>)"
+DEFAULT_LG_K = 12  # Datasketches lgConfigK: ~1.6%/sqrt(2^(lgK-12)) rsd
+
+
+def size_bucket_expr(size: Column) -> Column:
+    """Log-histogram bucket of a size value: NULL → NULL, ≤ 0 → 0,
+    else ``1 + floor(log2(size) * HIST_BPO)`` (int). log2 of exact
+    powers of two is float-exact, so bucket boundaries are stable."""
+    return (
+        F.when(size.isNull(), F.lit(None))
+        .when(size <= 0, F.lit(0))
+        .otherwise(F.lit(1) + F.floor(F.log2(size) * F.lit(HIST_BPO)))
+        .cast("int")
+    )
+
+
+def bucket_upper_edge(bucket: Column) -> Column:
+    """Upper size edge of a histogram bucket (double): 0 → 0.0, else
+    ``2^(bucket / HIST_BPO)`` — the quantile estimate the report
+    publishes, an overestimate of the true value by < 2^(1/HIST_BPO)."""
+    return F.when(bucket == 0, F.lit(0.0)).otherwise(
+        F.pow(F.lit(2.0), bucket.cast("double") / F.lit(float(HIST_BPO)))
+    )
+
+
+def profile_drop_state(
+    df: DataFrame,
+    dims: Sequence[str] = ("source", "lang"),
+    *,
+    key: str = "doc_id",
+    size_col: str = "n_chars",
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """One drop's profile state: per ``dims`` group — ``n_docs``,
+    ``total_size``, ``max_size``, ``hll`` (Datasketches HLL binary over
+    ``key``, cast to string so drops with differently-typed key columns
+    can never fork the hash domain), ``hist`` (log-histogram
+    ``map<int,bigint>`` over ``size_col``).
+
+    ONE scan: a first partial aggregate at (dims, bucket) grain, then a
+    state-sized regroup to dims — both shuffles move sketch/count state
+    only. NULL ``key`` rows are not counted by the HLL (and would be a
+    corpus-contract violation upstream); NULL dims values are genuine
+    groups, exactly as in corpus_report's leaf level.
+    """
+    for d in dims:
+        if d not in df.columns:
+            raise ValueError(f"profile_drop_state: no {d!r} column")
+    if not (4 <= int(lg_k) <= 21):
+        raise ValueError(f"profile_drop_state: lg_k out of range: {lg_k}")
+    per_bucket = df.groupBy(
+        *dims, size_bucket_expr(F.col(size_col)).alias("_hb")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(size_col).alias("_tot"),
+        F.max(size_col).alias("_mx"),
+        F.hll_sketch_agg(F.col(key).cast("string"), F.lit(int(lg_k))).alias(
+            "_hll"
+        ),
+    )
+    return per_bucket.groupBy(*dims).agg(
+        F.sum("_n").alias("n_docs"),
+        F.sum("_tot").alias("total_size"),
+        F.max("_mx").alias("max_size"),
+        F.hll_union_agg("_hll").alias("hll"),
+        F.map_from_entries(
+            F.filter(
+                F.collect_list(F.struct(F.col("_hb"), F.col("_n"))),
+                lambda e: e["_hb"].isNotNull(),
+            )
+        ).alias("hist"),
+    )
+
+
+def merge_profile_states(
+    states: DataFrame, dims: Sequence[str] = ("source", "lang")
+) -> DataFrame:
+    """Merge state rows (a union of per-drop states) back into one
+    state row per ``dims`` group — the same schema in and out, so
+    merges compose (merge of merges is a merge).
+
+    ``dims`` may be any SUBSET of the dims the states were built at
+    (including ``()`` for the corpus total): sketches merge across the
+    collapsed dimensions exactly — that is the rollup property, served
+    from leaf state with no access to the corpus."""
+    hist_merge = F.aggregate(
+        F.collect_list("hist"),
+        F.expr(_EMPTY_HIST),
+        lambda acc, m: F.map_zip_with(
+            acc,
+            m,
+            lambda _k, v1, v2: F.coalesce(v1, F.lit(0))
+            + F.coalesce(v2, F.lit(0)),
+        ),
+    )
+    return states.groupBy(*dims).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_size").alias("total_size"),
+        F.max("max_size").alias("max_size"),
+        F.hll_union_agg("hll").alias("hll"),
+        hist_merge.alias("hist"),
+    )
+
+
+def _quantile_bucket(entries: Column, target: Column) -> Column:
+    """Smallest histogram bucket whose cumulative count reaches
+    ``target``, via a single HOF scan over the sorted (bucket, count)
+    entries — NULL when the histogram is empty (all sizes NULL)."""
+    zero = F.expr(
+        "named_struct('cum', cast(0 as bigint), 'b', cast(null as int))"
+    )
+    return F.aggregate(
+        entries,
+        zero,
+        lambda acc, e: F.when(acc["b"].isNotNull(), acc).otherwise(
+            F.struct(
+                (acc["cum"] + e["value"]).alias("cum"),
+                F.when(acc["cum"] + e["value"] >= target, e["key"])
+                .otherwise(F.lit(None).cast("int"))
+                .alias("b"),
+            )
+        ),
+        lambda acc: acc["b"],
+    )
+
+
+def profile_estimates(
+    state: DataFrame,
+    dims: Sequence[str] = ("source", "lang"),
+    *,
+    quantiles: Sequence[float] = DEFAULT_QUANTILES,
+) -> DataFrame:
+    """Human-facing report from (merged) state: per ``dims`` group —
+    ``n_docs``, ``n_sized`` (docs with a non-NULL size),
+    ``n_distinct_keys_approx`` (HLL estimate), ``total_size``,
+    ``mean_size`` (over sized docs), ``max_size``, and ``size_q`` — an
+    array parallel to ``quantiles`` of bucket-upper-edge estimates
+    (each ≥ the true quantile, < true × 2^(1/HIST_BPO); NULL when no
+    sized docs). Pure projection over state rows — no shuffle, no
+    corpus access."""
+    qs = [float(q) for q in quantiles]
+    if any(not (0 < q <= 1) for q in qs):
+        raise ValueError(f"profile_estimates: quantiles in (0, 1]: {qs}")
+    n_sized = F.aggregate(
+        F.map_values("hist"), F.lit(0).cast("bigint"), lambda a, v: a + v
+    )
+    entries = F.array_sort(F.map_entries("hist"))
+    with_n = state.withColumn("_n_sized", n_sized).withColumn(
+        "_entries", entries
+    )
+    size_q = F.array(
+        *[
+            bucket_upper_edge(
+                _quantile_bucket(
+                    F.col("_entries"),
+                    F.greatest(
+                        F.ceil(F.lit(q) * F.col("_n_sized")), F.lit(1)
+                    ),
+                )
+            )
+            for q in qs
+        ]
+    )
+    return with_n.select(
+        *dims,
+        "n_docs",
+        F.col("_n_sized").alias("n_sized"),
+        F.hll_sketch_estimate("hll").alias("n_distinct_keys_approx"),
+        "total_size",
+        (F.col("total_size") / F.nullif(F.col("_n_sized"), F.lit(0))).alias(
+            "mean_size"
+        ),
+        "max_size",
+        size_q.alias("size_q"),
+    )
+
+
+# --- persistence: the profile as a maintained table of drop states ----
+
+
+def profile_drop_dir(path: str, drop_id: str) -> str:
+    return os.path.join(path, f"drop={drop_id}")
+
+
+def write_profile_drop(
+    state: DataFrame, path: str, drop_id: str
+) -> None:
+    """Persist one drop's state under ``{path}/drop={drop_id}``.
+
+    Drops are IMMUTABLE — re-profiling an already-recorded drop raises
+    instead of double-counting it in every future merge (the same
+    at-least-once hazard the export publisher guards; an ingest that
+    replays a batch must skip the profile write it already made)."""
+    if "/" in drop_id or not drop_id:
+        raise ValueError(f"write_profile_drop: bad drop_id {drop_id!r}")
+    if os.path.isdir(profile_drop_dir(path, drop_id)):
+        raise ValueError(
+            f"write_profile_drop: drop {drop_id!r} already recorded at "
+            f"{path!r} — drop states are immutable (replayed batch?)"
+        )
+    state.withColumn("drop", F.lit(drop_id)).coalesce(1).write.mode(
+        "append"
+    ).partitionBy("drop").parquet(path)
+
+
+def read_profile_states(spark: SparkSession, path: str) -> DataFrame:
+    """All recorded drop states (with their ``drop`` partition column).
+    A missing profile raises — reporting an empty corpus because the
+    path was wrong is the silent failure mode."""
+    if not os.path.isdir(path) or not any(
+        e.startswith("drop=") for e in os.listdir(path)
+    ):
+        raise ValueError(f"read_profile_states: no profile at {path!r}")
+    return spark.read.parquet(path)
+
+
+def incremental_report(
+    spark: SparkSession,
+    path: str,
+    dims: Sequence[str] = ("source", "lang"),
+    *,
+    quantiles: Sequence[float] = DEFAULT_QUANTILES,
+) -> DataFrame:
+    """The corpus profile at any rollup level, from persisted drop
+    state only: read → merge → estimate. Cost is O(drops × groups)
+    state rows — independent of corpus size, which is the entire point."""
+    states = read_profile_states(spark, path).drop("drop")
+    return profile_estimates(
+        merge_profile_states(states, dims), dims, quantiles=quantiles
     )
