@@ -239,3 +239,89 @@ def test_gzip_drops_ingest(spark, tmp_path):
     assert res2["batches"] == 0 or read_partitioned(
         spark, res2["table_path"]
     ).count() == 3
+
+
+def test_maintained_profile_exactly_once_across_replay(spark, tmp_path):
+    """profile_path composes the incremental profile into the ingest:
+    one immutable drop-state partition per epoch, written AFTER the
+    merge; a maximal crash replay (checkpoint wiped) re-merges
+    idempotently and SKIPS the profile write via the immutability
+    guard — the report never double-counts."""
+    import shutil
+
+    from tmdb_sync_spark.functions.stats import incremental_report
+
+    src = os.path.join(str(tmp_path), "drops")
+    state = os.path.join(str(tmp_path), "state")
+    prof = os.path.join(str(tmp_path), "profile")
+    os.makedirs(src)
+
+    def run():
+        return ingest_file_stream(
+            spark, src, DOC_DDL, state,
+            keys=["doc_id"], partition_col="lang",
+            profile_path=prof, profile_dims=("source", "lang"),
+        )
+
+    with open(os.path.join(src, "d1.jsonl"), "w") as fh:
+        fh.write("\n".join([
+            _doc(1, "alpha"), _doc(2, "beta"), _doc(3, "gamma", "de"),
+        ]) + "\n")
+    r1 = run()
+    assert r1["profile_replays"] == 0
+
+    with open(os.path.join(src, "d2.jsonl"), "w") as fh:
+        fh.write("\n".join([
+            _doc(3, "gamma-updated"),   # key UPDATE: arrival #4
+            _doc(4, "delta"),
+        ]) + "\n")
+    r2 = run()
+    assert r2["profile_replays"] == 0
+    drops = sorted(e for e in os.listdir(prof) if e.startswith("drop="))
+    assert drops == ["drop=b000000", "drop=b000001"]
+
+    total = incremental_report(spark, prof, ()).collect()[0]
+    # n_docs counts ARRIVALS (doc 3 landed twice); the HLL counts KEYS
+    assert total["n_docs"] == 5
+    assert total["n_distinct_keys_approx"] == 4
+    assert total["total_size"] == sum(
+        len(t) for t in
+        ("alpha", "beta", "gamma", "gamma-updated", "delta")
+    )
+    per_lang = {
+        r["lang"]: r
+        for r in incremental_report(spark, prof, ("lang",)).collect()
+    }
+    # doc 3's update moved it de -> en: the de arrival stays recorded
+    # in drop b000000's state (profiles are arrival logs, not the
+    # table's current partition map)
+    assert per_lang["de"]["n_docs"] == 1
+    assert per_lang["en"]["n_docs"] == 4
+
+    # maximal replay: same epochs, both files in one batch (epoch 0)
+    def report_rows():
+        return sorted(
+            str(r) for r in
+            incremental_report(spark, prof, ("source", "lang")).collect()
+        )
+
+    before = report_rows()
+    shutil.rmtree(os.path.join(state, "_ckpt_corpus"))
+    r3 = run()
+    assert r3["profile_replays"] == 1
+    assert sorted(
+        e for e in os.listdir(prof) if e.startswith("drop=")
+    ) == drops
+    assert report_rows() == before
+
+
+def test_profile_requires_columns_in_schema(spark, tmp_path):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="'n_chars' not in schema"):
+        ingest_file_stream(
+            spark, str(tmp_path), "doc_id bigint, text string, lang string",
+            str(tmp_path / "s"),
+            keys=["doc_id"], partition_col="lang",
+            profile_path=str(tmp_path / "p"), profile_dims=(),
+        )

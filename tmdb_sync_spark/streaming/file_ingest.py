@@ -62,6 +62,9 @@ def ingest_file_stream(
     dedup_index_path: str | None = None,
     fmt: str = "jsonl",
     csv_sep: str = ",",
+    profile_path: str | None = None,
+    profile_dims: tuple = ("source", "lang"),
+    profile_size_col: str = "n_chars",
 ) -> dict:
     """One ``availableNow`` pass over the drop directory: every file
     not yet seen by the checkpoint is parsed, cleaned, folded, and
@@ -89,7 +92,21 @@ def ingest_file_stream(
     ``fmt``: ``"jsonl"`` (default) or ``"csv"`` (header lines dropped
     per line — safe across files and micro-batches; ``csv_sep`` sets
     the separator). Both route through the shared batch parsers, so
-    dead-letter semantics are identical across boundary and format."""
+    dead-letter semantics are identical across boundary and format.
+
+    ``profile_path`` composes the incremental corpus profile
+    (functions/stats.py): after each batch's MERGE commits, the
+    batch's landed rows are folded into one immutable drop-state
+    partition keyed by the epoch id. Exactly-once by construction: a
+    crash-REPLAYED epoch re-merges idempotently, then its profile
+    write hits the drop-immutability guard and is SKIPPED (counted in
+    ``profile_replays``) — the state was already recorded by the run
+    that crashed after writing it; writing profile state BEFORE the
+    merge would instead record rows a crash could prevent from ever
+    landing. Profile n_docs counts batch arrivals (a key updated by
+    three drops contributes three), while the HLL distinct tracks
+    keys — the gap between them is the report's built-in re-delivery
+    visibility, not drift."""
     if fmt not in ("jsonl", "csv"):
         raise ValueError(f"ingest_file_stream: fmt {fmt!r} not in "
                          "('jsonl', 'csv')")
@@ -98,6 +115,8 @@ def ingest_file_stream(
     need = (*keys, partition_col) if dedup_index_path is None else (
         *keys, partition_col, "doc_id", "text"
     )
+    if profile_path is not None:
+        need = (*need, "doc_id", profile_size_col, *profile_dims)
     for c in need:
         if c not in schema.fieldNames():
             raise ValueError(
@@ -116,7 +135,7 @@ def ingest_file_stream(
             if_not_exists=True, lock_wait_s=MERGE_LOCK_WAIT_S,
         )
 
-    stats = {"batches": 0, "dead": 0, "near_dups": 0}
+    stats = {"batches": 0, "dead": 0, "near_dups": 0, "profile_replays": 0}
     row = F.struct(*[F.col(c) for c in schema.fieldNames()])
 
     def sink(batch_lines: DataFrame, epoch: int) -> None:
@@ -181,6 +200,28 @@ def ingest_file_stream(
             append_docs_to_index(
                 spark, dedup_index_path, survivors_for_index
             )
+        if profile_path is not None:
+            from tmdb_sync_spark.functions.stats import (
+                profile_drop_state,
+                write_profile_drop,
+            )
+
+            try:
+                write_profile_drop(
+                    profile_drop_state(
+                        folded, profile_dims, size_col=profile_size_col
+                    ),
+                    profile_path,
+                    f"b{int(epoch):06d}",
+                )
+            except ValueError as e:
+                if "already recorded" not in str(e):
+                    raise
+                # this epoch is a crash replay whose previous run got
+                # past the profile write — the merge above was
+                # idempotent, the state must not double-count
+                # (immutability guard doing its job)
+                stats["profile_replays"] += 1
         stats["batches"] += 1
         stats["dead"] += n_dead
 
