@@ -209,3 +209,61 @@ def test_sig_without_label_raises(spark):
         split_leakage_audit(docs, split_col="split", sig=sig)
     with pytest.raises(ValueError, match="no 'nope' column"):
         split_leakage_audit(docs, split_col="nope")
+
+
+# --- embedding-space (semantic) leakage --------------------------------
+
+
+def test_embedding_audit_equivalence_with_dd_pairs(spark, sf_dir):
+    """The audit's unordered pair set IS dd_embedding_cosine's
+    restricted to label-differing pairs — same buckets, same quantized
+    cosine, same threshold — and every reported left side is eval."""
+    from tmdb_sync_spark.functions.leakage import embedding_split_leakage
+    from tmdb_sync_spark.functions.similarity import dd_embedding_cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    labeled = split_corpus(
+        emb, key="vec_id",
+        weights={"train": 0.6, "val": 0.2, "test": 0.2}, seed=5,
+    )
+    got = embedding_split_leakage(labeled).collect()
+
+    splits = {r["vec_id"]: r["split"] for r in
+              labeled.select("vec_id", "split").collect()}
+    dd = dd_embedding_cosine(spark, sf_dir).collect()
+    want = {
+        frozenset((r["a_id"], r["b_id"]))
+        for r in dd
+        if splits[r["a_id"]] != splits[r["b_id"]]
+    }
+    assert {
+        frozenset((r["eval_vec_id"], r["other_vec_id"])) for r in got
+    } == want
+    assert len(got) == len(want) > 0
+    cos = {frozenset((r["a_id"], r["b_id"])): r["cosine_sim"] for r in dd}
+    for r in got:
+        assert r["eval_split"] != "train"
+        if r["other_split"] == "train":
+            assert splits[r["eval_vec_id"]] != "train"
+        else:  # both eval: smaller id first
+            assert r["eval_vec_id"] < r["other_vec_id"]
+        assert r["cosine_sim"] == cos[
+            frozenset((r["eval_vec_id"], r["other_vec_id"]))
+        ]
+
+
+def test_embedding_audit_single_split_is_empty(spark, sf_dir):
+    from tmdb_sync_spark.functions.leakage import embedding_split_leakage
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "split", F.lit("train")
+    )
+    assert embedding_split_leakage(emb).count() == 0
+
+
+def test_embedding_audit_validates_columns(spark):
+    from tmdb_sync_spark.functions.leakage import embedding_split_leakage
+
+    df = spark.createDataFrame([(1,)], "vec_id long")
+    with pytest.raises(ValueError, match="no 'embedding'"):
+        embedding_split_leakage(df)

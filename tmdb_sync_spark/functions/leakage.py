@@ -131,6 +131,95 @@ def split_leakage_audit(
     )
 
 
+def embedding_split_leakage(
+    emb_with_split: DataFrame,
+    *,
+    split_col: str = "split",
+    train_split: str = "train",
+    id_col: str = "vec_id",
+    n_bits: int | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """The SEMANTIC leakage audit: cross-split near-duplicates in
+    embedding space — the paraphrase leaks :func:`split_leakage_audit`
+    structurally cannot see (minhash is a lexical overlap test; a
+    reworded val twin shares no 3-shingles with its train source but
+    sits at cosine ≈ 1 next to it).
+
+    ``emb_with_split`` is ``(id_col, embedding, <split_col>, ...)``.
+    Candidates come from the engine's sign-LSH bucket equi-join
+    (:func:`~tmdb_sync_spark.functions.similarity.bucketed_from` — the
+    ONE bucketing definition shared with the dedup family and the
+    vector index), skew-tiled exactly like
+    ``dd_embedding_cosine``; verification is the exact quantized
+    cosine ≥ ``threshold`` (default ``DUP_THRESHOLD``). Invalid
+    embeddings (NULL / wrong dim / non-finite / zero norm) are
+    excluded by the shared validity contract — audit them separately
+    with ``vector_index.dedup_vectors_against_index``'s taxonomy if
+    the corpus allows them.
+
+    Output, oriented like the lexical audit (eval side first, both-
+    eval ties by smaller id): ``(eval_vec_id, eval_split,
+    other_vec_id, other_split, cosine_sim)``. Equivalence contract,
+    pinned in tests: the audit's unordered pair set IS
+    ``dd_embedding_cosine``'s restricted to label-differing pairs —
+    same buckets, same cosine, same threshold.
+    """
+    from tmdb_sync_spark.functions.pairs import tiled_self_pairs
+    from tmdb_sync_spark.functions.similarity import (
+        DUP_THRESHOLD,
+        N_DUP_BITS,
+        _dot,
+        bucketed_from,
+    )
+
+    n_bits = N_DUP_BITS if n_bits is None else int(n_bits)
+    threshold = DUP_THRESHOLD if threshold is None else float(threshold)
+    for c in (id_col, "embedding", split_col):
+        if c not in emb_with_split.columns:
+            raise ValueError(
+                f"embedding_split_leakage: no {c!r} column"
+            )
+    b = bucketed_from(
+        emb_with_split.select(
+            F.col(id_col).alias("vec_id"), "embedding"
+        ),
+        n_bits,
+    )
+    pairs = (
+        tiled_self_pairs(
+            b, "bucket", "vec_id",
+            sym={
+                "cosine_sim": lambda l, r: _dot(l["v"], r["v"]) / (
+                    F.sqrt(l["nrm"]) * F.sqrt(r["nrm"])
+                )
+            },
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "cosine_sim",
+        )
+        .where(F.col("cosine_sim") >= F.lit(threshold))
+    )
+    labels = emb_with_split.select(F.col(id_col).alias("_id"), split_col)
+    la = labels.withColumnsRenamed({"_id": "id_a", split_col: "split_a"})
+    lb = labels.withColumnsRenamed({"_id": "id_b", split_col: "split_b"})
+    labeled = (
+        pairs.join(la, "id_a").join(lb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    swap = F.col("split_a") == F.lit(train_split)
+    pick = lambda yes, no: F.when(swap, yes).otherwise(no)  # noqa: E731
+    return labeled.select(
+        pick(F.col("id_b"), F.col("id_a")).alias("eval_vec_id"),
+        pick(F.col("split_b"), F.col("split_a")).alias("eval_split"),
+        pick(F.col("id_a"), F.col("id_b")).alias("other_vec_id"),
+        pick(F.col("split_a"), F.col("split_b")).alias("other_split"),
+        "cosine_sim",
+    )
+
+
 def leakage_rates(
     docs_with_split: DataFrame,
     leaks: DataFrame,
