@@ -35,11 +35,17 @@ def _duck_chars(sf_dir: str, w: int, ov: int) -> pd.DataFrame:
 
 
 def _duck_tokens(sf_dir: str, w: int, ov: int) -> pd.DataFrame:
+    # the tokenizer twin mirrors text.tokens_expr's EXPLICIT whitespace
+    # class (WS_SQL) — never bare \s / trim(), whose definitions differ
+    # across engines (the NBSP/\x0B hazards trim_ws documents)
+    from tmdb_sync_spark.functions.text import WS_SQL, trim_sql
+
     s = w - ov
     return duckdb.connect().execute(f"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   list_filter(regexp_split_to_array(
+                       {trim_sql('text')}, '[{WS_SQL}]+'),
                                x -> x <> '') AS tk
             FROM read_parquet('{sf_dir}/documents.parquet')
             WHERE text IS NOT NULL

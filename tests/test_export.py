@@ -521,3 +521,58 @@ def test_gate_to_verified_shards_end_to_end(spark, sf_dir, tmp_path):
         train.unpersist()
     finally:
         kept.unpersist()
+
+
+# --- review-finding pins: staging sweep, NULL tokens, round-trip ------
+
+
+def test_reexport_roundtrip_recomputes_layout_columns(spark, docs, tmp_path):
+    """read_training_shards returns 'shard'; re-exporting that frame
+    must recompute the layout columns instead of dying on duplicates
+    (review finding). Same rows, same manifest accounting."""
+    from tmdb_sync_spark.functions.export import read_training_shards
+
+    a = str(tmp_path / "a")
+    m1 = export_training_shards(docs, a, 4)
+    back = read_training_shards(spark, a)
+    assert "shard" in back.columns
+    b = str(tmp_path / "b")
+    m2 = export_training_shards(back, b, 3)
+    assert m2["total_rows"] == m1["total_rows"]
+    again = read_training_shards(spark, b)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+
+
+def test_null_tokens_raise_before_any_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 3), (2, "b", None), (3, "c", 5)],
+        "doc_id long, text string, n_tokens int",
+    )
+    out = str(tmp_path / "out")
+    with pytest.raises(ValueError, match="1 rows have NULL 'n_tokens'"):
+        export_training_shards(df, out, 2, tokens_col="n_tokens")
+    # the contract error fired BEFORE the export write: no target, no
+    # staging leftovers
+    assert not os.path.exists(out)
+    assert [p for p in os.listdir(tmp_path)
+            if "._staging" in p] == []
+
+
+def test_staging_sweep_spares_live_writers(spark, docs, tmp_path):
+    """The stale-staging sweep must only take CRASHED runs' dirs: one
+    with a dead pid is swept, one named with a LIVE pid (a concurrent
+    exporter mid-write) survives (review finding)."""
+    out = str(tmp_path / "out")
+    dead = f"{out}._staging-4194304-0"       # beyond pid_max: never alive
+    live = f"{out}._staging-{os.getpid()}-999999"
+    os.makedirs(dead)
+    os.makedirs(live)
+    export_training_shards(docs, out, 2)
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)
+    assert os.path.exists(os.path.join(out, MANIFEST_NAME))
+    os.rmdir(live)

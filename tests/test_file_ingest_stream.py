@@ -243,10 +243,11 @@ def test_gzip_drops_ingest(spark, tmp_path):
 
 def test_maintained_profile_exactly_once_across_replay(spark, tmp_path):
     """profile_path composes the incremental profile into the ingest:
-    one immutable drop-state partition per epoch, written AFTER the
-    merge; a maximal crash replay (checkpoint wiped) re-merges
-    idempotently and SKIPS the profile write via the immutability
-    guard — the report never double-counts."""
+    one immutable drop-state partition per SOURCE FILE, written AFTER
+    the merge; a maximal crash replay (checkpoint wiped, files
+    re-batched into one epoch) re-merges idempotently and SKIPS both
+    files via the immutability filter — the report never
+    double-counts."""
     import shutil
 
     from tmdb_sync_spark.functions.stats import incremental_report
@@ -278,7 +279,9 @@ def test_maintained_profile_exactly_once_across_replay(spark, tmp_path):
     r2 = run()
     assert r2["profile_replays"] == 0
     drops = sorted(e for e in os.listdir(prof) if e.startswith("drop="))
-    assert drops == ["drop=b000000", "drop=b000001"]
+    # one drop per SOURCE FILE (id = hash of the file path)
+    assert len(drops) == 2
+    assert all(d.startswith("drop=f") for d in drops)
 
     total = incremental_report(spark, prof, ()).collect()[0]
     # n_docs counts ARRIVALS (doc 3 landed twice); the HLL counts KEYS
@@ -308,7 +311,10 @@ def test_maintained_profile_exactly_once_across_replay(spark, tmp_path):
     before = report_rows()
     shutil.rmtree(os.path.join(state, "_ckpt_corpus"))
     r3 = run()
-    assert r3["profile_replays"] == 1
+    # both files re-arrive (coalesced into ONE batch this time — the
+    # re-batching that defeats any epoch-keyed scheme); both hit the
+    # immutability filter
+    assert r3["profile_replays"] == 2
     assert sorted(
         e for e in os.listdir(prof) if e.startswith("drop=")
     ) == drops
@@ -325,3 +331,37 @@ def test_profile_requires_columns_in_schema(spark, tmp_path):
             keys=["doc_id"], partition_col="lang",
             profile_path=str(tmp_path / "p"), profile_dims=(),
         )
+
+
+def test_second_feed_sharing_profile_path_is_not_swallowed(
+    spark, tmp_path
+):
+    """A DIFFERENT feed (fresh checkpoint, epochs restart at 0) sharing
+    the same profile_path must have its drops RECORDED, not silently
+    treated as replays of the first feed's epoch ids (review finding:
+    content rides the drop id)."""
+    from tmdb_sync_spark.functions.stats import incremental_report
+
+    prof = os.path.join(str(tmp_path), "profile")
+
+    def feed(name, docs):
+        src = os.path.join(str(tmp_path), f"drops_{name}")
+        os.makedirs(src)
+        with open(os.path.join(src, "d.jsonl"), "w") as fh:
+            fh.write("\n".join(docs) + "\n")
+        return ingest_file_stream(
+            spark, src, DOC_DDL,
+            os.path.join(str(tmp_path), f"state_{name}"),
+            keys=["doc_id"], partition_col="lang",
+            profile_path=prof, profile_dims=("source", "lang"),
+        )
+
+    r1 = feed("a", [_doc(1, "alpha"), _doc(2, "beta")])
+    r2 = feed("b", [_doc(10, "gamma"), _doc(11, "delta"), _doc(12, "eps")])
+    assert r1["profile_replays"] == 0
+    assert r2["profile_replays"] == 0          # NOT swallowed
+    drops = [e for e in os.listdir(prof) if e.startswith("drop=")]
+    assert len(drops) == 2                     # one per feed, both epoch 0
+    total = incremental_report(spark, prof, ()).collect()[0]
+    assert total["n_docs"] == 5
+    assert total["n_distinct_keys_approx"] == 5

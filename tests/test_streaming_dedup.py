@@ -185,3 +185,66 @@ def test_null_key_and_null_ts_semantics(spark, tmp_path):
         for r in spark.read.parquet(res["out_path"]).collect()
     )
     assert got == ["a", "n1", "nots"]
+
+
+def test_sink_replay_is_idempotent(spark, tmp_path):
+    """Maximal crash replay (checkpoint wiped, every file reprocessed
+    with the same epoch ids): the output parquet is row-identical —
+    each epoch dynamically overwrites its own batch_id partition
+    instead of appending duplicates (review finding, pinned)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_file(
+        spark, tmp_path, src, "a",
+        [(k, f"2024-01-01 00:0{k % 6}:00", f"p{k}") for k in range(6)],
+        order=0,
+    )
+    _write_file(
+        spark, tmp_path, src, "b",
+        [(6, "2024-01-01 00:06:00", "p6"),
+         (1, "2024-01-01 00:01:30", "dup")],
+        order=1,
+    )
+    state = str(tmp_path / "state")
+    res = run_dedup_stream(
+        spark, str(src), SCHEMA, state,
+        keys=["event_id"], delay="2 hours", max_files_per_trigger=1,
+    )
+    rows = sorted(
+        (r["event_id"], r["payload"], r["batch_id"])
+        for r in spark.read.parquet(res["out_path"]).collect()
+    )
+    assert len(rows) == 7  # the redelivery of key 1 deduped
+
+    shutil.rmtree(os.path.join(state, "_ckpt_deduped"))
+    res2 = run_dedup_stream(
+        spark, str(src), SCHEMA, state,
+        keys=["event_id"], delay="2 hours", max_files_per_trigger=1,
+    )
+    assert sorted(
+        (r["event_id"], r["payload"], r["batch_id"])
+        for r in spark.read.parquet(res2["out_path"]).collect()
+    ) == rows
+
+
+def test_caller_session_timezone_untouched(spark, tmp_path):
+    """run_dedup_stream writes files and returns paths — it must not
+    mutate the CALLER's session timezone (review finding, pinned)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_file(
+        spark, tmp_path, src, "a",
+        [(1, "2024-01-01 00:00:00", "p")], order=0,
+    )
+    before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        run_dedup_stream(
+            spark, str(src), SCHEMA, str(tmp_path / "state"),
+            keys=["event_id"],
+        )
+        assert spark.conf.get(
+            "spark.sql.session.timeZone"
+        ) == "America/New_York"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)

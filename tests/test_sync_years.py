@@ -397,3 +397,21 @@ def test_dead_letters_isolated_per_content_type(spark, tmp_path):
     errs2 = spark.read.parquet(f"{state}/errors_years")
     got2 = {(r["content_type"], r["item_id"]) for r in errs2.collect()}
     assert got2 == want
+
+
+def test_legacy_errors_layout_refused_loudly(spark, tmp_path):
+    """A pre-content_type errors_years table (year=Y at the root) must
+    be refused with migration instructions — the mixed-depth layout
+    breaks parquet partition discovery AND the clear step would
+    silently skip legacy rows (review finding)."""
+    import os
+
+    import pytest as _pt
+
+    state = str(tmp_path / "s")
+    legacy = os.path.join(state, "errors_years", "year=1999", "page=1")
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "junk.parquet"), "w") as fh:
+        fh.write("")
+    with _pt.raises(ValueError, match="pre-upgrade"):
+        run_sync_years(spark, state, start_year=1999)

@@ -128,13 +128,17 @@ def chunk_documents_tokens(
     A text that is empty or all-whitespace has zero tokens and yields
     one empty chunk (L = 0 ≤ W — the identity chunk of the contract).
     """
+    from tmdb_sync_spark.functions.text import tokens_expr
+
     step = _check(chunk_tokens, overlap, "chunk_tokens")
     text = F.col(text_col)
-    # split('', '\\s+') -> [''] — filter keeps token arrays honest for
-    # empty/all-whitespace texts (zero tokens, not one empty token)
-    toks = F.filter(
-        F.split(F.trim(text), r"\s+"), lambda t: t != F.lit("")
-    )
+    # THE engine tokenizer (text.tokens_expr — the single source every
+    # token-materializing operator must build from, so a future
+    # whitespace-class change can never desync chunk boundaries from
+    # token budgets); the filter keeps token arrays honest for
+    # empty/all-whitespace texts (split yields [''] there — zero
+    # tokens, not one empty token)
+    toks = F.filter(tokens_expr(text), lambda t: t != F.lit(""))
     starts = _starts(F.size(toks), chunk_tokens, step)
     chunks = F.transform(
         starts,

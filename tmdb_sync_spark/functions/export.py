@@ -74,13 +74,38 @@ import itertools as _itertools  # noqa: E402
 _STAGING_SEQ = _itertools.count()
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def _stale_stagings(base: str) -> list:
-    """Leftover staging dirs for ``base`` from crashed or raced runs."""
+    """Leftover staging dirs for ``base`` from CRASHED runs — never a
+    live concurrent exporter's. Staging names embed the writer pid;
+    a dir whose pid is still alive is (or may be) an in-flight write
+    and sweeping it would fail that exporter mid-job (review finding:
+    the sweep used to take every ``._staging-*``, breaking exactly the
+    benign-race contract writer-unique naming bought). A live pid's
+    crashed-attempt leftovers are swept by any exporter running after
+    that pid exits; the published-target rename stays the arbiter."""
     import glob as _glob
 
-    return _glob.glob(base + "._staging-*") + (
-        [base + "._staging"] if os.path.exists(base + "._staging") else []
-    )
+    out = []
+    for d in _glob.glob(base + "._staging-*"):
+        tail = d[len(base + "._staging-"):]
+        pid_s = tail.split("-", 1)[0]
+        if pid_s.isdigit() and _pid_alive(int(pid_s)):
+            continue
+        out.append(d)
+    # the pre-writer-unique shared name: no pid, always stale
+    if os.path.exists(base + "._staging"):
+        out.append(base + "._staging")
+    return out
 
 
 def shard_expr(key: Column, n_shards: int, seed: int = 0) -> Column:
@@ -114,6 +139,14 @@ def shard_layout(
     ``(shard, rank, key)`` — the key tie-break makes the order total
     under rank collisions. ONE exchange total; ``partitionBy("shard")``
     on this frame emits one file per shard, already in final order."""
+    # layout columns are RECOMPUTED here: a frame that already carries
+    # them (the documented round-trip — read_training_shards returns
+    # 'shard'; keep_order_col re-exports carry the rank) would
+    # otherwise end with duplicate columns and an AMBIGUOUS_REFERENCE
+    # at write time (review finding)
+    for stale in ("shard", "_rank", keep_order_col):
+        if stale and stale in df.columns:
+            df = df.drop(stale)
     kcol = F.col(key)
     laid = df.withColumn("shard", shard_expr(kcol, n_shards, seed)) \
              .withColumn("_rank", order_expr(kcol, seed))
@@ -213,6 +246,36 @@ def export_training_shards(
         shutil.rmtree(stale, ignore_errors=True)
     staging = f"{base}._staging-{os.getpid()}-{next(_STAGING_SEQ)}"
 
+    # manifest from the data itself (n_shards bounded rows) — computed
+    # BEFORE the staged write, so a token-accounting contract violation
+    # raises before the job pays the full export write (review finding:
+    # a NULL tokens sum used to surface as a bare TypeError after
+    # staging completed)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    if tokens_col is not None:
+        aggs.append(F.sum(F.col(tokens_col).cast("long")).alias("tokens"))
+        aggs.append(
+            F.count_if(F.col(tokens_col).isNull()).alias("_null_tokens")
+        )
+    per_shard = {
+        int(r["shard"]): {
+            k: (None if r[k] is None else int(r[k]))
+            for k in r.asDict() if k != "shard"
+        }
+        for r in df.withColumn(
+            "shard", shard_expr(F.col(key), n_shards, seed)
+        ).groupBy("shard").agg(*aggs).collect()
+    }
+    if tokens_col is not None:
+        n_null = sum(s.pop("_null_tokens") for s in per_shard.values())
+        if n_null:
+            raise ValueError(
+                f"export_training_shards: {n_null} rows have NULL "
+                f"{tokens_col!r} — token accounting requires every "
+                "exported row to carry its count (compute or filter "
+                "upstream, or export without tokens_col)"
+            )
+
     laid = shard_layout(
         df, n_shards, key=key, seed=seed, keep_order_col=keep_order_col
     )
@@ -223,16 +286,6 @@ def export_training_shards(
     else:
         writer.json(staging)
 
-    # manifest from the data itself: n_shards bounded rows
-    aggs = [F.count(F.lit(1)).alias("rows")]
-    if tokens_col is not None:
-        aggs.append(F.sum(F.col(tokens_col).cast("long")).alias("tokens"))
-    per_shard = {
-        int(r["shard"]): {k: int(r[k]) for k in r.asDict() if k != "shard"}
-        for r in df.withColumn(
-            "shard", shard_expr(F.col(key), n_shards, seed)
-        ).groupBy("shard").agg(*aggs).collect()
-    }
     manifest = {
         "n_shards": n_shards,
         "seed": seed,

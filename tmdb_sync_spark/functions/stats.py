@@ -390,3 +390,45 @@ def incremental_report(
     return profile_estimates(
         merge_profile_states(states, dims), dims, quantiles=quantiles
     )
+
+
+def write_profile_drops(
+    state: DataFrame, path: str, drop_col: str = "drop"
+) -> dict:
+    """Persist MANY drop states in one write: ``state`` carries its
+    drop id in ``drop_col`` (one state row set per id); ids already
+    recorded under ``path`` are FILTERED OUT (immutable drops, the
+    :func:`write_profile_drop` guard vectorized), the rest land in one
+    ``partitionBy(drop)`` append. Returns ``{"written": [...],
+    "skipped": [...]}`` so callers can account replays.
+
+    Single-writer contract (same as the scalar writer): concurrent
+    writers to one profile path could both pass the existence check
+    and double-record a drop — profile maintenance belongs to the one
+    ingest that owns the feed (its checkpoint already serializes
+    batches)."""
+    if drop_col not in state.columns:
+        raise ValueError(f"write_profile_drops: no {drop_col!r} column")
+    ids = [r[0] for r in state.select(drop_col).distinct().collect()]
+    bad = [i for i in ids if not i or "/" in str(i)]
+    if bad:
+        raise ValueError(f"write_profile_drops: bad drop ids {bad!r}")
+    existing = set()
+    if os.path.isdir(path):
+        existing = {
+            e[len("drop="):]
+            for e in os.listdir(path)
+            if e.startswith("drop=")
+        }
+    written = sorted(str(i) for i in ids if str(i) not in existing)
+    skipped = sorted(str(i) for i in ids if str(i) in existing)
+    if written:
+        (
+            state.where(F.col(drop_col).isin(written))
+            .withColumnRenamed(drop_col, "drop")
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("drop")
+            .parquet(path)
+        )
+    return {"written": written, "skipped": skipped}

@@ -439,11 +439,9 @@ def repetition_stats(
         F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
     ).withColumn("_toks", tokens_expr(F.col("_t")))
 
-    # map-side pieces: token count + char run, one row per doc
+    # map-side piece: the char run, one row per doc
     per_doc = base.select(
         id_col,
-        F.when(F.col("_t") == "", 0).otherwise(F.size("_toks"))
-         .alias("_ntok"),
         max_char_run_expr(F.col("_t")).alias("max_char_run"),
     )
 

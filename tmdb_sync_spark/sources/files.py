@@ -55,11 +55,12 @@ def _full_schema(schema: StructType | str) -> StructType:
     )
 
 
-def _split(parsed: DataFrame, data_cols: list[str]) -> tuple[DataFrame,
-                                                             DataFrame]:
+def _split(
+    parsed: DataFrame, data_cols: list[str], carry: Sequence[str] = ()
+) -> tuple[DataFrame, DataFrame]:
     clean = (
         parsed.where(F.col(f"p.{CORRUPT_COL}").isNull())
-        .select(*[f"p.{c}" for c in data_cols])
+        .select(*[f"p.{c}" for c in data_cols], *carry)
     )
     dead = (
         parsed.where(F.col(f"p.{CORRUPT_COL}").isNotNull())
@@ -69,18 +70,24 @@ def _split(parsed: DataFrame, data_cols: list[str]) -> tuple[DataFrame,
 
 
 def parse_jsonl_lines(
-    lines: DataFrame, schema: StructType | str
+    lines: DataFrame, schema: StructType | str, carry: Sequence[str] = ()
 ) -> tuple[DataFrame, DataFrame]:
     """The shared JSONL parser over a ``value string`` line frame —
     one code path for the batch reader and the streaming file ingest
     (streaming/file_ingest.py), so their dead-letter semantics can
     never drift. Blank lines are skipped (not dead-lettered): trailing
-    newlines are an artifact of file concatenation, not data."""
+    newlines are an artifact of file concatenation, not data.
+
+    ``carry``: extra columns of ``lines`` (e.g. file provenance from
+    ``_metadata``) passed through onto the CLEAN side unchanged; the
+    dead side keeps its one-verbatim-column contract."""
     full = _full_schema(schema)
     data_cols = [f.name for f in full.fields[:-1]]
     kept = lines.where(F.trim(F.col("value")) != "")
-    parsed = kept.select(F.from_json("value", full, _OPTS).alias("p"))
-    return _split(parsed, data_cols)
+    parsed = kept.select(
+        F.from_json("value", full, _OPTS).alias("p"), *carry
+    )
+    return _split(parsed, data_cols, carry)
 
 
 def read_jsonl(
@@ -105,6 +112,7 @@ def parse_csv_lines(
     *,
     header: bool = True,
     sep: str = ",",
+    carry: Sequence[str] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """The shared CSV parser over a ``value string`` line frame — the
     :func:`parse_jsonl_lines` twin, shared by :func:`read_csv` and the
@@ -117,9 +125,10 @@ def parse_csv_lines(
     if header:
         kept = kept.where(F.col("value") != sep.join(data_cols))
     parsed = kept.select(
-        F.from_csv("value", F.lit(_csv_ddl(full)), _OPTS).alias("p")
+        F.from_csv("value", F.lit(_csv_ddl(full)), _OPTS).alias("p"),
+        *carry,
     )
-    return _split(parsed, data_cols)
+    return _split(parsed, data_cols, carry)
 
 
 def read_csv(

@@ -47,6 +47,7 @@ import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def dedup_within_watermark(
@@ -93,7 +94,11 @@ def run_dedup_stream(
     max_files_per_trigger: int | None = None,
 ) -> dict:
     """One ``availableNow`` drain of a file-sourced event stream through
-    the watermark dedup, appended to ``{state_dir}/{out_name}`` parquet.
+    the watermark dedup, written to ``{state_dir}/{out_name}`` parquet
+    partitioned by ``batch_id`` — each micro-batch dynamically
+    overwrites exactly its own partition, so a crash-replayed epoch
+    replaces rather than duplicates its rows (exactly-once on the
+    sink, same discipline as the ingest dead-letter tables).
 
     Resumable exactly like the file ingest: the checkpoint under
     ``state_dir`` makes re-runs pick up only new files, and the dedup
@@ -119,8 +124,13 @@ def run_dedup_stream(
         os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8"),
     )
     sub.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # telemetry below sums over recentProgress, which Spark caps at
+    # numRecentProgressUpdates (default 100) — a >100-micro-batch drain
+    # would silently undercount input_rows/batches/evictions
+    sub.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    # pin only the PRIVATE sub-session to UTC (event-time parsing);
+    # this helper writes files and returns paths, so it has no business
+    # mutating the caller's session timezone (review finding)
     sub.conf.set("spark.sql.session.timeZone", "UTC")
 
     reader = sub.readStream.schema(schema)
@@ -132,12 +142,22 @@ def run_dedup_stream(
 
     emitted = {"n": 0}
 
-    def sink(batch_df: DataFrame, _epoch: int) -> None:
-        # count from the written batch, not a second action on the
-        # stream frame (a re-action would re-pull source data)
+    def sink(batch_df: DataFrame, epoch: int) -> None:
         n = batch_df.count()
         if n:
-            batch_df.write.mode("append").parquet(out)
+            # idempotent BY BATCH (dynamic partition overwrite keyed on
+            # the epoch — the file_ingest dead-letter discipline): a
+            # crash-replayed epoch replaces exactly its own partition;
+            # a bare append would double every row of the batch on
+            # replay, in the operator whose whole contract is dedup
+            (
+                batch_df
+                .withColumn("batch_id", F.lit(int(epoch)).cast("long"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out)
+            )
         emitted["n"] += n
 
     q = (

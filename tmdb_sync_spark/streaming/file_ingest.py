@@ -96,17 +96,21 @@ def ingest_file_stream(
 
     ``profile_path`` composes the incremental corpus profile
     (functions/stats.py): after each batch's MERGE commits, the
-    batch's landed rows are folded into one immutable drop-state
-    partition keyed by the epoch id. Exactly-once by construction: a
-    crash-REPLAYED epoch re-merges idempotently, then its profile
-    write hits the drop-immutability guard and is SKIPPED (counted in
-    ``profile_replays``) — the state was already recorded by the run
-    that crashed after writing it; writing profile state BEFORE the
-    merge would instead record rows a crash could prevent from ever
-    landing. Profile n_docs counts batch arrivals (a key updated by
-    three drops contributes three), while the HLL distinct tracks
-    keys — the gap between them is the report's built-in re-delivery
-    visibility, not drift."""
+    batch's parsed arrivals are folded into one immutable drop-state
+    partition per SOURCE FILE (id = hash of the file path). The file
+    — not the epoch — is the unit that stays stable under
+    re-batching, which is what makes the accounting exactly-once by
+    construction: a crash-replayed epoch, a checkpoint-wiped redrain
+    that coalesces old files into new batches, and a second feed
+    sharing the profile path (whose epochs restart at 0) all re-merge
+    idempotently and then hit the drop-immutability filter for files
+    already recorded (counted in ``profile_replays``); genuinely new
+    files always record. Writing profile state BEFORE the merge would
+    instead record rows a crash could prevent from ever landing.
+    Profile n_docs counts ARRIVALS — clean parsed rows per file,
+    before key-folding and near-dup filtering — while the HLL
+    distinct tracks keys; the gap between them is the report's
+    built-in re-delivery visibility, not drift."""
     if fmt not in ("jsonl", "csv"):
         raise ValueError(f"ingest_file_stream: fmt {fmt!r} not in "
                          "('jsonl', 'csv')")
@@ -138,15 +142,26 @@ def ingest_file_stream(
     stats = {"batches": 0, "dead": 0, "near_dups": 0, "profile_replays": 0}
     row = F.struct(*[F.col(c) for c in schema.fieldNames()])
 
+    # file provenance rides the clean side: the profile's unit of
+    # idempotency is the SOURCE FILE (a "drop"), which is stable under
+    # re-batching — an epoch id is not (a checkpoint-wipe replay
+    # coalesces files into new batches; a second feed restarts epochs
+    # at 0 — review finding). _metadata only resolves on the SOURCE
+    # frame, so it is selected pre-writeStream, not in the sink.
+    carry = ("_src_file",) if profile_path is not None else ()
+
     def sink(batch_lines: DataFrame, epoch: int) -> None:
         if fmt == "csv":
             from tmdb_sync_spark.sources.files import parse_csv_lines
 
             clean, dead = parse_csv_lines(
-                batch_lines, schema, header=True, sep=csv_sep
+                batch_lines, schema, header=True, sep=csv_sep,
+                carry=carry,
             )
         else:
-            clean, dead = parse_jsonl_lines(batch_lines, schema)
+            clean, dead = parse_jsonl_lines(batch_lines, schema, carry)
+        arrivals = clean
+        clean = clean.drop("_src_file") if carry else clean
         n_dead = dead.count()
         if n_dead:
             # idempotent BY BATCH (dynamic partition overwrite, the
@@ -203,30 +218,42 @@ def ingest_file_stream(
         if profile_path is not None:
             from tmdb_sync_spark.functions.stats import (
                 profile_drop_state,
-                write_profile_drop,
+                write_profile_drops,
             )
 
-            try:
-                write_profile_drop(
-                    profile_drop_state(
-                        folded, profile_dims, size_col=profile_size_col
+            # one drop-state row set per SOURCE FILE, all files of the
+            # batch in one aggregation + one partitioned write; files
+            # whose drop id is already recorded are skipped by the
+            # immutability filter (crash replays and re-batched
+            # redrains re-merge idempotently above and no-op here)
+            prof = arrivals.withColumn(
+                "_drop",
+                F.concat(
+                    F.lit("f"),
+                    F.substring(
+                        F.sha1(F.col("_src_file").cast("binary")), 1, 16
                     ),
-                    profile_path,
-                    f"b{int(epoch):06d}",
-                )
-            except ValueError as e:
-                if "already recorded" not in str(e):
-                    raise
-                # this epoch is a crash replay whose previous run got
-                # past the profile write — the merge above was
-                # idempotent, the state must not double-count
-                # (immutability guard doing its job)
-                stats["profile_replays"] += 1
+                ),
+            ).drop("_src_file")
+            res_p = write_profile_drops(
+                profile_drop_state(
+                    prof, ("_drop", *profile_dims),
+                    size_col=profile_size_col,
+                ),
+                profile_path,
+                "_drop",
+            )
+            stats["profile_replays"] += len(res_p["skipped"])
         stats["batches"] += 1
         stats["dead"] += n_dead
 
+    stream = spark.readStream.format("text").load(src_dir)
+    if carry:
+        stream = stream.select(
+            "value", F.col("_metadata.file_path").alias("_src_file")
+        )
     q = (
-        spark.readStream.format("text").load(src_dir)
+        stream
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)

@@ -414,6 +414,22 @@ def run_sync_years(
     movies_path = f"{state_dir}/movies"
     cursors_path = f"{state_dir}/cursors"
     errors_path = f"{state_dir}/errors_years"
+    # pre-content_type layout (year=Y/page=P at the root) cannot
+    # coexist with the current (content_type=C/year=Y/page=P) one:
+    # parquet refuses mixed partition depths, and the clear step would
+    # silently skip the old rows (stale "current failures" forever).
+    # Refuse loudly with the migration instead of either failure mode.
+    if os.path.isdir(errors_path):
+        legacy = [e for e in os.listdir(errors_path)
+                  if e.startswith("year=")]
+        if legacy:
+            raise ValueError(
+                f"run_sync_years: {errors_path!r} holds pre-upgrade "
+                f"partitions ({legacy[0]}, ...) from the (year, page) "
+                "layout. Migrate each year=Y dir under content_type=<ct>/"
+                "or delete the table (dead letters are replayable) "
+                "before running the partitioned-by-content_type sync."
+            )
     end_year = end_year or start_year
     if end_year < start_year:
         start_year, end_year = end_year, start_year
