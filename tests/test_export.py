@@ -576,3 +576,76 @@ def test_staging_sweep_spares_live_writers(spark, docs, tmp_path):
     assert os.path.exists(live)
     assert os.path.exists(os.path.join(out, MANIFEST_NAME))
     os.rmdir(live)
+
+
+# --- token-budget mixing with up-sampling -----------------------------
+
+
+def _tok_source(spark, n, start, tok=10):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(tok).alias("n_tokens"),
+    )
+
+
+def test_token_mix_budgets_repeats_and_determinism(spark):
+    from tmdb_sync_spark.functions.export import mix_sources_by_tokens
+
+    big = _tok_source(spark, 20000, 0)          # 200k tokens
+    small = _tok_source(spark, 1000, 10**6)     # 10k tokens
+    # weights 3:1 over 100k tokens → big 75k (ratio .375), small 25k
+    # (ratio 2.5 → 2 full epochs + .5 remainder)
+    mixed, plan = mix_sources_by_tokens(
+        {"web": (big, 3.0), "code": (small, 1.0)}, 100_000, seed=4
+    )
+    assert plan["web"] == {
+        "weight": 3.0, "available_tokens": 200_000,
+        "budget_tokens": 75_000, "repeats": 0, "remainder_frac": 0.375,
+    }
+    assert plan["code"]["repeats"] == 2
+    assert plan["code"]["remainder_frac"] == pytest.approx(0.5)
+
+    got = mixed.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("t"),
+    ).collect()
+    by = {(r["source"], r["epoch"]): r for r in got}
+    # full epochs are EXACT copies
+    assert by[("code", 0)]["n"] == 1000 and by[("code", 1)]["n"] == 1000
+    # remainder slices track their fraction (hash noise ~ sqrt(n))
+    assert abs(by[("code", 2)]["n"] - 500) < 120
+    assert abs(by[("web", 0)]["n"] - 7500) < 500
+    # realized tokens ≈ budgets
+    tot = {s: sum(r["t"] for (s2, _), r in by.items() if s2 == s)
+           for s in ("web", "code")}
+    assert abs(tot["code"] - 25_000) < 1500
+    assert abs(tot["web"] - 75_000) < 5000
+
+    again, _ = mix_sources_by_tokens(
+        {"web": (big, 3.0), "code": (small, 1.0)}, 100_000, seed=4
+    )
+    assert sorted(
+        (r["doc_id"], r["source"], r["epoch"]) for r in mixed.collect()
+    ) == sorted(
+        (r["doc_id"], r["source"], r["epoch"]) for r in again.collect()
+    )
+
+
+def test_token_mix_contract_errors(spark):
+    from tmdb_sync_spark.functions.export import mix_sources_by_tokens
+
+    ok = _tok_source(spark, 100, 0)
+    with pytest.raises(ValueError, match="max_repeats"):
+        mix_sources_by_tokens({"s": (ok, 1.0)}, 10_000_000)
+    with pytest.raises(ValueError, match="NULL 'n_tokens'"):
+        bad = spark.createDataFrame(
+            [(1, 5), (2, None)], "doc_id long, n_tokens int"
+        )
+        mix_sources_by_tokens({"s": (bad, 1.0)}, 10)
+    with pytest.raises(ValueError, match="no token mass"):
+        zero = spark.createDataFrame([], "doc_id long, n_tokens int")
+        mix_sources_by_tokens({"s": (zero, 1.0)}, 10)
+    with pytest.raises(ValueError, match="must be > 0"):
+        mix_sources_by_tokens({"s": (ok, 0.0)}, 10)
+    with pytest.raises(ValueError, match="total_tokens"):
+        mix_sources_by_tokens({"s": (ok, 1.0)}, 0)

@@ -427,6 +427,134 @@ def mix_sources(
     return out
 
 
+def mix_sources_by_tokens(
+    sources: Mapping[str, tuple[DataFrame, float]],
+    total_tokens: int,
+    *,
+    tokens_col: str = "n_tokens",
+    key: str = "doc_id",
+    seed: int = 0,
+    source_col: str = "source",
+    epoch_col: str = "epoch",
+    max_repeats: int = 10,
+) -> tuple[DataFrame, dict]:
+    """The trainer's mixing contract: allocate a TOKEN budget across
+    sources, up-sampling small high-quality sources by repetition —
+    :func:`mix_sources` thinks in rows and only downsamples; training
+    recipes think in tokens and routinely run a small corpus for 2-4
+    epochs while a web crawl runs for 0.3.
+
+    ``sources``: ``{name: (frame, weight)}``; each source gets
+    ``total_tokens * weight / Σweights`` of budget. A source whose
+    budget exceeds its mass is repeated: ``floor(ratio)`` full copies
+    plus a deterministic hash-kept remainder fraction, each copy
+    tagged with ``epoch_col`` (0-based) — so downstream stages can
+    tell the third pass over a doc from the first, and the output key
+    is (``key``, ``epoch_col``), NOT ``key`` alone (re-key or export
+    with a composite key; export_training_shards' unique-key
+    precondition is on the caller). ``max_repeats`` bounds the
+    up-sampling — needing more than ~10 epochs of a source is a recipe
+    smell, refused loudly rather than silently looped.
+
+    Realized tokens per source ≈ budget with hash noise on the
+    remainder slice only (full copies are exact); proportions are
+    targets, not exact counts — the same contract as
+    :func:`mix_sources`, for the same reason (exactness needs a global
+    sort). NULL ``tokens_col`` rows are refused: unaccountable mass
+    breaks budget arithmetic (same contract as the export manifest).
+
+    Plan shape: one bounded aggregate per source (sum + NULL count,
+    map-side partial), then a union of pure filtered scans —
+    ``repeats+1`` scan branches per source, no shuffle anywhere,
+    deterministic per (key, seed, epoch).
+
+    Returns ``(frame, plan)`` — ``plan`` records per source the
+    available tokens, budget, full repeats and remainder fraction the
+    mix was built from (audit/logging; computed from the same aggs the
+    plan used, not re-derived).
+    """
+    if total_tokens <= 0:
+        raise ValueError("mix_sources_by_tokens: total_tokens must be > 0")
+    if not sources:
+        raise ValueError("mix_sources_by_tokens: sources must be non-empty")
+    for name, (sdf, w) in sources.items():
+        if w <= 0:
+            raise ValueError(
+                f"mix_sources_by_tokens: weight for {name!r} must be > 0"
+            )
+        for c in (key, tokens_col):
+            if c not in sdf.columns:
+                raise ValueError(
+                    f"mix_sources_by_tokens: {name!r} has no {c!r} column"
+                )
+
+    stats = {}
+    for name, (sdf, _) in sources.items():
+        r = sdf.agg(
+            F.sum(F.col(tokens_col).cast("long")).alias("t"),
+            F.count_if(F.col(tokens_col).isNull()).alias("nn"),
+        ).collect()[0]
+        if r["nn"]:
+            raise ValueError(
+                f"mix_sources_by_tokens: {r['nn']} rows of {name!r} have "
+                f"NULL {tokens_col!r} — token budgets need every row "
+                "accounted (compute or filter upstream)"
+            )
+        if not r["t"]:
+            raise ValueError(
+                f"mix_sources_by_tokens: source {name!r} has no token "
+                "mass — drop it explicitly"
+            )
+        stats[name] = int(r["t"])
+
+    wsum = float(sum(w for _, w in sources.values()))
+    plan = {}
+    parts = []
+    for name, (sdf, w) in sources.items():
+        budget = total_tokens * (w / wsum)
+        ratio = budget / stats[name]
+        if ratio > max_repeats:
+            raise ValueError(
+                f"mix_sources_by_tokens: {name!r} would repeat "
+                f"{ratio:.1f}x (> max_repeats={max_repeats}) — raise its "
+                "mass, lower its weight, or raise max_repeats explicitly"
+            )
+        repeats = int(ratio)
+        frac = ratio - repeats
+        plan[name] = {
+            "weight": w,
+            "available_tokens": stats[name],
+            "budget_tokens": int(round(budget)),
+            "repeats": repeats,
+            "remainder_frac": round(frac, 6),
+        }
+        tagged = sdf.withColumn(source_col, F.lit(name))
+        for e in range(repeats):
+            parts.append(
+                tagged.withColumn(epoch_col, F.lit(e).cast("int"))
+            )
+        if frac > 0:
+            b = F.pmod(
+                F.xxhash64(
+                    F.col(key), F.lit(_MIX_SALT), F.lit(seed),
+                    F.lit(repeats),
+                ),
+                F.lit(_M),
+            )
+            parts.append(
+                tagged.where(b < F.lit(int(round(frac * _M))))
+                .withColumn(epoch_col, F.lit(repeats).cast("int"))
+            )
+    if not parts:
+        raise ValueError(
+            "mix_sources_by_tokens: every source rounded to zero budget"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, plan
+
+
 # --- embedding payload quantization (export compression) --------------
 
 def quantize_embedding_expr(emb: Column):
