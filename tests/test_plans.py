@@ -256,3 +256,61 @@ def test_merge_guard_filter_survives_every_consumer_shape(spark):
                merged.groupBy().count()):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "raise_error" in plan, plan[:2000]
+
+
+def test_new_trainer_ops_plan_shapes(spark, sf_dir):
+    """Round-7 tail operators keep the declared scale shapes: the
+    token mixer is a union of pure filtered scans (no Exchange, no
+    cartesian); profile_estimates is a pure projection over state (no
+    Exchange); both leakage audits generate candidates through the
+    bucketed equi-join (never a cartesian)."""
+    from pyspark.sql import functions as F
+
+    from tmdb_sync_spark.functions.export import mix_sources_by_tokens
+    from tmdb_sync_spark.functions.leakage import (
+        embedding_split_leakage,
+        split_leakage_audit,
+    )
+    from tmdb_sync_spark.functions.sampling import split_corpus
+    from tmdb_sync_spark.functions.stats import (
+        profile_drop_state,
+        profile_estimates,
+    )
+    from tmdb_sync_spark.io import table
+
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    mixed, _ = mix_sources_by_tokens(
+        {"a": (toks, 1.0),
+         "b": (toks.where(F.col("doc_id") < 50), 1.0)}, 2000,
+    )
+    p = _plan(mixed)
+    assert "Exchange" not in p and "CartesianProduct" not in p
+
+    state = profile_drop_state(docs, ("source", "lang"))
+    # estimates add NO exchange beyond the state build's own two
+    n_state = _plan(state).count("Exchange")
+    n_est = _plan(profile_estimates(state, ("source", "lang"))).count(
+        "Exchange"
+    )
+    assert n_est == n_state
+
+    for frame in (
+        split_leakage_audit(
+            split_corpus(docs.select("doc_id", "text")),
+            split_col="split", min_equal=4,
+        ),
+        embedding_split_leakage(
+            split_corpus(
+                table(spark, sf_dir, "embeddings"), key="vec_id"
+            )
+        ),
+    ):
+        p = _plan(frame)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
