@@ -338,3 +338,51 @@ def test_profile_persistence_roundtrip(spark, sf_dir, tmp_path):
         write_profile_drop(
             profile_drop_state(docs, ("source",)), path, "a/b"
         )
+
+
+def test_merge_law_property(spark):
+    """Hypothesis over adversarial frames (NULL dims, NULL sizes,
+    zero/negative sizes, duplicate keys ACROSS drops, empty drops):
+    merging any partition of the rows gives the same estimates as
+    profiling the whole — exact columns exactly; distincts within the
+    HLL bound."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows_st = st.lists(
+        st.tuples(
+            st.integers(0, 30),                        # doc_id (dups!)
+            st.sampled_from(["en", "de", None]),       # lang
+            st.one_of(st.none(), st.integers(-2, 10**6)),  # n_chars
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows=rows_st, cut=st.integers(0, 39))
+    def check(rows, cut):
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, n_chars long"
+        )
+        a = df.where(F.col("doc_id") % 40 <= cut)
+        b = df.where(F.col("doc_id") % 40 > cut)
+        merged = merge_profile_states(
+            profile_drop_state(a, ("lang",)).unionByName(
+                profile_drop_state(b, ("lang",))
+            ),
+            ("lang",),
+        )
+        got = _est_map(merged, ("lang",))
+        want = _est_map(profile_drop_state(df, ("lang",)), ("lang",))
+        assert set(got) == set(want)
+        for k, w in want.items():
+            g = got[k]
+            for c in ("n_docs", "n_sized", "total_size", "max_size",
+                      "mean_size", "size_q"):
+                assert g[c] == w[c], (k, c, g[c], w[c])
+            assert abs(
+                g["n_distinct_keys_approx"] - w["n_distinct_keys_approx"]
+            ) <= max(2, 0.05 * w["n_docs"])
+
+    check()
