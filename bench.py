@@ -109,6 +109,30 @@ def main() -> None:
         floor_runs.append(time.perf_counter() - t0)
     machine_floor = round(min(floor_runs), 3)
 
+    # CPU-parallelism floor, JVM-free: the same GIL-releasing hash work
+    # on 1 thread vs 32 concurrent. On a healthy 32-vCPU host the two
+    # are near-equal; under hypervisor contention the 32-thread number
+    # inflates while 1-thread stays flat (measured 3× mid-round-7) —
+    # the pair attributes a slow bench to the host without any Spark
+    # noise in the signal.
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _hash_unit(_=None):
+        h = hashlib.sha256()
+        b = b"x" * 1_000_000
+        for _ in range(100):
+            h.update(b)
+
+    _hash_unit()
+    t0 = time.perf_counter()
+    _hash_unit()
+    cpu_floor_1t = round(time.perf_counter() - t0, 3)
+    with ThreadPoolExecutor(32) as ex:
+        t0 = time.perf_counter()
+        list(ex.map(_hash_unit, range(32)))
+        cpu_floor_32t = round(time.perf_counter() - t0, 3)
+
     # Input-corpus fingerprint: parquet count() is footer-metadata-only,
     # so this costs ~one job per table, not a data scan.
     table_rows = {}
@@ -185,6 +209,8 @@ def main() -> None:
             "unit": "sec",
             "queries": warm,
             "machine_floor_sec": machine_floor,
+            "cpu_floor_1t": cpu_floor_1t,
+            "cpu_floor_32t": cpu_floor_32t,
             "warm_reps": reps - 1,
             "sf": sf_val,
         }
