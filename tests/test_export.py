@@ -649,3 +649,28 @@ def test_token_mix_contract_errors(spark):
         mix_sources_by_tokens({"s": (ok, 0.0)}, 10)
     with pytest.raises(ValueError, match="total_tokens"):
         mix_sources_by_tokens({"s": (ok, 1.0)}, 0)
+
+
+def test_keep_order_col_collision_refused(spark, docs, tmp_path):
+    """A caller-named order column colliding with existing data must
+    refuse rather than silently replace user data with the layout
+    rank (second review pass)."""
+    df = docs.withColumn("rank", F.lit(7))
+    with pytest.raises(ValueError, match="collides"):
+        export_training_shards(
+            df, str(tmp_path / "x"), 2, keep_order_col="rank"
+        )
+
+
+def test_staging_sweep_age_fallback(spark, docs, tmp_path):
+    """Pid reuse guard: a live-pid staging dir OLDER than the max age
+    is swept anyway (no real export stages for a day)."""
+    import time as _time
+
+    out = str(tmp_path / "out")
+    old = f"{out}._staging-{os.getpid()}-424242"
+    os.makedirs(old)
+    stale_t = _time.time() - 25 * 3600
+    os.utime(old, (stale_t, stale_t))
+    export_training_shards(docs, out, 2)
+    assert not os.path.exists(old)

@@ -267,3 +267,30 @@ def test_embedding_audit_validates_columns(spark):
     df = spark.createDataFrame([(1,)], "vec_id long")
     with pytest.raises(ValueError, match="no 'embedding'"):
         embedding_split_leakage(df)
+
+
+def test_rates_and_decontamination_accept_embedding_audit(spark, sf_dir):
+    from tmdb_sync_spark.functions.leakage import embedding_split_leakage
+
+    emb = split_corpus(
+        table(spark, sf_dir, "embeddings"), key="vec_id",
+        weights={"train": 0.6, "val": 0.2, "test": 0.2}, seed=5,
+    )
+    leaks = embedding_split_leakage(emb)
+    rates = {
+        r["split"]: r
+        for r in leakage_rates(
+            emb, leaks, eval_id_col="eval_vec_id"
+        ).collect()
+    }
+    assert set(rates) == {"val", "test"}
+    n_leaked = sum(r["n_leaked"] for r in rates.values())
+    assert n_leaked == leaks.select("eval_vec_id").distinct().count()
+
+    clean = decontaminated_eval(
+        emb, leaks, key="vec_id", eval_id_col="eval_vec_id"
+    )
+    assert clean.count() == emb.count() - n_leaked
+
+    with pytest.raises(ValueError, match="eval_vec_id"):
+        leakage_rates(emb, leaks)  # default id col is the lexical one

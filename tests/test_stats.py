@@ -386,3 +386,69 @@ def test_merge_law_property(spark):
             ) <= max(2, 0.05 * w["n_docs"])
 
     check()
+
+
+def test_drop_ids_restricted_to_escape_free_charset(spark, sf_dir):
+    """Partition-escaped characters (':', '=', '#') would desync the
+    on-disk dir name from the immutability guard's probe — rejected
+    up front (review finding)."""
+    state = profile_drop_state(_docs(spark, sf_dir), ("source",))
+    for bad in ("2026-08-15T12:00", "a=b", "x#y", "", "a b"):
+        with pytest.raises(ValueError, match="bad drop_id"):
+            write_profile_drop(state, "/tmp/nope_profile", bad)
+
+
+def test_mixed_lg_k_drops_still_merge(spark, sf_dir, tmp_path):
+    """lg_k is a public knob and state outlives code: drops written at
+    different lg_k must merge (at the coarser accuracy) instead of
+    poisoning the profile with HLL_UNION_DIFFERENT_LG_K forever."""
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "p")
+    write_profile_drop(
+        profile_drop_state(docs.where(F.col("doc_id") % 2 == 0),
+                           ("source",), lg_k=12), path, "a")
+    write_profile_drop(
+        profile_drop_state(docs.where(F.col("doc_id") % 2 == 1),
+                           ("source",), lg_k=14), path, "b")
+    total = incremental_report(spark, path, ()).collect()[0]
+    nd = docs.select("doc_id").distinct().count()
+    assert total["n_docs"] == docs.count()
+    assert abs(total["n_distinct_keys_approx"] - nd) <= max(4, 0.1 * nd)
+
+
+def test_profile_commit_is_atomic_per_drop(spark, sf_dir, tmp_path):
+    """Crash-shaped leftovers: a dead-pid staging dir inside the
+    profile is invisible to readers and swept by the next write; a
+    staged-but-unpublished drop is ABSENT (complete-or-absent), so a
+    replay records it instead of skipping half a drop."""
+    import os as _os
+
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "p")
+    write_profile_drop(profile_drop_state(docs, ("source",)), path, "d0")
+    before = sorted(
+        str(r) for r in incremental_report(spark, path, ()).collect()
+    )
+
+    # a crashed writer's leftover: hidden staging with a drop inside
+    crash = _os.path.join(path, "._staging-4194304-7")
+    _os.makedirs(_os.path.join(crash, "drop=d1"))
+    with open(_os.path.join(crash, "drop=d1", "part-0.parquet"), "w") as f:
+        f.write("torn")
+    # readers never see it (dot-prefixed = outside partition discovery)
+    assert sorted(
+        str(r) for r in incremental_report(spark, path, ()).collect()
+    ) == before
+    # d1 is NOT recorded — the replay writes it for real
+    from tmdb_sync_spark.functions.stats import write_profile_drops
+
+    state = profile_drop_state(docs, ("source",)).withColumn(
+        "drop", F.lit("d1")
+    )
+    res = write_profile_drops(state, path)
+    assert res == {"written": ["d1"], "skipped": []}
+    # and the dead staging was swept by that write
+    assert not _os.path.exists(crash)
+    # second replay now skips it (recorded, immutable)
+    res2 = write_profile_drops(state, path)
+    assert res2 == {"written": [], "skipped": ["d1"]}

@@ -84,23 +84,40 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+STAGING_MAX_AGE_S = 24 * 3600
+
+
 def _stale_stagings(base: str) -> list:
     """Leftover staging dirs for ``base`` from CRASHED runs — never a
     live concurrent exporter's. Staging names embed the writer pid;
     a dir whose pid is still alive is (or may be) an in-flight write
     and sweeping it would fail that exporter mid-job (review finding:
     the sweep used to take every ``._staging-*``, breaking exactly the
-    benign-race contract writer-unique naming bought). A live pid's
-    crashed-attempt leftovers are swept by any exporter running after
-    that pid exits; the published-target rename stays the arbiter."""
+    benign-race contract writer-unique naming bought).
+
+    Two honest limits of the pid probe (second review pass): pid
+    REUSE can park a crashed dir behind an unrelated long-lived
+    process, so dirs older than ``STAGING_MAX_AGE_S`` are swept
+    regardless (no real export stages for a day); and the probe sees
+    only the LOCAL process table — on a shared filesystem with
+    writers on several hosts, this sweep is not safe and exporters
+    should stage to versioned target paths instead (the engine's
+    single-host contract, same as the merge writer lock)."""
     import glob as _glob
+    import time as _time
 
     out = []
+    now = _time.time()
     for d in _glob.glob(base + "._staging-*"):
         tail = d[len(base + "._staging-"):]
         pid_s = tail.split("-", 1)[0]
         if pid_s.isdigit() and _pid_alive(int(pid_s)):
-            continue
+            try:
+                age = now - os.path.getmtime(d)
+            except OSError:
+                continue
+            if age <= STAGING_MAX_AGE_S:
+                continue
         out.append(d)
     # the pre-writer-unique shared name: no pid, always stale
     if os.path.exists(base + "._staging"):
@@ -139,14 +156,23 @@ def shard_layout(
     ``(shard, rank, key)`` — the key tie-break makes the order total
     under rank collisions. ONE exchange total; ``partitionBy("shard")``
     on this frame emits one file per shard, already in final order."""
-    # layout columns are RECOMPUTED here: a frame that already carries
-    # them (the documented round-trip — read_training_shards returns
-    # 'shard'; keep_order_col re-exports carry the rank) would
-    # otherwise end with duplicate columns and an AMBIGUOUS_REFERENCE
-    # at write time (review finding)
-    for stale in ("shard", "_rank", keep_order_col):
-        if stale and stale in df.columns:
-            df = df.drop(stale)
+    # 'shard' and '_rank' are RESERVED layout names, recomputed here:
+    # a frame that already carries them (the documented round-trip —
+    # read_training_shards returns 'shard') would otherwise end with
+    # duplicate columns and an AMBIGUOUS_REFERENCE at write time
+    # (review finding). keep_order_col is different: the caller NAMES
+    # it, so a collision with an existing data column is ambiguous —
+    # silently replacing user data with the layout rank would corrupt
+    # trainer shards; refuse instead (second review pass).
+    if keep_order_col and keep_order_col not in ("shard", "_rank") \
+            and keep_order_col in df.columns:
+        raise ValueError(
+            f"shard_layout: keep_order_col {keep_order_col!r} collides "
+            "with an existing data column — rename or drop it first"
+        )
+    for reserved in ("shard", "_rank"):
+        if reserved in df.columns:
+            df = df.drop(reserved)
     kcol = F.col(key)
     laid = df.withColumn("shard", shard_expr(kcol, n_shards, seed)) \
              .withColumn("_rank", order_expr(kcol, seed))

@@ -226,8 +226,12 @@ def leakage_rates(
     *,
     split_col: str = "split",
     train_split: str = "train",
+    eval_id_col: str = "eval_doc_id",
 ) -> DataFrame:
-    """Per-eval-split contamination summary from an audit frame.
+    """Per-eval-split contamination summary from an audit frame —
+    either audit's (`split_leakage_audit` reports ``eval_doc_id``,
+    the default; for `embedding_split_leakage` frames pass
+    ``eval_id_col="eval_vec_id"``).
 
     One row per non-train split: ``(split, n_docs, n_leaked,
     leak_rate)`` where ``n_leaked`` counts DISTINCT eval documents with
@@ -235,13 +239,18 @@ def leakage_rates(
     one leaked doc, not five). Splits with zero leaks still appear —
     the report proves the audit RAN on them, absence of a row is never
     the evidence of cleanliness."""
+    if eval_id_col not in leaks.columns:
+        raise ValueError(
+            f"leakage_rates: no {eval_id_col!r} in the audit frame — "
+            "pass eval_id_col='eval_vec_id' for embedding audits"
+        )
     evals = docs_with_split.where(
         F.col(split_col) != F.lit(train_split)
     ).groupBy(F.col(split_col).alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     hit = leaks.groupBy(F.col("eval_split").alias("split")).agg(
-        F.count_distinct("eval_doc_id").alias("n_leaked")
+        F.count_distinct(eval_id_col).alias("n_leaked")
     )
     return evals.join(hit, "split", "left").select(
         "split",
@@ -260,16 +269,24 @@ def decontaminated_eval(
     *,
     split_col: str = "split",
     train_split: str = "train",
+    key: str = "doc_id",
+    eval_id_col: str = "eval_doc_id",
 ) -> DataFrame:
     """The eval rows that survive the audit: every non-train document
     with NO cross-split twin (train docs pass through untouched — the
     policy is "shrink eval, never train"). Pure anti-join on the audit
     frame; eval ↔ eval twins drop only the reported (smaller-id) side,
-    keeping one representative."""
-    leaked = leaks.select(F.col("eval_doc_id").alias("doc_id")).distinct()
+    keeping one representative. For embedding audits pass
+    ``key="vec_id", eval_id_col="eval_vec_id"``."""
+    if eval_id_col not in leaks.columns:
+        raise ValueError(
+            f"decontaminated_eval: no {eval_id_col!r} in the audit "
+            "frame — pass eval_id_col='eval_vec_id' for embedding audits"
+        )
+    leaked = leaks.select(F.col(eval_id_col).alias(key)).distinct()
     is_eval = F.col(split_col) != F.lit(train_split)
     return docs_with_split.join(
-        leaked.withColumn("_leaked", F.lit(True)), "doc_id", "left"
+        leaked.withColumn("_leaked", F.lit(True)), key, "left"
     ).where(
         ~is_eval | F.col("_leaked").isNull()
     ).drop("_leaked")

@@ -259,7 +259,12 @@ def merge_profile_states(
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_size").alias("total_size"),
         F.max("max_size").alias("max_size"),
-        F.hll_union_agg("hll").alias("hll"),
+        # allowDifferentLgConfigK: drops written with different lg_k
+        # values union at the COARSER accuracy instead of poisoning
+        # the whole profile with HLL_UNION_DIFFERENT_LG_K forever
+        # (review finding — lg_k is a public knob, and persisted state
+        # outlives the code that chose it)
+        F.hll_union_agg("hll", F.lit(True)).alias("hll"),
         hist_merge.alias("hist"),
     )
 
@@ -338,31 +343,113 @@ def profile_estimates(
 
 
 # --- persistence: the profile as a maintained table of drop states ----
+#
+# Commit protocol (review finding: dir-existence as the commit marker
+# over a NON-atomic multi-partition write let a crash record a partial
+# drop forever): every write stages under ``{path}/._staging-<pid>-<n>``
+# (dot-prefixed — invisible to Spark's partition discovery) and
+# publishes each ``drop=<id>`` dir by one os.rename. A drop is
+# therefore COMPLETE-OR-ABSENT: a crash mid-write leaves only hidden
+# staging (swept on the next write once its pid is gone), a crash
+# between renames leaves whole drops committed and whole drops absent
+# — the replay re-stages and publishes exactly the missing ones.
+
+import itertools as _itertools
+import re as _re
+import shutil as _shutil
+
+_DROP_ID_RE = _re.compile(r"[A-Za-z0-9._-]+")
+_PROFILE_SEQ = _itertools.count()
 
 
 def profile_drop_dir(path: str, drop_id: str) -> str:
     return os.path.join(path, f"drop={drop_id}")
 
 
+def _check_drop_id(drop_id, what: str) -> str:
+    """Drop ids are restricted to a partition-escape-free charset:
+    Spark percent-escapes ':', '=', '#', ... in partition dir names,
+    which would desynchronize the on-disk name from the immutability
+    guard's `os.path.isdir` probe — the guard would pass forever and
+    every replay would double-count (review finding)."""
+    s = str(drop_id)
+    if not s or not _DROP_ID_RE.fullmatch(s):
+        raise ValueError(
+            f"{what}: bad drop_id {drop_id!r} — use [A-Za-z0-9._-] only "
+            "(partition-escaped characters break the immutability guard)"
+        )
+    return s
+
+
+def _sweep_dead_stagings(path: str) -> None:
+    if not os.path.isdir(path):
+        return
+    for e in os.listdir(path):
+        if not e.startswith("._staging-"):
+            continue
+        pid_s = e[len("._staging-"):].split("-", 1)[0]
+        alive = False
+        if pid_s.isdigit():
+            try:
+                os.kill(int(pid_s), 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True
+        if not alive:
+            _shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+
+
+def _stage_and_publish(state: DataFrame, path: str) -> tuple[list, list]:
+    """Write ``state`` (carrying a ``drop`` column) to hidden staging,
+    then atomically rename each complete ``drop=`` dir into ``path``.
+    Returns (published ids, ids whose destination already existed —
+    recorded by an earlier run between our existence check and
+    publish)."""
+    os.makedirs(path, exist_ok=True)
+    _sweep_dead_stagings(path)
+    tmp = os.path.join(
+        path, f"._staging-{os.getpid()}-{next(_PROFILE_SEQ)}"
+    )
+    state.coalesce(1).write.partitionBy("drop").parquet(tmp)
+    published, raced = [], []
+    for e in sorted(os.listdir(tmp)):
+        if not e.startswith("drop="):
+            continue
+        try:
+            os.rename(os.path.join(tmp, e), os.path.join(path, e))
+            published.append(e[len("drop="):])
+        except OSError:
+            raced.append(e[len("drop="):])
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return published, raced
+
+
 def write_profile_drop(
     state: DataFrame, path: str, drop_id: str
 ) -> None:
-    """Persist one drop's state under ``{path}/drop={drop_id}``.
+    """Persist one drop's state under ``{path}/drop={drop_id}``,
+    committed atomically (staging + one rename — complete-or-absent).
 
     Drops are IMMUTABLE — re-profiling an already-recorded drop raises
     instead of double-counting it in every future merge (the same
     at-least-once hazard the export publisher guards; an ingest that
     replays a batch must skip the profile write it already made)."""
-    if "/" in drop_id or not drop_id:
-        raise ValueError(f"write_profile_drop: bad drop_id {drop_id!r}")
+    drop_id = _check_drop_id(drop_id, "write_profile_drop")
     if os.path.isdir(profile_drop_dir(path, drop_id)):
         raise ValueError(
             f"write_profile_drop: drop {drop_id!r} already recorded at "
             f"{path!r} — drop states are immutable (replayed batch?)"
         )
-    state.withColumn("drop", F.lit(drop_id)).coalesce(1).write.mode(
-        "append"
-    ).partitionBy("drop").parquet(path)
+    _, raced = _stage_and_publish(
+        state.withColumn("drop", F.lit(drop_id)), path
+    )
+    if raced:
+        raise ValueError(
+            f"write_profile_drop: drop {drop_id!r} already recorded at "
+            f"{path!r} — drop states are immutable (replayed batch?)"
+        )
 
 
 def read_profile_states(spark: SparkSession, path: str) -> DataFrame:
@@ -409,10 +496,10 @@ def write_profile_drops(
     batches)."""
     if drop_col not in state.columns:
         raise ValueError(f"write_profile_drops: no {drop_col!r} column")
-    ids = [r[0] for r in state.select(drop_col).distinct().collect()]
-    bad = [i for i in ids if not i or "/" in str(i)]
-    if bad:
-        raise ValueError(f"write_profile_drops: bad drop ids {bad!r}")
+    ids = [
+        _check_drop_id(r[0], "write_profile_drops")
+        for r in state.select(drop_col).distinct().collect()
+    ]
     existing = set()
     if os.path.isdir(path):
         existing = {
@@ -420,15 +507,15 @@ def write_profile_drops(
             for e in os.listdir(path)
             if e.startswith("drop=")
         }
-    written = sorted(str(i) for i in ids if str(i) not in existing)
-    skipped = sorted(str(i) for i in ids if str(i) in existing)
-    if written:
-        (
-            state.where(F.col(drop_col).isin(written))
-            .withColumnRenamed(drop_col, "drop")
-            .coalesce(1)
-            .write.mode("append")
-            .partitionBy("drop")
-            .parquet(path)
+    new = sorted(i for i in ids if i not in existing)
+    skipped = sorted(i for i in ids if i in existing)
+    written: list = []
+    if new:
+        published, raced = _stage_and_publish(
+            state.where(F.col(drop_col).isin(new))
+            .withColumnRenamed(drop_col, "drop"),
+            path,
         )
+        written = sorted(published)
+        skipped = sorted(set(skipped) | set(raced))
     return {"written": written, "skipped": skipped}
