@@ -452,3 +452,69 @@ def test_profile_commit_is_atomic_per_drop(spark, sf_dir, tmp_path):
     # second replay now skips it (recorded, immutable)
     res2 = write_profile_drops(state, path)
     assert res2 == {"written": [], "skipped": ["d1"]}
+
+
+def test_incremental_exact_columns_vs_duckdb(spark, sf_dir, tmp_path):
+    """Cross-engine: the incremental report's exact columns (counts,
+    mass, max) equal DuckDB's over the same corpus, through a 3-drop
+    persisted profile."""
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "p")
+    for i in range(3):
+        write_profile_drop(
+            profile_drop_state(
+                docs.where(F.col("doc_id") % 3 == i), ("source", "lang")
+            ),
+            path, f"d{i}",
+        )
+    got = {
+        (r["source"], r["lang"]): r
+        for r in incremental_report(
+            spark, path, ("source", "lang")
+        ).collect()
+    }
+    want = duckdb.connect().execute(f"""
+        SELECT source, lang, count(*) AS n,
+               count(n_chars) AS n_sized,
+               sum(n_chars) AS total, max(n_chars) AS mx
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        GROUP BY source, lang
+    """).df()
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        g = got[(w["source"], w["lang"])]
+        assert g["n_docs"] == int(w["n"])
+        assert g["n_sized"] == int(w["n_sized"])
+        assert g["total_size"] == int(w["total"])
+        assert g["max_size"] == int(w["mx"])
+
+
+def test_concurrent_same_drop_publishes_exactly_once(spark, sf_dir, tmp_path):
+    """Four threads racing to record the SAME drop id: exactly one
+    publish wins (atomic rename is the arbiter), the rest report it
+    skipped/raced — the merged report counts the drop once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tmdb_sync_spark.functions.stats import write_profile_drops
+
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "p")
+    state = profile_drop_state(docs, ("source",)).withColumn(
+        "drop", F.lit("same")
+    ).cache()
+    state.count()
+    try:
+        with ThreadPoolExecutor(4) as ex:
+            results = list(ex.map(
+                lambda _: write_profile_drops(state, path), range(4)
+            ))
+    finally:
+        state.unpersist()
+    n_written = sum(len(r["written"]) for r in results)
+    assert n_written == 1, results
+    assert all(
+        r["written"] == ["same"] or r["skipped"] == ["same"]
+        for r in results
+    )
+    total = incremental_report(spark, path, ()).collect()[0]
+    assert total["n_docs"] == docs.count()   # counted ONCE
