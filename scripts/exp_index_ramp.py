@@ -89,7 +89,7 @@ def main() -> None:
         print(
             f"index={n} docs ({n_files} files, build {build:.1f}s): "
             f"drop500 query {dt:.2f}s, dropped="
-            f"{len(res['dropped_vs_index'])}"
+            f"{res['n_dropped_vs_index']}"
         )
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -118,7 +118,7 @@ def main() -> None:
         dt = time.time() - t0
         print(
             f"vec index={n} ({build:.1f}s build): drop500 query "
-            f"{dt:.2f}s, dropped={len(res['dropped_vs_index'])}"
+            f"{dt:.2f}s, dropped={res['n_dropped_vs_index']}"
         )
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -45,11 +45,19 @@ def index_path(tmp_path):
     return os.path.join(str(tmp_path), "sig_index")
 
 
+def _ids(df):
+    """Collect a dropped-ids frame (test-side only — the operator keeps
+    them distributed; see the large-drop driver-bound test below)."""
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+
 def test_incremental_drops(spark, index_path):
     # drop 1 over an EMPTY index: everything survives, index appears
     d1 = _docs(spark, [(i, _text(i)) for i in (1, 2, 3)])
     r1 = dedup_against_index(spark, d1, index_path)
-    assert r1["dropped_vs_index"] == [] and r1["dropped_in_batch"] == []
+    assert _ids(r1["dropped_vs_index"]) == [] == _ids(r1["dropped_in_batch"])
+    assert r1["n_dropped_vs_index"] == 0 == r1["n_dropped_in_batch"]
     assert sorted(
         r["doc_id"] for r in r1["survivors"].collect()
     ) == [1, 2, 3]
@@ -64,15 +72,16 @@ def test_incremental_drops(spark, index_path):
         (13, _text(4, edit=True)),
     ])
     r2 = dedup_against_index(spark, d2, index_path)
-    assert r2["dropped_vs_index"] == [10, 11]
-    assert r2["dropped_in_batch"] == [13]   # greedy keep-smallest-id
+    assert _ids(r2["dropped_vs_index"]) == [10, 11]
+    assert _ids(r2["dropped_in_batch"]) == [13]   # greedy keep-smallest-id
+    assert r2["n_dropped_vs_index"] == 2 and r2["n_dropped_in_batch"] == 1
     assert [r["doc_id"] for r in r2["survivors"].collect()] == [12]
 
     # drop 3: a near-dup of drop 2's SURVIVOR is now caught by the
     # index (the index grew), and a fresh doc passes
     d3 = _docs(spark, [(20, _text(4)), (21, _text(5))])
     r3 = dedup_against_index(spark, d3, index_path)
-    assert r3["dropped_vs_index"] == [20]
+    assert _ids(r3["dropped_vs_index"]) == [20]
     assert [r["doc_id"] for r in r3["survivors"].collect()] == [21]
 
     # the index holds band rows for exactly the accepted docs
@@ -145,7 +154,7 @@ def test_small_drop_prunes_index_buckets(spark, index_path):
         assert any(f"bb={b}/" in f for b in bbs)
     # and the filtered read still catches the duplicate
     r = dedup_against_index(spark, one, index_path, update_index=False)
-    assert r["dropped_vs_index"] == [10]
+    assert _ids(r["dropped_vs_index"]) == [10]
 
 
 def test_oversized_probe_drops_the_broadcast(spark, index_path):
@@ -258,3 +267,53 @@ def test_compact_index_one_file_per_bucket_same_matches(spark, tmp_path):
     append_docs_to_index(spark, idx_path, docs(100, 110, "new"))
     spark.catalog.refreshByPath(idx_path)
     assert spark.read.parquet(idx_path).count() > res["rows"]
+
+
+def test_survivors_stable_after_index_append(spark, index_path):
+    """The anti-join rewrite (r8) made survivors LAZY; evaluating them
+    AFTER update_index appended the drop's own band rows must not make
+    them match their own signatures and vanish. The dropped frames are
+    pinned (persist + count) before the append — this is the regression
+    that would silently empty every ingest batch."""
+    d1 = _docs(spark, [(i, _text(i)) for i in (1, 2, 3)])
+    dedup_against_index(spark, d1, index_path)
+
+    d2 = _docs(spark, [(10, _text(1)), (11, _text(4))])
+    r = dedup_against_index(spark, d2, index_path)  # update_index=True
+    # FIRST evaluation of survivors happens after the append
+    assert [x["doc_id"] for x in r["survivors"].collect()] == [11]
+    # and again (second action — recompute path must agree)
+    assert r["survivors"].count() == 1
+    assert _ids(r["dropped_vs_index"]) == [10]
+
+
+def test_mostly_duplicate_large_drop_stays_distributed(spark, index_path):
+    """A drop that is ~90% duplicates of the corpus: the dropped ids
+    must come back as DataFrames (never driver lists — the r7 verdict's
+    funnel), counts must be exact, and the anti-joined survivors must
+    be exactly the fresh rows."""
+    n = 400
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(n)],
+        "doc_id long, text string",
+    )
+    dedup_against_index(spark, corpus, index_path)
+
+    # drop: 360 exact re-sends + 40 fresh docs
+    drop = spark.createDataFrame(
+        [(1000 + i, " ".join(f"w{i}x{j}" for j in range(40)))
+         for i in range(360)]
+        + [(2000 + i, " ".join(f"z{i}q{j}" for j in range(40)))
+           for i in range(40)],
+        "doc_id long, text string",
+    )
+    r = dedup_against_index(spark, drop, index_path, update_index=False)
+    from pyspark.sql import DataFrame as _DF
+
+    assert isinstance(r["dropped_vs_index"], _DF)
+    assert isinstance(r["dropped_in_batch"], _DF)
+    assert r["n_dropped_vs_index"] == 360
+    assert r["n_dropped_in_batch"] == 0
+    assert sorted(
+        x["doc_id"] for x in r["survivors"].collect()
+    ) == [2000 + i for i in range(40)]

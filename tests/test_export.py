@@ -674,3 +674,54 @@ def test_staging_sweep_age_fallback(spark, docs, tmp_path):
     os.utime(old, (stale_t, stale_t))
     export_training_shards(docs, out, 2)
     assert not os.path.exists(old)
+
+
+def test_mix_decisions_independent_across_sources(spark):
+    """Two sources sharing the SAME key space, mixed at the same
+    fraction under one seed: without the source name in the keep hash
+    both would keep the identical key subset (correlated decisions —
+    ADVICE r7); with it the kept sets differ like independent draws."""
+    rows = [(i,) for i in range(2000)]
+    a = spark.createDataFrame(rows, "doc_id long")
+    b = spark.createDataFrame(rows, "doc_id long")
+    # equal weights + a binding third source force frac < 1 on a and b
+    tiny = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    mixed = mix_sources(
+        {"a": (a, 1.0), "b": (b, 1.0), "tiny": (tiny, 1.0)}, seed=7
+    )
+    kept = {
+        n: {r["doc_id"] for r in g}
+        for n, g in (
+            (n, mixed.where(F.col("source") == n).collect())
+            for n in ("a", "b")
+        )
+    }
+    assert 300 < len(kept["a"]) < 700 and 300 < len(kept["b"]) < 700
+    # independence: overlap ≈ |a|·|b|/2000, NOT |a∩b| = |a| = |b|
+    inter = len(kept["a"] & kept["b"])
+    expected = len(kept["a"]) * len(kept["b"]) / 2000
+    assert inter < 0.7 * min(len(kept["a"]), len(kept["b"])), (
+        inter, expected, len(kept["a"]), len(kept["b"]))
+
+
+def test_mix_by_tokens_remainder_independent_across_sources(spark):
+    from tmdb_sync_spark.functions.export import mix_sources_by_tokens
+
+    """Same property for the token-budget mixer's remainder slice: the
+    remainder hash includes the source name, so two sources with the
+    same keys and the same remainder fraction keep different subsets."""
+    rows = [(i, 10) for i in range(2000)]
+    a = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    b = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    mixed, plan = mix_sources_by_tokens(
+        {"a": (a, 1.0), "b": (b, 1.0)}, total_tokens=20_000, seed=7
+    )
+    assert plan["a"]["repeats"] == 0 and 0 < plan["a"]["remainder_frac"] < 1
+    kept = {
+        n: {r["doc_id"] for r in
+            mixed.where(F.col("source") == n).collect()}
+        for n in ("a", "b")
+    }
+    inter = len(kept["a"] & kept["b"])
+    assert inter < 0.7 * min(len(kept["a"]), len(kept["b"])), (
+        inter, len(kept["a"]), len(kept["b"]))

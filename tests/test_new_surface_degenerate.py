@@ -62,7 +62,9 @@ def test_dedup_index_empty_drop(spark, tmp_path):
     idx = os.path.join(str(tmp_path), "idx")
     r = dedup_against_index(spark, _empty_docs(spark), idx)
     assert r["survivors"].count() == 0
-    assert r["dropped_vs_index"] == [] and r["dropped_in_batch"] == []
+    assert r["n_dropped_vs_index"] == 0 == r["n_dropped_in_batch"]
+    assert r["dropped_vs_index"].count() == 0
+    assert r["dropped_in_batch"].count() == 0
     # an empty drop must not conjure an index
     assert not index_exists(idx)
 

@@ -518,3 +518,29 @@ def test_concurrent_same_drop_publishes_exactly_once(spark, sf_dir, tmp_path):
     )
     total = incremental_report(spark, path, ()).collect()[0]
     assert total["n_docs"] == docs.count()   # counted ONCE
+
+
+def test_staging_sweep_age_backstop(spark, sf_dir, tmp_path):
+    """A staging dir whose pid is ALIVE (recycled by an unrelated
+    process) but whose mtime is older than STAGING_MAX_AGE_S is swept
+    anyway — pid liveness alone would park a crashed writer's staging
+    forever (ADVICE r7; mirrors export's _stale_stagings backstop)."""
+    import os as _os
+    import time as _time
+
+    from tmdb_sync_spark.functions.export import STAGING_MAX_AGE_S
+    from tmdb_sync_spark.functions.stats import _sweep_dead_stagings
+
+    path = str(tmp_path / "p")
+    _os.makedirs(path)
+    # "alive" pid: our own — guaranteed alive, simulating pid reuse
+    stale = _os.path.join(path, f"._staging-{_os.getpid()}-0")
+    fresh = _os.path.join(path, f"._staging-{_os.getpid()}-1")
+    _os.makedirs(stale)
+    _os.makedirs(fresh)
+    old = _time.time() - STAGING_MAX_AGE_S - 60
+    _os.utime(stale, (old, old))
+
+    _sweep_dead_stagings(path)
+    assert not _os.path.exists(stale)   # old → swept despite alive pid
+    assert _os.path.exists(fresh)       # young + alive → kept

@@ -248,3 +248,50 @@ def test_caller_session_timezone_untouched(spark, tmp_path):
         ) == "America/New_York"
     finally:
         spark.conf.set("spark.sql.session.timeZone", before)
+
+
+def test_fresh_checkpoint_wipes_orphaned_output(spark, tmp_path):
+    """A wiped checkpoint restarts epochs at 0; if the replay carves
+    FEWER micro-batches than the original drain, stale higher-batch_id
+    partitions would survive dynamic overwrite and interleave with the
+    new rows (ADVICE r7). The ckpt and output dir are one unit: a fresh
+    checkpoint regenerates the output in full, so the orphaned output
+    is wiped — pinned here with exactly that misaligned re-batching."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_file(
+        spark, tmp_path, src, "a",
+        [(k, f"2024-01-01 00:0{k % 6}:00", f"p{k}") for k in range(4)],
+        order=0,
+    )
+    _write_file(
+        spark, tmp_path, src, "b",
+        [(8, "2024-01-01 00:06:00", "p8"),
+         (9, "2024-01-01 00:07:00", "p9")],
+        order=1,
+    )
+    state = str(tmp_path / "state")
+    # original drain: one file per trigger -> batch ids 0 and 1
+    res = run_dedup_stream(
+        spark, str(src), SCHEMA, state,
+        keys=["event_id"], delay="2 hours", max_files_per_trigger=1,
+    )
+    want = sorted(
+        (r["event_id"], r["payload"])
+        for r in spark.read.parquet(res["out_path"]).collect()
+    )
+    assert len(want) == 6
+
+    # checkpoint wiped, replay drains BOTH files in ONE micro-batch:
+    # epochs restart at 0 and batch_id=1 from the prior drain would be
+    # stale — the auto-wipe regenerates instead of interleaving
+    shutil.rmtree(os.path.join(state, "_ckpt_deduped"))
+    res2 = run_dedup_stream(
+        spark, str(src), SCHEMA, state,
+        keys=["event_id"], delay="2 hours",
+    )
+    out = spark.read.parquet(res2["out_path"])
+    assert sorted(
+        (r["event_id"], r["payload"]) for r in out.collect()
+    ) == want
+    assert out.select("batch_id").distinct().count() == 1  # one epoch

@@ -36,17 +36,18 @@ NULL text yields zero chunks (the document disappears from the chunk
 frame — chunks of nothing are nothing; the parity and property tests
 pin both edges).
 
-Beyond-registry (the 50-entry driver window is full), but NOT
-weaker-tested for it: tests/test_chunking.py runs a DuckDB twin of
-both variants over the real documents table — full frame parity, the
-same bar as the registered surface — plus Hypothesis properties
-(coverage, overlap, reconstruction, determinism).
+Driver-registered since r8 (``chunk_documents``, rotated into the
+50-slot window per the r7 verdict); tests/test_chunking.py additionally
+runs DuckDB twins of both variants at more parameter points plus
+Hypothesis properties (coverage, overlap, reconstruction, determinism).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from tmdb_sync_spark.registry import register
 
 
 def _check(chunk: int, overlap: int, what: str) -> int:

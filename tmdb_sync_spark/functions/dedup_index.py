@@ -281,10 +281,23 @@ def dedup_against_index(
 
     ``new_docs``: ``(doc_id, text, ...)`` — doc_ids must be new to the
     corpus (the drop cursor's contract). Returns ``{"survivors":
-    DataFrame, "dropped_vs_index": [...ids], "dropped_in_batch":
-    [...ids]}``; when ``update_index`` survivors' band rows are
-    appended before returning. The dropped lists are collected — they
-    are bounded by the DROP size, never the corpus.
+    DataFrame, "dropped_vs_index": DataFrame, "dropped_in_batch":
+    DataFrame, "n_dropped_vs_index": int, "n_dropped_in_batch": int}``;
+    when ``update_index`` survivors' band rows are appended before
+    returning.
+
+    The dropped ids stay DISTRIBUTED (single-column ``doc_id`` frames):
+    a large vendor drop that is mostly duplicates never funnels its
+    matched ids through the driver — the r7 verdict's one remaining
+    collect-shaped residue, fixed the same way as
+    ``dedup_vectors_against_index`` (anti-join, O(1) driver). Only the
+    two COUNTS land on the driver. The dropped frames are pinned with
+    an eager ``localCheckpoint`` BEFORE the index append, so the
+    returned ``survivors`` — lazy by design — never re-read an index
+    that already contains the drop's own surviving signatures (persist
+    would NOT do: Spark recaches path-dependent plans on write, against
+    the refreshed listing). Checkpoint blocks are freed by Spark's
+    ContextCleaner when the returned handles are garbage-collected.
 
     Policy mirrors the curation pipeline exactly: a new doc sharing
     ≥ ``min_equal`` of ``N_HASHES`` minhashes with ANY indexed doc is
@@ -294,7 +307,6 @@ def dedup_against_index(
     try:
         new_bands = _band_rows(sig)
 
-        dropped_vs_index: set = set()
         if index_exists(index_path):
             # STATIC bucket pruning: the drop's bb set is bounded
             # (≤ N_BANDS·|drop|, capped at N_INDEX_BUCKETS) and known
@@ -309,35 +321,43 @@ def dedup_against_index(
             idx = spark.read.parquet(index_path)
             if len(bbs) < N_INDEX_BUCKETS:
                 idx = idx.where(F.col("bb").isin(bbs))
-            matches = index_matches(
+            dropped_vs_index = index_matches(
                 idx, new_bands, min_equal,
                 probe_rows=sig.count() * N_BANDS,
             )
-            dropped_vs_index = {r["doc_id"] for r in matches.collect()}
+        else:
+            dropped_vs_index = spark.createDataFrame([], "doc_id long")
 
-        # within-drop near-dups: batch machinery, greedy keep-first
-        pairs = (
+        # Pin the matched ids via localCheckpoint — NOT persist():
+        # Spark's CacheManager recaches path-dependent cached plans when
+        # the path is written, so a persisted frame would be RECOMPUTED
+        # against the post-append file listing and match the drop's own
+        # signatures (found live by the survivors-stability pin).
+        # localCheckpoint truncates the lineage to materialized blocks:
+        # executor-distributed (never a driver list — the r7 funnel),
+        # immutable under the append below. Caveat: checkpoint blocks
+        # die with executors; on a real cluster the composed ingest
+        # (streaming/file_ingest.py) sidesteps this entirely by running
+        # update_index=False and appending after its own merge commit.
+        dropped_vs_index = dropped_vs_index.localCheckpoint(eager=True)
+        # within-drop near-dups: batch machinery, greedy keep-first;
+        # ids already dropped vs the index are not double-listed
+        dropped_in_batch = (
             banded_pairs_with_overlap(sig)
             .where(F.col("n_equal_hashes") >= min_equal)
+            .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
+            .distinct()
+            .join(dropped_vs_index, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
         )
-        in_batch = {
-            r["doc_b"]
-            for r in pairs.select(
-                F.greatest("doc_a", "doc_b").alias("doc_b")
-            ).distinct().collect()
-        } - dropped_vs_index
+        # the counts are the only driver-side values (two ints,
+        # whatever the drop size) — cheap aggregates over the blocks
+        n_vs_index = dropped_vs_index.count()
+        n_in_batch = dropped_in_batch.count()
 
-        all_dropped = dropped_vs_index | in_batch
-        survivors = new_docs
-        surviving_sig = sig
-        if all_dropped:
-            drop_df = F.broadcast(
-                spark.createDataFrame(
-                    [(i,) for i in sorted(all_dropped)], "doc_id long"
-                )
-            )
-            survivors = new_docs.join(drop_df, "doc_id", "left_anti")
-            surviving_sig = sig.join(drop_df, "doc_id", "left_anti")
+        all_dropped = dropped_vs_index.unionByName(dropped_in_batch)
+        survivors = new_docs.join(all_dropped, "doc_id", "left_anti")
+        surviving_sig = sig.join(all_dropped, "doc_id", "left_anti")
 
         if update_index:
             (
@@ -355,8 +375,10 @@ def dedup_against_index(
             )
         return {
             "survivors": survivors,
-            "dropped_vs_index": sorted(dropped_vs_index),
-            "dropped_in_batch": sorted(in_batch),
+            "dropped_vs_index": dropped_vs_index,
+            "dropped_in_batch": dropped_in_batch,
+            "n_dropped_vs_index": n_vs_index,
+            "n_dropped_in_batch": n_in_batch,
         }
     finally:
         sig.unpersist()

@@ -441,8 +441,13 @@ def mix_sources(
     parts = []
     for name, (sdf, w) in sources.items():
         frac = min(1.0, (w * scale) / counts[name])
+        # keep/drop is per (key, SOURCE NAME, seed) — without the name,
+        # sources sharing key values make correlated decisions (the
+        # same rows survive in both), biasing any downstream join or
+        # dedup between them (ADVICE r7, mirrored from the by-tokens fix)
         b = F.pmod(
-            F.xxhash64(F.col(key), F.lit(_MIX_SALT), F.lit(seed)),
+            F.xxhash64(F.col(key), F.lit(_MIX_SALT), F.lit(name),
+                       F.lit(seed)),
             F.lit(_M),
         )
         kept = sdf.where(b < F.lit(int(round(frac * _M))))
@@ -560,10 +565,14 @@ def mix_sources_by_tokens(
                 tagged.withColumn(epoch_col, F.lit(e).cast("int"))
             )
         if frac > 0:
+            # the source NAME is part of the hash (ADVICE r7): two
+            # sources sharing key values — or a pipeline composing
+            # mix_sources with this under the same salt/seed — must
+            # make INDEPENDENT keep/drop decisions, not correlated ones
             b = F.pmod(
                 F.xxhash64(
-                    F.col(key), F.lit(_MIX_SALT), F.lit(seed),
-                    F.lit(repeats),
+                    F.col(key), F.lit(_MIX_SALT), F.lit(name),
+                    F.lit(seed), F.lit(repeats),
                 ),
                 F.lit(_M),
             )

@@ -382,8 +382,20 @@ def _check_drop_id(drop_id, what: str) -> str:
 
 
 def _sweep_dead_stagings(path: str) -> None:
+    """Remove staging dirs whose writer pid is gone — OR whose mtime is
+    older than the export layer's ``STAGING_MAX_AGE_S``. The age
+    backstop matters because pid liveness is a weak signal: a crashed
+    writer's pid can be recycled by an unrelated long-lived process,
+    which would park its orphaned staging dir forever (ADVICE r7;
+    export.py's ``_stale_stagings`` grew the same backstop for the same
+    reason — no real profile write stages for a day)."""
+    from tmdb_sync_spark.functions.export import STAGING_MAX_AGE_S
+
     if not os.path.isdir(path):
         return
+    import time as _time
+
+    now = _time.time()
     for e in os.listdir(path):
         if not e.startswith("._staging-"):
             continue
@@ -397,8 +409,14 @@ def _sweep_dead_stagings(path: str) -> None:
                 alive = False
             except PermissionError:
                 alive = True
-        if not alive:
-            _shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+        if alive:
+            try:
+                age = now - os.path.getmtime(os.path.join(path, e))
+            except OSError:
+                continue
+            if age <= STAGING_MAX_AGE_S:
+                continue
+        _shutil.rmtree(os.path.join(path, e), ignore_errors=True)
 
 
 def _stage_and_publish(state: DataFrame, path: str) -> tuple[list, list]:

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tmdb_sync_spark.io import table
-from tmdb_sync_spark.registry import register
+from tmdb_sync_spark.registry import register, register_retired
 
 
 def _join_ints(arr: Column) -> Column:
@@ -181,7 +181,7 @@ def ar7_normalize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
     "w1_array_argmax",
     oracle="""
     WITH framed AS (

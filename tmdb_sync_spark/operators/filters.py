@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tmdb_sync_spark.io import table
-from tmdb_sync_spark.registry import register
+from tmdb_sync_spark.registry import register, register_retired
 
 
 @register(
@@ -164,7 +164,7 @@ def p10_f3_key_build_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
     "p12_prefix_filter",
     oracle="""
     SELECT event_type, COUNT(*) AS n

@@ -29,16 +29,42 @@ from typing import Any
 QUERIES: dict[str, Callable[..., Any]] = {}
 ORACLES: dict[str, str] = {}
 
+# Rotated OUT of the 50-entry driver window (round-8 rotation: the
+# window is a budget, and redundant/trivial entries were spending slots
+# the trainer-pipeline operators needed — r7 verdict top item). Retired
+# queries keep their oracle and run in the LOCAL parity gate
+# (tests/test_oracle_parity.py) at exactly the registered bar; they are
+# simply not part of __spark_entry__'s driver contract anymore.
+RETIRED_QUERIES: dict[str, Callable[..., Any]] = {}
+RETIRED_ORACLES: dict[str, str] = {}
+
 
 def register(name: str, oracle: str | None = None) -> Callable:
     """Decorator: register a query (and optionally its DuckDB oracle SQL)."""
 
     def deco(fn: Callable) -> Callable:
-        if name in QUERIES:
+        if name in QUERIES or name in RETIRED_QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = textwrap.dedent(oracle).strip()
+        fn.__query_name__ = name
+        return fn
+
+    return deco
+
+
+def register_retired(name: str, oracle: str | None = None) -> Callable:
+    """Like :func:`register`, but into the retired (local-parity-only)
+    registry — the query stays implemented, tested, and oracle-checked;
+    it just no longer occupies one of the driver's 50 slots."""
+
+    def deco(fn: Callable) -> Callable:
+        if name in QUERIES or name in RETIRED_QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        RETIRED_QUERIES[name] = fn
+        if oracle is not None:
+            RETIRED_ORACLES[name] = textwrap.dedent(oracle).strip()
         fn.__query_name__ = name
         return fn
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tmdb_sync_spark.registry import register
+from tmdb_sync_spark.registry import register, register_retired
 from tmdb_sync_spark.sources import fixture
 from tmdb_sync_spark.sources.enrich import (
     best_path_expr,
@@ -217,7 +217,7 @@ def s7_backdrop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
     "s2_discover_years",
     oracle=f"""
     WITH feed AS (
@@ -268,7 +268,7 @@ def s2_discover_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
     "s3_category_source",
     oracle=f"""
     WITH feed AS (

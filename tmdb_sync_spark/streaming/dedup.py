@@ -118,6 +118,21 @@ def run_dedup_stream(
     out = os.path.join(state_dir, out_name)
     ckpt = os.path.join(state_dir, f"_ckpt_{out_name}")
 
+    # exactly-once is PER EPOCH, and epochs are named by the checkpoint:
+    # a run whose checkpoint was wiped restarts epochs at 0, so dynamic
+    # overwrite would replace batch_id=0 while stale higher-batch_id
+    # partitions from the prior drain could survive whenever the replay
+    # carves fewer micro-batches than the original (ADVICE r7). The
+    # checkpoint and the output dir are ONE UNIT: a fresh checkpoint
+    # regenerates the output from the source in full, so an orphaned
+    # output dir is a stale derivation — wipe it rather than interleave
+    # into it. (``out`` lives under this operator's own state_dir and
+    # contains nothing but this stream's partitions.)
+    if os.path.isdir(out) and not os.path.isdir(ckpt):
+        import shutil as _shutil
+
+        _shutil.rmtree(out)
+
     sub = spark.newSession()
     sub.conf.set(
         "spark.sql.shuffle.partitions",

@@ -199,8 +199,8 @@ def ingest_file_stream(
             )
             folded = res["survivors"]
             survivors_for_index = folded
-            stats["near_dups"] += len(res["dropped_vs_index"]) + len(
-                res["dropped_in_batch"]
+            stats["near_dups"] += (
+                res["n_dropped_vs_index"] + res["n_dropped_in_batch"]
             )
         merge_into_partitioned(
             spark, table_path, folded,
