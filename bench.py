@@ -133,6 +133,22 @@ def main() -> None:
         list(ex.map(_hash_unit, range(32)))
         cpu_floor_32t = round(time.perf_counter() - t0, 3)
 
+    # Contention self-label (r7 verdict #4): BENCH_r07 recorded a 25.9 s
+    # suite that was really an 18.1 s suite on a 3× degraded host, and a
+    # reader had to cross-reference COVERAGE.md to learn that. The bench
+    # now carries its own attribution: on healthy windows the 32-thread
+    # floor runs ~2.2-2.5× the 1-thread floor (measured r6/r7:
+    # 0.172/0.077 ≈ 2.2); under hypervisor contention the ratio blew out
+    # to ~10 while 1t stayed flat. Flag at 4.0 — comfortably above
+    # healthy scheduling noise, far below the observed contended state.
+    # value_floor_norm rescales the suite total by the stored healthy
+    # floor — an ATTRIBUTION AID for round-over-round reads on unequal
+    # hosts, not a measurement (suite time is not 100% cpu-floor-bound).
+    HEALTHY_RATIO_32T = 2.5
+    HEALTHY_CPU_FLOOR_32T = 0.172  # measured, r6 healthy window
+    floor_ratio = cpu_floor_32t / max(cpu_floor_1t, 1e-9)
+    contended = floor_ratio > 1.6 * HEALTHY_RATIO_32T
+
     # Input-corpus fingerprint: parquet count() is footer-metadata-only,
     # so this costs ~one job per table, not a data scan.
     table_rows = {}
@@ -211,6 +227,12 @@ def main() -> None:
             "machine_floor_sec": machine_floor,
             "cpu_floor_1t": cpu_floor_1t,
             "cpu_floor_32t": cpu_floor_32t,
+            "contended": contended,
+            "value_floor_norm": round(
+                sum(warm.values())
+                * min(1.0, HEALTHY_CPU_FLOOR_32T / max(cpu_floor_32t, 1e-9)),
+                2,
+            ),
             "warm_reps": reps - 1,
             "sf": sf_val,
         }
@@ -227,6 +249,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries_in_detail_file": len(warm),
                 "machine_floor_sec": machine_floor,
+                "contended": contended,
                 "warm_reps": reps - 1,
                 "sf": sf_val,
             }

@@ -236,6 +236,24 @@ def main() -> None:
     print("ivf fixed-q: " + "  ".join(
         f"x{k}={v}" for k, v in ivf.items()), flush=True)
 
+    print("\n== D. cluster components, occupancy-scaled bits ==", flush=True)
+    # the r6 ramp's headline quadratic (fixed bits, x16 = 28.3 s) rerun
+    # through the r8 knob: scaled_dup_bits holds pair density constant,
+    # so rounds × pairs — the whole operator — should ramp near-linearly
+    from tmdb_sync_spark.functions.dedup import cluster_components
+    from tmdb_sync_spark.functions.similarity import scaled_dup_bits
+
+    nvec = {
+        k: spark.read.parquet(f"{dirs[k]}/embeddings.parquet").count()
+        for k in SCALES
+    }
+    comp = {k: timed(lambda k=k: cluster_components(
+        spark, dirs[k], scaled_dup_bits(nvec[k]))) for k in SCALES}
+    print("cluster scaled bits "
+          + "/".join(str(scaled_dup_bits(nvec[k])) for k in SCALES)
+          + ": " + "  ".join(f"x{k}={v}" for k, v in comp.items()),
+          flush=True)
+
     if os.environ.get("SPARK_GRAFT_RAMP_KEEP") != "1":
         shutil.rmtree(RAMP_ROOT, ignore_errors=True)
 

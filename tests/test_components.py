@@ -34,3 +34,33 @@ def test_rounds_logarithmic_not_linear(spark):
     labels = min_label_components(edges, max_rounds=15)
     assert labels.count() == 121
     assert labels.where(F.col("label") != 0).count() == 0
+
+
+def test_scaled_dup_bits_holds_occupancy(spark, sf_dir):
+    """The r8 occupancy knob: +1 plane per corpus doubling above the
+    tuning size, never below the base (small corpora keep full recall),
+    capped; and the cluster operator with the DEFAULT knob value is
+    bit-identical to the registered query."""
+    from tmdb_sync_spark.functions.dedup import (
+        cluster_components,
+        dd_cluster_components,
+    )
+    from tmdb_sync_spark.functions.similarity import (
+        DUP_BITS_BASE_N,
+        N_DUP_BITS,
+        scaled_dup_bits,
+    )
+
+    assert scaled_dup_bits(DUP_BITS_BASE_N) == N_DUP_BITS
+    assert scaled_dup_bits(1) == N_DUP_BITS          # never below base
+    assert scaled_dup_bits(DUP_BITS_BASE_N * 4) == N_DUP_BITS + 2
+    assert scaled_dup_bits(DUP_BITS_BASE_N * 16) == N_DUP_BITS + 4
+    assert scaled_dup_bits(DUP_BITS_BASE_N * 2**40) == 24  # cap
+
+    got = sorted(
+        tuple(r) for r in cluster_components(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in dd_cluster_components(spark, sf_dir).collect()
+    )
+    assert got == want

@@ -137,8 +137,13 @@ def _oracle_con(d):
 @pytest.mark.parametrize("name", REL_QUERIES)
 def test_relational_parity_on_hostile_rows(spark, hostile_rel_sf, name):
     con = _oracle_con(hostile_rel_sf)
-    got = _canon(E.queries()[name](spark, hostile_rel_sf))
-    want = _canon(con.execute(E.oracle_sql()[name]).df())
+    from tmdb_sync_spark.registry import RETIRED_ORACLES, RETIRED_QUERIES
+
+    got = _canon(
+        {**E.queries(), **RETIRED_QUERIES}[name](spark, hostile_rel_sf)
+    )
+    want = _canon(con.execute(
+        {**E.oracle_sql(), **RETIRED_ORACLES}[name]).df())
     con.close()
     assert got == want, f"{name} diverges on hostile relational rows"
 

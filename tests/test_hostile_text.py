@@ -58,6 +58,9 @@ TEXT_QUERIES = [
     "tx_text_features", "tx_ngram_topk", "dd_exact", "dd_minhash_lsh",
     "dd_simhash_fingerprint", "dd_ngram_jaccard", "dd_cluster_components",
     "pipeline_curation",
+    # r8 rotation: the new text-reading registry entries face the same
+    # hostile corpus (unicode classes, WS zoo, NULL/empty edges)
+    "chunk_documents", "repetition_stats",
 ]
 
 

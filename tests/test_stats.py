@@ -544,3 +544,101 @@ def test_staging_sweep_age_backstop(spark, sf_dir, tmp_path):
     _sweep_dead_stagings(path)
     assert not _os.path.exists(stale)   # old → swept despite alive pid
     assert _os.path.exists(fresh)       # young + alive → kept
+
+
+def test_compact_profile_drops_report_identical_and_replay_immune(
+    spark, sf_dir, tmp_path
+):
+    """compact_profile_drops (r8, promoted from the r7 recipe): report
+    rows are IDENTICAL before/after (the pinned merge law, through the
+    persisted path); folded drop ids stay recorded (tombstone) so a
+    replayed ingest batch cannot double-count; recompaction is
+    idempotent (content-addressed id, single drop -> no-op)."""
+    from tmdb_sync_spark.functions.stats import (
+        compact_profile_drops,
+        write_profile_drops,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "p")
+    for i in range(4):
+        write_profile_drop(
+            profile_drop_state(
+                docs.where(F.col("doc_id") % 4 == i), ("source", "lang")
+            ),
+            path, f"d{i}",
+        )
+    def snap(dims):
+        # exact columns compared byte-identically; the HLL estimate is
+        # a separate bounded check (Datasketches: a union re-estimated
+        # from pre-merged state may differ by a hair from the
+        # union-of-four path — the known cross-route nuance)
+        rows = incremental_report(spark, path, dims).collect()
+        exact = sorted(
+            str([r[c] for c in r.asDict()
+                 if c != "n_distinct_keys_approx"])
+            for r in rows
+        )
+        hll = sorted(
+            (tuple(r[d] or "" for d in dims), r["n_distinct_keys_approx"])
+            for r in rows
+        )
+        return exact, hll
+
+    before, hll_before = snap(("source",))
+    total_before = incremental_report(spark, path, ()).collect()[0]
+
+    res = compact_profile_drops(spark, path)
+    assert res["compacted"] is True and res["drops_before"] == 4
+    import os as _os
+
+    drops = [e for e in _os.listdir(path) if e.startswith("drop=")]
+    assert drops == [f"drop={res['drop_id']}"]
+
+    spark.catalog.refreshByPath(path)
+    after, hll_after = snap(("source",))
+    assert after == before
+    for (k1, e1), (k2, e2) in zip(hll_before, hll_after):
+        assert k1 == k2 and abs(e1 - e2) <= max(4, 0.02 * e1)
+    total_after = incremental_report(spark, path, ()).collect()[0]
+    assert [total_after[c] for c in total_after.asDict()
+            if c != "n_distinct_keys_approx"] == [
+        total_before[c] for c in total_before.asDict()
+        if c != "n_distinct_keys_approx"
+    ]
+
+    # replay-immunity: a folded id is still "recorded" -> raises / skips
+    replay_state = profile_drop_state(
+        docs.where(F.col("doc_id") % 4 == 1), ("source", "lang")
+    )
+    with pytest.raises(ValueError, match="already recorded"):
+        write_profile_drop(replay_state, path, "d1")
+    res2 = write_profile_drops(
+        replay_state.withColumn("drop", F.lit("d1")), path
+    )
+    assert res2 == {"written": [], "skipped": ["d1"]}
+    # and the report still counts each doc once
+    spark.catalog.refreshByPath(path)
+    assert incremental_report(spark, path, ()).collect()[0][
+        "n_docs"
+    ] == total_before["n_docs"]
+
+    # idempotent: one drop left -> no-op
+    res3 = compact_profile_drops(spark, path)
+    assert res3["compacted"] is False and res3["drop_id"] == res["drop_id"]
+
+    # NEW drops keep flowing after compaction, and a second compaction
+    # folds them with the compacted drop under a NEW content address
+    write_profile_drop(
+        profile_drop_state(docs, ("source", "lang")), path, "d9"
+    )
+    spark.catalog.refreshByPath(path)
+    assert incremental_report(spark, path, ()).collect()[0][
+        "n_docs"
+    ] == 2 * total_before["n_docs"]
+    res4 = compact_profile_drops(spark, path)
+    assert res4["compacted"] is True and res4["drop_id"] != res["drop_id"]
+    spark.catalog.refreshByPath(path)
+    assert incremental_report(spark, path, ()).collect()[0][
+        "n_docs"
+    ] == 2 * total_before["n_docs"]

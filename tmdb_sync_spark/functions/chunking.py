@@ -110,6 +110,37 @@ def chunk_documents(
     )
 
 
+@register(
+    "chunk_documents",
+    # the same contract the pytest twin pins at three parameter points:
+    # starts 0, S, 2S, ... covering the last codepoint; final window may
+    # be short; NULL text contributes no chunks
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS chunk_index,
+           CAST(i * 150 AS INT) AS chunk_start,
+           substring(text, CAST(i * 150 AS INT) + 1, 200) AS chunk_text
+    FROM documents,
+         unnest(generate_series(0, CAST(ceil(
+             greatest(length(text) - 200, 0) / 150) AS BIGINT))) AS t(i)
+    WHERE text IS NOT NULL
+    """,
+)
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver registration of :func:`chunk_documents` (rotated into the
+    50-slot window in r8): 200-char windows, 50-char overlap, over the
+    documents table — the embedding-prep chunker at its default shape.
+    Pure Catalyst flatMap: sequence → transform → posexplode, zero UDF,
+    zero shuffle, parallelism = the scan's (plan pinned in
+    tests/test_chunking.py::test_no_shuffle_in_plan)."""
+    from tmdb_sync_spark.io import parallel_table
+
+    return (
+        chunk_documents(parallel_table(spark, sf_dir, "documents"), 200, 50)
+        .withColumn("chunk_index", F.col("chunk_index").cast("int"))
+        .withColumn("chunk_start", F.col("chunk_start").cast("int"))
+    )
+
+
 def chunk_documents_tokens(
     df: DataFrame,
     chunk_tokens: int,

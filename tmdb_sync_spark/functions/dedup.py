@@ -522,15 +522,31 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, rounds ≈ graph diameter). The oracle is DuckDB's recursive
     CTE computing min reachable id — same fixpoint, declaratively.
     """
+    return cluster_components(spark, sf_dir)
+
+
+def cluster_components(
+    spark: SparkSession, sf_dir: str, n_bits: int | None = None
+) -> DataFrame:
+    """The cluster operator with the occupancy knob exposed (r8):
+    ``n_bits`` defaults to the registered fixed plane count (oracle
+    stability); scale consumers pass
+    ``similarity.scaled_dup_bits(n_vectors)`` so the candidate pair
+    density — the input to every label-propagation round — stays
+    constant per vector as the corpus grows (the r6 ramp's 28.3 s x16
+    blowup was exactly fixed-bits quadratic pair growth; the scaled
+    row is measured in scripts/exp_scale_ramp.py §D)."""
     from tmdb_sync_spark.functions.similarity import (
-        DUP_THRESHOLD, _dup_candidate_pairs,
+        DUP_THRESHOLD, N_DUP_BITS, _dup_candidate_pairs,
     )
 
     # skew-tiled bucket self-join over the staged bucket table
     # (similarity._dup_candidate_pairs): a hot LSH bucket fans out
     # across sub-tiles instead of one quadratic task
     edges = (
-        _dup_candidate_pairs(spark, sf_dir)
+        _dup_candidate_pairs(
+            spark, sf_dir, N_DUP_BITS if n_bits is None else n_bits
+        )
         .where(F.col("cosine_sim") >= DUP_THRESHOLD)
         .select(
             F.col("a.vec_id").alias("u"),

@@ -38,12 +38,12 @@ roll forward). The manifest (per-shard rows/tokens/bytes) is written
 INSIDE the staging dir before the rename, so its presence certifies a
 complete export.
 
-No DuckDB oracle twins: file layout and xxhash64 have no SQL-parity
-surface — the contracts are pinned by property tests
-(tests/test_export.py), the same weaker-but-honest treatment as
-functions/sampling.py. These are beyond-registry operators (the
-50-entry driver window is full); they compose with the registered
-surface: ``export_training_shards(curated_corpus(...))``.
+Oracle surface (r8 rotation): the LAYOUT contract — deterministic
+(key → shard, rank) — is driver-verified through ``export_shard_layout``
+using the md5 hash variant (DuckDB has no xxhash64; the registry's
+md5-only rule). The file-side contracts (atomic publish, manifest,
+one-file-per-shard) have no SQL-parity surface and stay pinned by the
+property tests in tests/test_export.py.
 """
 
 from __future__ import annotations
@@ -53,8 +53,10 @@ import os
 import shutil
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from tmdb_sync_spark.registry import register
 
 # Salt spaces, disjoint from sampling.py's: a doc's split label, sample
 # keep, pack bucket, shard, order rank, and mix keep must be mutually
@@ -125,18 +127,57 @@ def _stale_stagings(base: str) -> list:
     return out
 
 
-def shard_expr(key: Column, n_shards: int, seed: int = 0) -> Column:
-    """Deterministic shard index in [0, n_shards) for ``key``."""
+def shard_expr(
+    key: Column, n_shards: int, seed: int = 0, *,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """Deterministic shard index in [0, n_shards) for ``key``.
+
+    ``hash_fn``: ``xxhash64`` (default — JVM-native, the production
+    layout) or ``md5`` (first 8 hex chars parsed as an int — the
+    cross-engine variant the driver oracle verifies, since DuckDB has
+    no xxhash64; the registry's md5-only rule)."""
+    if hash_fn == "md5":
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            key.cast("string"), F.lit(f"|shard|{seed}")
+                        ).cast("binary")
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(n_shards),
+        )
     return F.pmod(
         F.xxhash64(key, F.lit(_SHARD_SALT), F.lit(seed)), F.lit(n_shards)
     )
 
 
-def order_expr(key: Column, seed: int = 0) -> Column:
+def order_expr(
+    key: Column, seed: int = 0, *, hash_fn: str = "xxhash64"
+) -> Column:
     """Deterministic pseudo-shuffle rank — independent of shard
-    membership (distinct salt). Ties are possible only on xxhash64
+    membership (distinct salt). Ties are possible only on hash
     collisions; the writer breaks them on the key itself, so the
-    exported order is total either way."""
+    exported order is total either way. ``md5`` mode uses 13 hex chars
+    (52 bits — exact in every engine's double path, under the 2^53
+    canonicalization hazard)."""
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        key.cast("string"), F.lit(f"|order|{seed}")
+                    ).cast("binary")
+                ),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long")
     return F.xxhash64(key, F.lit(_ORDER_SALT), F.lit(seed))
 
 
@@ -147,6 +188,7 @@ def shard_layout(
     key: str = "doc_id",
     seed: int = 0,
     keep_order_col: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The export's physical layout, exposed for plan assertion: rows
     with their ``shard`` column, range-partitioned BY shard (values
@@ -174,8 +216,9 @@ def shard_layout(
         if reserved in df.columns:
             df = df.drop(reserved)
     kcol = F.col(key)
-    laid = df.withColumn("shard", shard_expr(kcol, n_shards, seed)) \
-             .withColumn("_rank", order_expr(kcol, seed))
+    laid = df.withColumn(
+        "shard", shard_expr(kcol, n_shards, seed, hash_fn=hash_fn)
+    ).withColumn("_rank", order_expr(kcol, seed, hash_fn=hash_fn))
     out_cols = [c for c in df.columns] + (
         ["_rank"] if keep_order_col else []
     )
@@ -187,6 +230,34 @@ def shard_layout(
     if keep_order_col:
         laid = laid.withColumnRenamed("_rank", keep_order_col)
     return laid
+
+
+@register(
+    "export_shard_layout",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shard|0'),
+                           1, 8))::BIGINT % 8 AS shard,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|order|0'),
+                           1, 13))::BIGINT AS rank
+    FROM documents
+    """,
+)
+def export_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver registration (r8 rotation) of the trainer export's layout
+    contract: every document's (shard, rank) as a pure function of its
+    key — shard membership and within-shard order must be reproducible
+    on any cluster, any partitioning, any run. Verified per-row against
+    DuckDB through the md5 hash variant (the real layout machinery —
+    :func:`shard_layout`'s reserved-name handling, range exchange, and
+    within-partition sort — with only the hash expression swapped;
+    xxhash64 has no DuckDB mirror)."""
+    from tmdb_sync_spark.io import parallel_table
+
+    docs = parallel_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_layout(
+        docs, 8, key="doc_id", keep_order_col="rank", hash_fn="md5"
+    ).select("doc_id", "shard", "rank")
 
 
 def export_training_shards(

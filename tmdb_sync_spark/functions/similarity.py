@@ -436,9 +436,49 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Occupancy-scaled plane count: with FIXED bits, mean bucket occupancy
+# n/2^bits grows linearly in corpus size, so within-bucket pair density
+# — the work every dup consumer pays — grows QUADRATICALLY (the r6 ramp
+# measured dd_cluster_components at 28.3 s by x16 for exactly this).
+# Holding occupancy constant instead costs +2 bits per 4× corpus and
+# restores linear pair growth (same ramp, 'scaled bits' rows). The
+# trade is recall at the margin: each extra plane halves the chance a
+# near-dup pair shares a bucket, so production sweeps re-rank with
+# more bands (dd_minhash_lsh) rather than scaling bits forever.
+DUP_BITS_BASE_N = 2_000  # sf0.1 embeddings — the tuning corpus
+
+
+def scaled_dup_bits(
+    n_vectors: int,
+    *,
+    base_bits: int = N_DUP_BITS,
+    base_n: int = DUP_BITS_BASE_N,
+) -> int:
+    """Plane count holding expected bucket occupancy at the tuning
+    corpus's level: ``base_bits + log2(n/base_n)``, floored at
+    ``base_bits`` (a smaller corpus never loses recall) and capped at
+    the embedding's usable sign planes."""
+    import math
+
+    if n_vectors <= base_n:
+        return base_bits
+    return min(
+        base_bits + int(round(math.log2(n_vectors / base_n))), 24
+    )
+
+
+def _dup_candidate_pairs(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_DUP_BITS
+) -> DataFrame:
     """Skew-tiled sign-LSH candidate pairs with their exact cosine —
     shared by ``dd_embedding_cosine`` and ``dd_cluster_components``.
+
+    ``n_bits`` (r8, the r6-ramp knob made a parameter): the registered
+    queries keep the fixed default so oracle SQL stays stable; scale
+    consumers pass :func:`scaled_dup_bits` of their corpus size to hold
+    bucket occupancy — and therefore per-bucket pair density — constant
+    as the corpus grows (measured in scripts/exp_scale_ramp.py §B and
+    the cluster ramp row in COVERAGE.md).
 
     The hot-group probe runs on the bucketed frame directly: the probe
     aggregates only ``bucket`` (Catalyst prunes the quantized vector
@@ -453,7 +493,7 @@ def _dup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from tmdb_sync_spark.functions.pairs import tiled_self_pairs
 
-    b = _bucketed(spark, sf_dir, N_DUP_BITS)
+    b = _bucketed(spark, sf_dir, n_bits)
     return tiled_self_pairs(
         b, "bucket", "vec_id",
         sym={
@@ -461,7 +501,7 @@ def _dup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sqrt(l["nrm"]) * F.sqrt(r["nrm"])
             )
         },
-        probe_key=("dup_buckets", sf_dir, N_DUP_BITS),
+        probe_key=("dup_buckets", sf_dir, n_bits),
         probe_fingerprint=_embeddings_fingerprint(sf_dir),
     )
 

@@ -39,9 +39,9 @@ by it is far cheaper than running d+1 separate jobs' scans.
 lang=NULL) from the rolled-up "all" level — consumers filter on it, not
 on dim NULLs (the classic rollup-reading bug, pinned in the tests).
 
-Beyond-registry (the 50-entry driver window is full); tested against
-exact answers computed by Spark itself plus a DuckDB cross-check of the
-exact columns, since sketches have no cross-engine value parity.
+Driver-registered since r8 (``corpus_report`` — the exact columns at
+every rollup level; sketches have no cross-engine value parity so the
+HLL/quantile columns stay bound-checked in pytest instead).
 """
 
 from __future__ import annotations
@@ -51,6 +51,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from tmdb_sync_spark.registry import register
 
 DEFAULT_QUANTILES = (0.5, 0.9, 0.99)
 
@@ -109,11 +111,48 @@ def corpus_report(
             "n_distinct_keys_approx"
         ),
         F.sum(size).alias("total_size"),
-        F.avg(size).alias("mean_size"),
+        # exact-sum / exact-count, ONE double division — not F.avg,
+        # whose double-sum accumulator is shuffle-order-dependent and
+        # can never hash-match a cross-engine oracle (r8 registration)
+        (F.sum(size) / F.count(size)).alias("mean_size"),
         F.max(size).alias("max_size"),
         F.percentile_approx(
             size, F.array(*[F.lit(q) for q in qs]), F.lit(int(accuracy))
         ).alias("size_q"),
+    )
+
+
+@register(
+    "corpus_report",
+    # the exact columns at every rollup level; DuckDB's GROUPING(a, b)
+    # emits the same bitmask as Spark's grouping_id() (first dim = high
+    # bit). mean_size: exact integer operands, ONE double division —
+    # mirrored in corpus_report itself (never AVG: the double-sum
+    # accumulator is shuffle-order-dependent).
+    oracle="""
+    SELECT source, lang,
+           GROUPING(source, lang) AS grouping_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_size,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS mean_size,
+           MAX(n_chars) AS max_size
+    FROM documents
+    GROUP BY ROLLUP(source, lang)
+    """,
+)
+def corpus_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver registration of :func:`corpus_report` (r8 rotation): the
+    per-(source, lang) rollup profile's EXACT columns — counts, mass,
+    max, exact mean — at all three levels plus the grand total. The
+    sketch columns (HLL distinct, approx quantiles) have no cross-engine
+    value parity and stay bound-checked in tests/test_stats.py."""
+    from tmdb_sync_spark.io import parallel_table
+
+    return corpus_report(
+        parallel_table(spark, sf_dir, "documents"), ("source", "lang")
+    ).select(
+        "source", "lang", "grouping_id",
+        "n_docs", "total_size", "mean_size", "max_size",
     )
 
 
@@ -444,6 +483,54 @@ def _stage_and_publish(state: DataFrame, path: str) -> tuple[list, list]:
     return published, raced
 
 
+# Tombstone for compacted drop ids: when compact_profile_drops folds
+# drops d1..dn into one, the ORIGINAL ids must stay "recorded" forever —
+# their dirs are gone, but an ingest crash-replaying an old batch would
+# otherwise re-write d1 and double-count it in every future merge. The
+# tombstone is the immutability guard's memory across compactions,
+# updated by atomic rename (same complete-or-absent discipline as the
+# drops themselves) and written BEFORE the table swap, so a crash
+# between the two leaves the ids guarded either way (dirs still present,
+# or tombstone already in force).
+_TOMBSTONE_NAME = "_compacted_drops.json"
+
+
+def _tombstoned_ids(path: str) -> set:
+    f = os.path.join(path, _TOMBSTONE_NAME)
+    if not os.path.exists(f):
+        return set()
+    import json as _json
+
+    with open(f) as fh:
+        return set(_json.load(fh)["compacted_ids"])
+
+
+def _add_tombstoned_ids(path: str, ids) -> None:
+    import json as _json
+
+    merged = sorted(_tombstoned_ids(path) | set(ids))
+    tmp = os.path.join(
+        path, f"._tombstone-{os.getpid()}-{next(_PROFILE_SEQ)}"
+    )
+    with open(tmp, "w") as fh:
+        _json.dump({"compacted_ids": merged}, fh)
+    os.replace(tmp, os.path.join(path, _TOMBSTONE_NAME))
+
+
+def _recorded_ids(path: str) -> set:
+    """Every drop id that must never be written again: live ``drop=``
+    dirs plus tombstoned (compacted-away) ids."""
+    out = set()
+    if os.path.isdir(path):
+        out = {
+            e[len("drop="):]
+            for e in os.listdir(path)
+            if e.startswith("drop=")
+        }
+        out |= _tombstoned_ids(path)
+    return out
+
+
 def write_profile_drop(
     state: DataFrame, path: str, drop_id: str
 ) -> None:
@@ -453,9 +540,11 @@ def write_profile_drop(
     Drops are IMMUTABLE — re-profiling an already-recorded drop raises
     instead of double-counting it in every future merge (the same
     at-least-once hazard the export publisher guards; an ingest that
-    replays a batch must skip the profile write it already made)."""
+    replays a batch must skip the profile write it already made). Ids
+    folded away by :func:`compact_profile_drops` stay recorded via the
+    tombstone — compaction must not reopen the replay window."""
     drop_id = _check_drop_id(drop_id, "write_profile_drop")
-    if os.path.isdir(profile_drop_dir(path, drop_id)):
+    if drop_id in _recorded_ids(path):
         raise ValueError(
             f"write_profile_drop: drop {drop_id!r} already recorded at "
             f"{path!r} — drop states are immutable (replayed batch?)"
@@ -518,13 +607,7 @@ def write_profile_drops(
         _check_drop_id(r[0], "write_profile_drops")
         for r in state.select(drop_col).distinct().collect()
     ]
-    existing = set()
-    if os.path.isdir(path):
-        existing = {
-            e[len("drop="):]
-            for e in os.listdir(path)
-            if e.startswith("drop=")
-        }
+    existing = _recorded_ids(path)
     new = sorted(i for i in ids if i not in existing)
     skipped = sorted(i for i in ids if i in existing)
     written: list = []
@@ -537,3 +620,73 @@ def write_profile_drops(
         written = sorted(published)
         skipped = sorted(set(skipped) | set(raced))
     return {"written": written, "skipped": skipped}
+
+
+# state columns of a persisted profile row — everything else (minus the
+# ``drop`` partition column) is a dim column, recovered from the schema
+# so compaction preserves whatever grain the states were built at
+_STATE_COLS = ("n_docs", "total_size", "max_size", "hll", "hist")
+
+
+def compact_profile_drops(spark: SparkSession, path: str) -> dict:
+    """Fold every recorded drop into ONE equivalent drop — the merge-law
+    recipe (merge of states IS the state of the union) promoted from a
+    documented pattern (r7 COVERAGE addendum) to a first-class API, with
+    the same crash discipline as the index compactions.
+
+    After months of daily drops, ``incremental_report`` pays
+    O(drops × groups) state rows per question; compaction resets that to
+    the 1-drop cost while — by the pinned merge law — leaving every
+    exact report column IDENTICAL (the HLL distinct estimate may move
+    within its bound: Datasketches re-estimates a stored union slightly
+    differently from a union-of-parts, the known cross-route nuance). The compacted drop id is a content address
+    (md5 of the sorted folded ids), so re-running the same compaction is
+    idempotent by construction.
+
+    Crash/replay contract, in commit order:
+
+    1. the folded ids are TOMBSTONED first (atomic rename of
+       ``_compacted_drops.json``) — from this point a replayed ingest
+       batch can never re-record a folded drop, whether or not the swap
+       below ever lands;
+    2. the merged state is installed by ``plans.partitioned
+       .write_partitioned`` — staging, journaled swap, roll-forward
+       recovery, writer lock — so the table is atomically either the
+       old drop set or the single compacted drop, never a mix.
+
+    Single-writer contract (same as ``compact_index``): do not compact
+    while a drop ingest is writing — serialize through the ingest's own
+    cursor, or accept that a drop published between the read and the
+    swap is lost. Returns ``{"compacted", "drops_before", "drop_id"}``.
+    """
+    from tmdb_sync_spark.plans.partitioned import write_partitioned
+
+    states = read_profile_states(spark, path)
+    old_ids = sorted(
+        r["drop"] for r in states.select("drop").distinct().collect()
+    )
+    if len(old_ids) <= 1:
+        return {
+            "compacted": False,
+            "drops_before": len(old_ids),
+            "drop_id": old_ids[0] if old_ids else None,
+        }
+    dims = [
+        c for c in states.columns
+        if c not in _STATE_COLS and c != "drop"
+    ]
+    import hashlib as _hashlib
+
+    new_id = "compacted-" + _hashlib.md5(
+        "\n".join(old_ids).encode()
+    ).hexdigest()[:12]
+    merged = merge_profile_states(states.drop("drop"), dims).withColumn(
+        "drop", F.lit(new_id)
+    )
+    _add_tombstoned_ids(path, old_ids)
+    write_partitioned(merged.repartition("drop"), path, "drop")
+    return {
+        "compacted": True,
+        "drops_before": len(old_ids),
+        "drop_id": new_id,
+    }

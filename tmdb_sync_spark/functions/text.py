@@ -536,6 +536,114 @@ def repetition_stats(
     )
 
 
+@register(
+    "repetition_stats",
+    # full DuckDB twin (r8 rotation): lines via lateral unnest + the
+    # explicit-WS trim, n-grams via list_slice windows joined with \n
+    # (no token can contain it), max_char_run via gaps-and-islands over
+    # codepoints (RE2 has no backreferences, so Spark's ((.)\2*) regex
+    # has no DuckDB mirror). Every fraction is ONE double division of
+    # exact integer operands — IEEE-deterministic across engines.
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id, COALESCE(text, '') AS t,
+               regexp_split_to_array(
+                   {trim_sql("COALESCE(text, '')")}, '[{WS_SQL}]+') AS tk
+        FROM documents
+    ),
+    runs AS (
+        SELECT doc_id, COUNT(*) AS run_len
+        FROM (
+            SELECT doc_id, ch,
+                   i - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, ch ORDER BY i) AS grp
+            FROM (
+                SELECT doc_id, i, substring(t, CAST(i AS INT), 1) AS ch
+                FROM base,
+                     unnest(generate_series(1, length(t))) AS u(i)
+            )
+        )
+        GROUP BY doc_id, ch, grp
+    ),
+    mcr AS (
+        SELECT doc_id, CAST(MAX(run_len) AS INT) AS max_char_run
+        FROM runs GROUP BY doc_id
+    ),
+    nz_lines AS (
+        SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+        FROM (
+            SELECT doc_id, {trim_sql("l")} AS line
+            FROM base, unnest(string_split(t, chr(10))) AS u(l)
+        )
+        WHERE line <> ''
+        GROUP BY doc_id, line
+    ),
+    line_stats AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_lines,
+               1 - COUNT(*) / CAST(SUM(c) AS DOUBLE) AS dup_line_frac,
+               CAST(SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END)
+                    AS DOUBLE) / SUM(c * len) AS dup_line_char_frac
+        FROM nz_lines GROUP BY doc_id
+    ),
+    g2 AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(tk) - 1),
+                       i -> array_to_string(
+                           list_slice(tk, i, i + 1), chr(10)))) AS g
+            FROM base WHERE len(tk) >= 2
+        )
+        GROUP BY doc_id, g
+    ),
+    top2 AS (
+        SELECT doc_id,
+               LEAST(MAX(c) * 2 / CAST(SUM(c) + 1 AS DOUBLE), 1.0)
+                   AS top_ngram_frac
+        FROM g2 GROUP BY doc_id
+    ),
+    g5 AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(tk) - 4),
+                       i -> array_to_string(
+                           list_slice(tk, i, i + 4), chr(10)))) AS g
+            FROM base WHERE len(tk) >= 5
+        )
+        GROUP BY doc_id, g
+    ),
+    dup5 AS (
+        SELECT doc_id,
+               SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)
+                   / CAST(SUM(c) AS DOUBLE) AS dup_ngram_frac
+        FROM g5 GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(ls.n_lines, 0) AS n_lines,
+           COALESCE(ls.dup_line_frac, 0.0) AS dup_line_frac,
+           COALESCE(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+           COALESCE(t2.top_ngram_frac, 0.0) AS top_ngram_frac,
+           COALESCE(d5.dup_ngram_frac, 0.0) AS dup_ngram_frac,
+           COALESCE(m.max_char_run, 0) AS max_char_run
+    FROM base b
+    LEFT JOIN line_stats ls USING (doc_id)
+    LEFT JOIN top2 t2 USING (doc_id)
+    LEFT JOIN dup5 d5 USING (doc_id)
+    LEFT JOIN mcr m USING (doc_id)
+    """,
+)
+def repetition_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver registration of :func:`repetition_stats` (rotated into
+    the 50-slot window in r8): the Gopher-family repetition signals at
+    their default shape (top 2-gram, dup 5-gram) over the documents
+    table."""
+    return repetition_stats(parallel_table(spark, sf_dir, "documents"))
+
+
 # default repetition-gate thresholds (the Gopher-style rule set the
 # docstrings cite); callers override per corpus
 GATE_DEFAULTS = {
