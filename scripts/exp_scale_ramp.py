@@ -67,13 +67,22 @@ def build_scaled(spark, k: int) -> str:
     stride = ((n_docs // STRIDE_UNIT) + 1) * STRIDE_UNIT
     doc_parts = [docs]
     for i in range(1, k):
+        # EVERY token tagged per replica, not a 1-token suffix: a
+        # suffix changes md5 but leaves ~all 3-token shingles shared,
+        # so replicas minhash-match their originals — the r8 chain ramp
+        # caught the ingest dedup correctly dropping 98% of a "scaled"
+        # corpus (near_dups=314k at x64), which silently flattened
+        # every post-dedup stage's working set AND inflated LSH band
+        # buckets k-fold for the text operators. Per-token tags give
+        # replicas disjoint shingle sets (Jaccard ≈ 0 vs original)
+        # while preserving token counts and length statistics.
+        tagged = F.regexp_replace(F.col("text"), r"(\S+)", f"$1{i}")
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + i * stride).alias("doc_id"),
-                # distinct text per replica: shifts md5/minhash/shingles
-                F.concat(F.col("text"), F.lit(f" r{i}")).alias("text"),
+                tagged.alias("text"),
                 "lang", "source",
-                (F.col("n_chars") + len(f" r{i}")).alias("n_chars"),
+                F.length(tagged).cast("long").alias("n_chars"),
             )
         )
     all_docs = doc_parts[0]

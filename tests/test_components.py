@@ -55,7 +55,9 @@ def test_scaled_dup_bits_holds_occupancy(spark, sf_dir):
     assert scaled_dup_bits(1) == N_DUP_BITS          # never below base
     assert scaled_dup_bits(DUP_BITS_BASE_N * 4) == N_DUP_BITS + 2
     assert scaled_dup_bits(DUP_BITS_BASE_N * 16) == N_DUP_BITS + 4
-    assert scaled_dup_bits(DUP_BITS_BASE_N * 2**40) == 24  # cap
+    from tmdb_sync_spark.functions.similarity import DIM
+
+    assert scaled_dup_bits(DUP_BITS_BASE_N * 2**100) == DIM  # plane cap
 
     got = sorted(
         tuple(r) for r in cluster_components(spark, sf_dir).collect()

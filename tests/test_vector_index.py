@@ -25,6 +25,12 @@ _SCHEMA = StructType([
     StructField("embedding", ArrayType(FloatType())),
 ])
 
+def _ids(df):
+    """Collect a dropped-ids frame (test-side only — the operator keeps
+    them distributed; r8 anti-join rewrite, mirroring dedup_index)."""
+    return sorted(r["vec_id"] for r in df.collect())
+
+
 
 def _vec(hot: int, sign: float = 1.0):
     """Same-bucket vectors with disjoint hot components: the first
@@ -56,7 +62,8 @@ def test_incremental_vector_drops(spark, index_path):
     r1 = dedup_vectors_against_index(
         spark, _df(spark, [(1, a), (2, b), (3, d)]), index_path
     )
-    assert r1["dropped_vs_index"] == [] and r1["dropped_in_batch"] == []
+    assert _ids(r1["dropped_vs_index"]) == [] == _ids(r1["dropped_in_batch"])
+    assert r1["n_dropped_vs_index"] == 0 == r1["n_dropped_in_batch"]
     assert r1["invalid"] == []
     assert sorted(
         r["vec_id"] for r in r1["survivors"].collect()
@@ -73,7 +80,7 @@ def test_incremental_vector_drops(spark, index_path):
         ]),
         index_path,
     )
-    assert r2["dropped_vs_index"] == [10]
+    assert _ids(r2["dropped_vs_index"]) == [10]
     assert r2["invalid"] == [12]
     assert [r["vec_id"] for r in r2["survivors"].collect()] == [11]
 
@@ -82,7 +89,7 @@ def test_incremental_vector_drops(spark, index_path):
     r3 = dedup_vectors_against_index(
         spark, _df(spark, [(20, h), (21, _near(h))]), index_path
     )
-    assert r3["dropped_in_batch"] == [21]
+    assert _ids(r3["dropped_in_batch"]) == [21]
     assert [r["vec_id"] for r in r3["survivors"].collect()] == [20]
 
     # the index holds exactly the accepted vectors — and a re-drop of
@@ -97,7 +104,7 @@ def test_incremental_vector_drops(spark, index_path):
         spark, _df(spark, [(30, _near(h, eps=0.02))]), index_path,
         update_index=False,
     )
-    assert r4["dropped_vs_index"] == [30]
+    assert _ids(r4["dropped_vs_index"]) == [30]
 
 
 def test_update_index_false_leaves_index(spark, index_path):

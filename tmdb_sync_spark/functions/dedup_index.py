@@ -326,7 +326,11 @@ def dedup_against_index(
                 probe_rows=sig.count() * N_BANDS,
             )
         else:
-            dropped_vs_index = spark.createDataFrame([], "doc_id long")
+            # empty frame built FROM the drop's schema, not a "doc_id
+            # long" literal — a caller with string doc ids would
+            # otherwise hit a union type mismatch only on the
+            # first-drop path (r8 review pass)
+            dropped_vs_index = new_docs.select("doc_id").limit(0)
 
         # Pin the matched ids via localCheckpoint — NOT persist():
         # Spark's CacheManager recaches path-dependent cached plans when

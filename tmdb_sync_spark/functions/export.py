@@ -137,6 +137,8 @@ def shard_expr(
     layout) or ``md5`` (first 8 hex chars parsed as an int — the
     cross-engine variant the driver oracle verifies, since DuckDB has
     no xxhash64; the registry's md5-only rule)."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"shard_expr: unknown hash_fn {hash_fn!r}")
     if hash_fn == "md5":
         return F.pmod(
             F.conv(
@@ -166,6 +168,8 @@ def order_expr(
     exported order is total either way. ``md5`` mode uses 13 hex chars
     (52 bits — exact in every engine's double path, under the 2^53
     canonicalization hazard)."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"order_expr: unknown hash_fn {hash_fn!r}")
     if hash_fn == "md5":
         return F.conv(
             F.substring(

@@ -462,8 +462,11 @@ def scaled_dup_bits(
 
     if n_vectors <= base_n:
         return base_bits
+    # cap at the embedding's usable sign planes: bits past DIM read
+    # try_element_at NULLs and fold to a constant '0' — they would
+    # lengthen every bucket key without splitting any bucket
     return min(
-        base_bits + int(round(math.log2(n_vectors / base_n))), 24
+        base_bits + int(round(math.log2(n_vectors / base_n))), DIM
     )
 
 

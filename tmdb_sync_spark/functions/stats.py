@@ -436,9 +436,17 @@ def _sweep_dead_stagings(path: str) -> None:
 
     now = _time.time()
     for e in os.listdir(path):
-        if not e.startswith("._staging-"):
+        if e.startswith("._tombstone-"):
+            # a crash between tombstone-temp write and its atomic
+            # replace leaves the temp behind; it is never read (only
+            # the replaced _compacted_drops.json is), so any dead-pid
+            # or aged one is pure litter (r8 review pass)
+            prefix = "._tombstone-"
+        elif e.startswith("._staging-"):
+            prefix = "._staging-"
+        else:
             continue
-        pid_s = e[len("._staging-"):].split("-", 1)[0]
+        pid_s = e[len(prefix):].split("-", 1)[0]
         alive = False
         if pid_s.isdigit():
             try:
@@ -455,7 +463,14 @@ def _sweep_dead_stagings(path: str) -> None:
                 continue
             if age <= STAGING_MAX_AGE_S:
                 continue
-        _shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+        full = os.path.join(path, e)
+        if os.path.isdir(full):
+            _shutil.rmtree(full, ignore_errors=True)
+        else:   # tombstone temps are plain files
+            try:
+                os.remove(full)
+            except OSError:
+                pass
 
 
 def _stage_and_publish(state: DataFrame, path: str) -> tuple[list, list]:

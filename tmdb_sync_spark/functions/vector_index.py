@@ -148,19 +148,26 @@ def dedup_vectors_against_index(
     """Filter a ``(vec_id, embedding)`` drop against the vector index.
 
     Returns ``{"survivors": DataFrame (of new_vecs rows),
-    "dropped_vs_index": [...], "dropped_in_batch": [...],
-    "invalid": [...], "zero_norm": [...]}``. ``invalid`` lists drop
-    vectors failing the validity contract (NULL / wrong DIM /
-    non-finite) — they neither merge nor index, the quantization
-    guard's policy surfaced rather than silently vanishing.
-    ``zero_norm`` lists structurally VALID vectors whose quantized norm
-    is 0 (r6 ADVICE: a zero vector satisfies the validity contract; it
-    just cannot cosine-match anything) — they SURVIVE, but are neither
-    probed nor indexed, since cosine is undefined for them and the
-    bucketed projection excludes them by construction. Within-drop
-    near-dups fold by the batch candidate machinery (skew-tiled bucket
-    self-pairs, exact cosine, greedy keep-smallest-id). All dropped
-    lists are bounded by the DROP size."""
+    "dropped_vs_index": DataFrame, "dropped_in_batch": DataFrame,
+    "n_dropped_vs_index": int, "n_dropped_in_batch": int,
+    "invalid": [...], "zero_norm": [...]}``. The dropped-id frames stay
+    DISTRIBUTED (r8, mirroring dedup_against_index's anti-join rewrite):
+    a vendor drop that is mostly duplicates never funnels matched ids
+    through the driver — they are pinned with an eager localCheckpoint
+    BEFORE the index append (persist would be recached against the
+    post-append listing; see dedup_index.py) and only the two counts
+    land driver-side. ``invalid`` lists drop vectors failing the
+    validity contract (NULL / wrong DIM / non-finite) — they neither
+    merge nor index, the quantization guard's policy surfaced rather
+    than silently vanishing. ``zero_norm`` lists structurally VALID
+    vectors whose quantized norm is 0 (r6 ADVICE: a zero vector
+    satisfies the validity contract; it just cannot cosine-match
+    anything) — they SURVIVE, but are neither probed nor indexed, since
+    cosine is undefined for them and the bucketed projection excludes
+    them by construction. Both stay collected lists: they are bounded
+    by ANOMALIES, not the drop. Within-drop near-dups fold by the batch
+    candidate machinery (skew-tiled bucket self-pairs, exact cosine,
+    greedy keep-smallest-id)."""
     from tmdb_sync_spark.functions.similarity import (
         _guarded_quant,
         _nrm_expr,
@@ -186,7 +193,6 @@ def dedup_vectors_against_index(
         zero_norm = sorted(r["vec_id"] for r in anomalies if r["nrm"] == 0)
         n_valid = b.count()
 
-        dropped_vs_index: set = set()
         if vector_index_exists(index_path):
             buckets = sorted(
                 r["bucket"]
@@ -195,13 +201,17 @@ def dedup_vectors_against_index(
             idx = spark.read.parquet(index_path).where(
                 F.col("bucket").isin(buckets)
             )
-            dropped_vs_index = {
-                r["vec_id"]
-                for r in vector_index_matches(
-                    idx, b, threshold, probe_rows=n_valid
-                ).collect()
-            }
+            dropped_vs_index = vector_index_matches(
+                idx, b, threshold, probe_rows=n_valid
+            ).select("vec_id").distinct()
+        else:
+            dropped_vs_index = new_vecs.select("vec_id").limit(0)
 
+        # localCheckpoint, NOT persist: the _append below writes the
+        # index path these frames' plans read — Spark would recache a
+        # persisted plan against the refreshed listing and the drop
+        # would match its own just-appended rows (dedup_index.py pin)
+        dropped_vs_index = dropped_vs_index.localCheckpoint(eager=True)
         pairs = tiled_self_pairs(
             b, "bucket", "vec_id",
             sym={
@@ -210,33 +220,36 @@ def dedup_vectors_against_index(
                 )
             },
         ).where(F.col("cos") >= threshold)
-        in_batch = {
-            r["d"]
-            for r in pairs.select(
+        dropped_in_batch = (
+            pairs.select(
                 F.greatest(
                     F.col("a.vec_id"), F.col("b.vec_id")
-                ).alias("d")
-            ).distinct().collect()
-        } - dropped_vs_index
-
-        all_dropped = dropped_vs_index | in_batch | set(invalid)
-        survivors = new_vecs
-        surviving_b = b
-        if all_dropped:
-            drop_df = F.broadcast(
-                spark.createDataFrame(
-                    [(i,) for i in sorted(all_dropped)], "vec_id long"
-                )
+                ).alias("vec_id")
             )
-            survivors = new_vecs.join(drop_df, "vec_id", "left_anti")
-            surviving_b = b.join(drop_df, "vec_id", "left_anti")
+            .distinct()
+            .join(dropped_vs_index, "vec_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_vs_index = dropped_vs_index.count()
+        n_in_batch = dropped_in_batch.count()
+
+        all_dropped = dropped_vs_index.unionByName(dropped_in_batch)
+        if invalid:
+            all_dropped = all_dropped.unionByName(
+                spark.createDataFrame([(i,) for i in invalid],
+                                      "vec_id long")
+            )
+        survivors = new_vecs.join(all_dropped, "vec_id", "left_anti")
+        surviving_b = b.join(all_dropped, "vec_id", "left_anti")
 
         if update_index:
             _append(index_path, surviving_b)
         return {
             "survivors": survivors,
-            "dropped_vs_index": sorted(dropped_vs_index),
-            "dropped_in_batch": sorted(in_batch),
+            "dropped_vs_index": dropped_vs_index,
+            "dropped_in_batch": dropped_in_batch,
+            "n_dropped_vs_index": n_vs_index,
+            "n_dropped_in_batch": n_in_batch,
             "invalid": invalid,
             "zero_norm": zero_norm,
         }
