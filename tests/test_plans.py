@@ -314,3 +314,49 @@ def test_new_trainer_ops_plan_shapes(spark, sf_dir):
         p = _plan(frame)
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_r8_registry_rotation_plan_shapes(spark, sf_dir):
+    """The four rotated-in registry queries keep their declared scale
+    shapes on the physical plan:
+
+    - chunk_documents: zero KEY exchange — the only Exchange allowed
+      is parallel_table's RoundRobin scan-spread (deliberate: a staged
+      parquet read-back coalesces to few splits); the operator itself
+      is a pure per-row flatMap — also pinned in test_chunking over a
+      plain table();
+    - export_shard_layout: exactly ONE exchange, and it is the RANGE
+      partitioning on shard (one writer task per shard value — hash
+      would collide ~1/e of shards into straggler tasks);
+    - corpus_report: ONE shuffle (Expand feeds a partial aggregate;
+      the exchange moves sketch state, never rows);
+    - repetition_stats: every aggregate is partial-then-final (map-side
+      combine before each exchange), and no join in the assembly is a
+      cartesian/BNLJ.
+    """
+    def key_exchanges(p: str) -> int:
+        # exchanges that SHUFFLE ON DATA (hash/range) — RoundRobin is
+        # parallel_table's scan-spread, not a data shuffle
+        return p.count("Exchange hashpartitioning") + p.count(
+            "Exchange rangepartitioning"
+        )
+
+    for name, want in (
+        ("chunk_documents", dict(exchanges=0)),
+        ("export_shard_layout", dict(exchanges=1, range_exchange=True)),
+        ("corpus_report", dict(exchanges=1)),
+    ):
+        p = plan_of(spark, sf_dir, name)
+        n = key_exchanges(p)
+        assert n == want["exchanges"], f"{name}: {n} key exchanges\n{p}"
+        if want.get("range_exchange"):
+            assert "Exchange rangepartitioning" in p, name
+
+    p = plan_of(spark, sf_dir, "repetition_stats")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # partial aggregation: HashAggregate pairs around each exchange —
+    # a final-only aggregate would ship raw exploded rows
+    assert p.count("HashAggregate") >= 2 * p.count(
+        "Exchange hashpartitioning"
+    )
