@@ -59,8 +59,9 @@ TEXT_QUERIES = [
     "dd_simhash_fingerprint", "dd_ngram_jaccard", "dd_cluster_components",
     "pipeline_curation",
     # r8 rotation: the new text-reading registry entries face the same
-    # hostile corpus (unicode classes, WS zoo, NULL/empty edges)
-    "chunk_documents", "repetition_stats",
+    # hostile corpus (unicode classes, WS zoo, NULL text/lang/size edges)
+    "chunk_documents", "repetition_stats", "corpus_report",
+    "export_shard_layout",
 ]
 
 
@@ -78,6 +79,13 @@ def hostile_sf(spark, sf_dir) -> str:
         if i % 5 == 0:   # near-dup twins exercise the LSH/jaccard paths
             rows.append((1000 + i, t + " near dup tail", "en", "hostile",
                          len(t) + 14))
+    # NULL edges for the rollup/profile/chunk paths: NULL text (chunks
+    # of nothing are nothing), NULL lang (a genuine NULL dim value vs
+    # the rolled-up level — grouping_id must disambiguate), NULL size
+    # (counted in n_docs, excluded from mass aggregates)
+    rows.append((2001, None, "en", "hostile", None))
+    rows.append((2002, "null lang doc", None, "hostile", 13))
+    rows.append((2003, "null size doc", "de", "hostile", None))
     con = duckdb.connect()
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
                 " source VARCHAR, n_chars BIGINT)")
