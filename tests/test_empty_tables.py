@@ -58,9 +58,14 @@ def empty_sf(spark) -> str:
     return d
 
 
-@pytest.mark.parametrize("name", sorted(E.queries()))
+from tmdb_sync_spark.registry import RETIRED_QUERIES  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "name", sorted({**E.queries(), **RETIRED_QUERIES})
+)
 def test_query_survives_empty_tables(spark, empty_sf, name):
-    fn = E.queries()[name]
+    fn = {**E.queries(), **RETIRED_QUERIES}[name]
     loud = LOUD_CONTRACTS.get(name)
     if loud is not None:
         with pytest.raises(loud):
