@@ -365,3 +365,95 @@ def test_second_feed_sharing_profile_path_is_not_swallowed(
     total = incremental_report(spark, prof, ()).collect()[0]
     assert total["n_docs"] == 5
     assert total["n_distinct_keys_approx"] == 5
+
+
+def test_full_chain_ingest_to_verified_shards(spark, tmp_path):
+    """The complete operational composition as a CI pin (the 1x/16x/64x
+    timing lives in scripts/exp_chain_ramp.py): jsonl drops -> ingest
+    (dead-letter + index dedup + MERGE + per-file profile drop) ->
+    quality_gate -> incremental profile report -> split + leakage audit
+    -> compact the profile -> export -> manifest-verified read-back.
+    Every stage's invariant holds on the composed artifact."""
+    import json as _json
+
+    from tmdb_sync_spark.functions.export import (
+        export_training_shards,
+        read_training_shards,
+    )
+    from tmdb_sync_spark.functions.leakage import (
+        leakage_rates,
+        split_leakage_audit,
+    )
+    from tmdb_sync_spark.functions.sampling import split_corpus
+    from tmdb_sync_spark.functions.stats import (
+        compact_profile_drops,
+        incremental_report,
+    )
+    from tmdb_sync_spark.functions.text import quality_gate
+    from tmdb_sync_spark.plans.partitioned import read_partitioned
+
+    src = os.path.join(str(tmp_path), "drops")
+    state = os.path.join(str(tmp_path), "state")
+    idx = os.path.join(str(tmp_path), "sig_index")
+    prof = os.path.join(str(tmp_path), "profile")
+    os.makedirs(src)
+
+    def words(tag, n=40):
+        return " ".join(f"{tag}w{j}" for j in range(n))
+
+    # two drops: 20 clean docs, 1 near-dup across drops, 1 boilerplate
+    # paste (the gate's prey), 1 corrupt line
+    with open(os.path.join(src, "d0.jsonl"), "w") as fh:
+        fh.write("\n".join(
+            [_doc(i, words(f"a{i}")) for i in range(10)]
+        ) + "\n")
+    with open(os.path.join(src, "d1.jsonl"), "w") as fh:
+        fh.write("\n".join(
+            [_doc(100 + i, words(f"b{i}")) for i in range(10)]
+            + [_doc(200, words("a3"))]            # near-dup of doc 3
+            + [_doc(201, "spam spam " * 60)]      # gate victim
+            + ["{torn"]                            # dead-letter
+        ) + "\n")
+
+    res = ingest_file_stream(
+        spark, src, DOC_DDL, state,
+        keys=["doc_id"], partition_col="lang",
+        dedup_index_path=idx, profile_path=prof,
+        profile_dims=("source", "lang"),
+    )
+    assert res["dead"] == 1
+    assert res["near_dups"] == 1                  # doc 200 vs doc 3
+    corpus = read_partitioned(spark, res["table_path"])
+    assert corpus.count() == 21                   # 20 clean + gate victim
+
+    g = quality_gate(corpus)
+    kept = g["kept"]
+    assert g["audit"]["n_kept"] == 20             # boilerplate dropped
+    assert kept.where(F.col("doc_id") == 201).count() == 0
+
+    # profile: 2 file-drops, exact columns match the table's arrivals
+    total = incremental_report(spark, prof, ()).collect()[0]
+    assert total["n_docs"] == 22                  # arrivals, pre-dedup
+    c = compact_profile_drops(spark, prof)
+    assert c["compacted"] and c["drops_before"] == 2
+    spark.catalog.refreshByPath(prof)
+    assert incremental_report(spark, prof, ()).collect()[0][
+        "n_docs"
+    ] == 22                                       # identical after fold
+
+    labeled = split_corpus(kept, weights={"train": 0.8, "val": 0.2})
+    leaks = split_leakage_audit(labeled, split_col="split")
+    # the cross-drop near-dup was already deduped at ingest; the clean
+    # corpus must audit clean
+    assert leaks.count() == 0
+    rates = {r["split"]: r for r in leakage_rates(labeled, leaks).collect()}
+    assert all(r["n_leaked"] == 0 for r in rates.values())
+
+    out = os.path.join(str(tmp_path), "train_v1")
+    train = labeled.where(F.col("split") == "train").drop("split")
+    m = export_training_shards(train, out, 3, tokens_col="n_chars")
+    back = read_training_shards(spark, out)
+    assert back.count() == m["total_rows"] == train.count()
+    assert back.join(kept, "doc_id", "left_anti").count() == 0
+    with open(os.path.join(out, "_export_manifest.json")) as fh:
+        assert _json.load(fh)["total_rows"] == m["total_rows"]
