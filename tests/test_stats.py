@@ -642,3 +642,47 @@ def test_compact_profile_drops_report_identical_and_replay_immune(
     assert incremental_report(spark, path, ()).collect()[0][
         "n_docs"
     ] == 2 * total_before["n_docs"]
+
+
+def test_mixed_dims_drop_refused(spark, sf_dir, tmp_path):
+    """A drop profiled at DIFFERENT dims than the store's is refused
+    loudly (r8 hostile-pass find): Spark's non-merging parquet read
+    fills the missing dim with NULL, so the same documents would count
+    once under their real dim value and once under a NULL masquerading
+    as a genuine NULL dim — n_docs 2x truth, silently. Also pins the
+    legacy path (store predating the schema record) via footer
+    adoption."""
+    from tmdb_sync_spark.functions.stats import (
+        _PROFILE_SCHEMA_NAME,
+        write_profile_drops,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "p")
+    write_profile_drop(profile_drop_state(docs, ("source", "lang")),
+                       path, "d0")
+    coarse = profile_drop_state(docs, ("source",))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_profile_drop(coarse, path, "d1")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_profile_drops(coarse.withColumn("drop", F.lit("d1")), path)
+    # same dims still flow
+    write_profile_drop(
+        profile_drop_state(
+            docs.where(F.col("doc_id") % 2 == 0), ("source", "lang")
+        ),
+        path, "d1",
+    )
+    total = incremental_report(spark, path, ()).collect()[0]
+    assert total["n_docs"] == docs.count() + docs.where(
+        F.col("doc_id") % 2 == 0
+    ).count()
+
+    # legacy store: no schema record on disk -> adopted from a drop's
+    # parquet footer, and the mismatch is still refused
+    import os as _os
+
+    _os.remove(_os.path.join(path, _PROFILE_SCHEMA_NAME))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_profile_drop(coarse, path, "d2")
+    assert _os.path.exists(_os.path.join(path, _PROFILE_SCHEMA_NAME))

@@ -473,13 +473,81 @@ def _sweep_dead_stagings(path: str) -> None:
                 pass
 
 
+# The store's column contract: every drop must carry the SAME dim
+# columns. Without this, a drop profiled at coarser dims silently
+# DOUBLE-COUNTS the corpus — Spark's non-merging parquet read fills the
+# missing dim with NULL, so the same documents surface once under their
+# real dim value and once under a NULL masquerading as a genuine NULL
+# dim (probed live in the r8 hostile pass: a ("source",) drop in a
+# ("source","lang") store reported n_docs 2× truth). The first write
+# records the schema (atomic rename); every later write validates.
+_PROFILE_SCHEMA_NAME = "_profile_schema.json"
+
+
+def _profile_columns(state: DataFrame) -> list:
+    return sorted(c for c in state.columns if c != "drop")
+
+
+def _check_profile_schema(path: str, state: DataFrame) -> None:
+    import json as _json
+
+    cols = _profile_columns(state)
+    f = os.path.join(path, _PROFILE_SCHEMA_NAME)
+    recorded = None
+    if os.path.exists(f):
+        with open(f) as fh:
+            recorded = _json.load(fh)["columns"]
+    elif any(
+        e.startswith("drop=")
+        for e in (os.listdir(path) if os.path.isdir(path) else [])
+    ):
+        # pre-schema-record store: adopt the existing drops' footer
+        import pyarrow.parquet as _pq
+
+        for e in sorted(os.listdir(path)):
+            if not e.startswith("drop="):
+                continue
+            d = os.path.join(path, e)
+            part = next(
+                (x for x in sorted(os.listdir(d))
+                 if x.endswith(".parquet")), None
+            )
+            if part:
+                recorded = sorted(
+                    _pq.read_schema(os.path.join(d, part)).names
+                )
+                break
+    if not os.path.exists(f):
+        # persist the contract (first write records its own columns; a
+        # legacy store records its adopted footer schema, so the footer
+        # read happens once, not per write). Temp shares the
+        # ._tombstone- prefix so an orphan from a crash between write
+        # and atomic replace is swept with the stagings.
+        tmp = os.path.join(
+            path, f"._tombstone-{os.getpid()}-{next(_PROFILE_SEQ)}"
+        )
+        with open(tmp, "w") as fh:
+            _json.dump({"columns": recorded or cols}, fh)
+        os.replace(tmp, f)
+    if recorded is not None and recorded != cols:
+        raise ValueError(
+            "profile store schema mismatch: this store's drops carry "
+            f"columns {recorded} but the new state has {cols} — a drop "
+            "profiled at different dims would double-count the corpus "
+            "under NULL dim values; rebuild the state with the store's "
+            "dims (or use a separate profile path)"
+        )
+
+
 def _stage_and_publish(state: DataFrame, path: str) -> tuple[list, list]:
     """Write ``state`` (carrying a ``drop`` column) to hidden staging,
     then atomically rename each complete ``drop=`` dir into ``path``.
     Returns (published ids, ids whose destination already existed —
     recorded by an earlier run between our existence check and
-    publish)."""
+    publish). Refuses a state whose dim columns differ from the
+    store's (see ``_check_profile_schema``)."""
     os.makedirs(path, exist_ok=True)
+    _check_profile_schema(path, state)
     _sweep_dead_stagings(path)
     tmp = os.path.join(
         path, f"._staging-{os.getpid()}-{next(_PROFILE_SEQ)}"
