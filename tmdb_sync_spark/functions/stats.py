@@ -494,9 +494,16 @@ def _check_profile_schema(path: str, state: DataFrame) -> None:
     cols = _profile_columns(state)
     f = os.path.join(path, _PROFILE_SCHEMA_NAME)
     recorded = None
+    rec_bpo = None
     if os.path.exists(f):
         with open(f) as fh:
-            recorded = _json.load(fh)["columns"]
+            rec = _json.load(fh)
+        recorded = rec["columns"]
+        # hist buckets are a code constant, not a knob — but a store
+        # OUTLIVES the code that wrote it, and merging histograms
+        # bucketed at different resolutions is silent garbage; a
+        # pre-contract record (no key) adopts the current value
+        rec_bpo = rec.get("hist_bpo", HIST_BPO)
     elif any(
         e.startswith("drop=")
         for e in (os.listdir(path) if os.path.isdir(path) else [])
@@ -527,7 +534,9 @@ def _check_profile_schema(path: str, state: DataFrame) -> None:
             path, f"._tombstone-{os.getpid()}-{next(_PROFILE_SEQ)}"
         )
         with open(tmp, "w") as fh:
-            _json.dump({"columns": recorded or cols}, fh)
+            _json.dump(
+                {"columns": recorded or cols, "hist_bpo": HIST_BPO}, fh
+            )
         os.replace(tmp, f)
     if recorded is not None and recorded != cols:
         raise ValueError(
@@ -536,6 +545,13 @@ def _check_profile_schema(path: str, state: DataFrame) -> None:
             "profiled at different dims would double-count the corpus "
             "under NULL dim values; rebuild the state with the store's "
             "dims (or use a separate profile path)"
+        )
+    if rec_bpo is not None and rec_bpo != HIST_BPO:
+        raise ValueError(
+            f"profile store histogram resolution mismatch: store was "
+            f"written at HIST_BPO={rec_bpo}, code now uses {HIST_BPO} — "
+            "merging differently-bucketed histograms is silent garbage; "
+            "compact/rebuild the store at the new resolution"
         )
 
 
