@@ -317,3 +317,49 @@ def test_mostly_duplicate_large_drop_stays_distributed(spark, index_path):
     assert sorted(
         x["doc_id"] for x in r["survivors"].collect()
     ) == [2000 + i for i in range(40)]
+
+
+def test_store_contract_refuses_mismatched_constants(spark, index_path, tmp_path):
+    """The 'store outlives the code' guard (r8 review sweep): an index
+    written under one key-space definition (bands, bucket modulus,
+    planes, dim, quantization) probed by code with different constants
+    would simply MISS — matches silently stop. Both indexes persist a
+    contract on first use and refuse a mismatch loudly."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pt
+
+    from tmdb_sync_spark.functions.vector_index import (
+        dedup_vectors_against_index,
+    )
+
+    d1 = _docs(spark, [(1, _text(1))])
+    dedup_against_index(spark, d1, index_path)
+    f = _os.path.join(index_path, "_store_contract.json")
+    assert _os.path.exists(f)
+    rec = _json.load(open(f))
+    assert rec["kind"] == "minhash_band_index"
+    # simulate an index written by code with a different band layout
+    rec["n_bands"] = rec["n_bands"] + 1
+    with open(f, "w") as fh:
+        _json.dump(rec, fh)
+    with _pt.raises(ValueError, match="store contract mismatch"):
+        dedup_against_index(spark, d1, index_path, update_index=False)
+
+    # vector twin
+    vidx = _os.path.join(str(tmp_path), "vidx")
+    from tmdb_sync_spark.functions.similarity import DIM
+
+    vecs = spark.createDataFrame(
+        [(1, [0.5] * DIM)], "vec_id long, embedding array<float>"
+    )
+    dedup_vectors_against_index(spark, vecs, vidx)
+    vf = _os.path.join(vidx, "_store_contract.json")
+    rec = _json.load(open(vf))
+    assert rec["kind"] == "sign_lsh_vector_index"
+    rec["dim"] = rec["dim"] + 1
+    with open(vf, "w") as fh:
+        _json.dump(rec, fh)
+    with _pt.raises(ValueError, match="store contract mismatch"):
+        dedup_vectors_against_index(spark, vecs, vidx, update_index=True)

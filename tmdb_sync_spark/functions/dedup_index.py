@@ -70,6 +70,23 @@ BROADCAST_PROBE_MAX_ROWS = 2_000_000
 _H = [f"h{i}" for i in range(N_HASHES)]
 
 
+def _check_contract(index_path: str, what: str) -> None:
+    """The constants that define this index's KEY SPACE — band layout
+    and bucket modulus. An index written under different values would
+    be probed with non-matching band keys / pruned on the wrong bb
+    partitions and silently MISS (r8 review sweep; same hazard class
+    as the profile store's dim-schema guard)."""
+    from tmdb_sync_spark.util import check_store_contract
+
+    check_store_contract(
+        index_path,
+        {"kind": "minhash_band_index", "n_hashes": N_HASHES,
+         "n_bands": N_BANDS, "n_index_buckets": N_INDEX_BUCKETS,
+         "shingle_tokens": 3, "digest": "md5-8hex"},
+        what,
+    )
+
+
 def _band_rows(sig: DataFrame) -> DataFrame:
     """Explode a signature frame to ``(band_key, doc_id, h*, bb)``."""
     band_cols = F.array(
@@ -152,6 +169,7 @@ def append_docs_to_index(
     merge loses the whole batch on replay: the docs match their own
     signatures and never reach the table — found by this round's
     crash-ordering review of the composed ingest.)"""
+    _check_contract(index_path, "append_docs_to_index")
     (
         # one file per touched bucket, not a sliver per shuffle
         # partition (see dedup_against_index)
@@ -195,6 +213,7 @@ def contamination_check(
             f"contamination_check: no signature index at {index_path!r}"
             " — build one with append_docs_to_index over the corpus"
         )
+    _check_contract(index_path, "contamination_check")
     bands = _band_rows(minhash_signature(eval_docs))
     bbs = sorted(
         r["bb"] for r in bands.select("bb").distinct().collect()
@@ -303,6 +322,7 @@ def dedup_against_index(
     ≥ ``min_equal`` of ``N_HASHES`` minhashes with ANY indexed doc is
     dropped; within the drop, the greedy keep-smallest-id rule breaks
     near-dup groups."""
+    _check_contract(index_path, "dedup_against_index")
     sig = minhash_signature(new_docs).cache()
     try:
         new_bands = _band_rows(sig)

@@ -42,7 +42,25 @@ from tmdb_sync_spark.functions.similarity import (
 )
 
 
+def _check_contract(index_path: str, what: str) -> None:
+    """The constants defining this index's key space: plane count
+    (bucket strings), embedding DIM, and the quantization scheme the
+    stored ``v``/``nrm`` were computed under. A store written under
+    different values would bucket-join on non-matching keys or compare
+    incompatible quantizations and silently MISS (r8 review sweep)."""
+    from tmdb_sync_spark.functions.similarity import DIM
+    from tmdb_sync_spark.util import check_store_contract
+
+    check_store_contract(
+        index_path,
+        {"kind": "sign_lsh_vector_index", "n_dup_bits": N_DUP_BITS,
+         "dim": DIM, "quant": "floor-x1000-long"},
+        what,
+    )
+
+
 def _append(index_path: str, bucketed: DataFrame) -> None:
+    _check_contract(index_path, "append_vectors_to_index")
     (
         bucketed.repartition("bucket")
         .write.mode("append")
@@ -168,6 +186,7 @@ def dedup_vectors_against_index(
     by ANOMALIES, not the drop. Within-drop near-dups fold by the batch
     candidate machinery (skew-tiled bucket self-pairs, exact cosine,
     greedy keep-smallest-id)."""
+    _check_contract(index_path, "dedup_vectors_against_index")
     from tmdb_sync_spark.functions.similarity import (
         _guarded_quant,
         _nrm_expr,

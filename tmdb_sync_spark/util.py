@@ -424,3 +424,38 @@ def reset_materialization_cache(kinds: tuple = ("staged", "model")) -> None:
     for kind, fn in _RESET_HOOKS:
         if kind in kinds:
             fn()
+
+
+def check_store_contract(path: str, expected: dict, what: str) -> None:
+    """Validate (or record, on first use) a persisted store's identity
+    constants — the guard for the "store outlives the code" hazard
+    (r8 review sweep): a signature index probed with different band
+    definitions, or a bucket layout read with a different modulus,
+    MISSES silently — matches just stop happening, which no schema
+    check catches. The contract file (``_store_contract.json``) is
+    written by atomic rename on first use and every later use must
+    present identical constants, or this raises.
+
+    Call with the constants that define the store's key space (hash
+    counts, band counts, bucket moduli, dims, quantization ids) —
+    NEVER tunables that only affect the current query.
+    """
+    import json as _json
+
+    os.makedirs(path, exist_ok=True)
+    f = os.path.join(path, "_store_contract.json")
+    if os.path.exists(f):
+        with open(f) as fh:
+            rec = _json.load(fh)
+        if rec != expected:
+            raise ValueError(
+                f"{what}: store contract mismatch at {path!r} — written "
+                f"with {rec}, code now uses {expected}; probing would "
+                "silently miss (rebuild the store or run the matching "
+                "code version)"
+            )
+        return
+    tmp = f + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump(expected, fh, sort_keys=True)
+    os.replace(tmp, f)
