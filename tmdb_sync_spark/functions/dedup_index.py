@@ -379,9 +379,18 @@ def dedup_against_index(
         n_vs_index = dropped_vs_index.count()
         n_in_batch = dropped_in_batch.count()
 
-        all_dropped = dropped_vs_index.unionByName(dropped_in_batch)
-        survivors = new_docs.join(all_dropped, "doc_id", "left_anti")
-        surviving_sig = sig.join(all_dropped, "doc_id", "left_anti")
+        if n_vs_index + n_in_batch == 0:
+            # nothing dropped — the COMMON case for a clean drop; skip
+            # the anti-joins entirely (the r8 rewrite's first version
+            # joined unconditionally and the ingest-throughput ramp
+            # read +60% on the index path from the extra per-batch
+            # stages alone — measured, fixed, re-measured)
+            survivors = new_docs
+            surviving_sig = sig
+        else:
+            all_dropped = dropped_vs_index.unionByName(dropped_in_batch)
+            survivors = new_docs.join(all_dropped, "doc_id", "left_anti")
+            surviving_sig = sig.join(all_dropped, "doc_id", "left_anti")
 
         if update_index:
             (

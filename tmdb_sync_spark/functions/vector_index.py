@@ -252,14 +252,21 @@ def dedup_vectors_against_index(
         n_vs_index = dropped_vs_index.count()
         n_in_batch = dropped_in_batch.count()
 
-        all_dropped = dropped_vs_index.unionByName(dropped_in_batch)
-        if invalid:
-            all_dropped = all_dropped.unionByName(
-                spark.createDataFrame([(i,) for i in invalid],
-                                      "vec_id long")
-            )
-        survivors = new_vecs.join(all_dropped, "vec_id", "left_anti")
-        surviving_b = b.join(all_dropped, "vec_id", "left_anti")
+        if n_vs_index + n_in_batch + len(invalid) == 0:
+            # nothing dropped — skip the anti-joins (the clean-drop
+            # fast path; see dedup_index.py's measured note). b already
+            # excludes invalid/zero-norm rows by construction.
+            survivors = new_vecs
+            surviving_b = b
+        else:
+            all_dropped = dropped_vs_index.unionByName(dropped_in_batch)
+            if invalid:
+                all_dropped = all_dropped.unionByName(
+                    spark.createDataFrame([(i,) for i in invalid],
+                                          "vec_id long")
+                )
+            survivors = new_vecs.join(all_dropped, "vec_id", "left_anti")
+            surviving_b = b.join(all_dropped, "vec_id", "left_anti")
 
         if update_index:
             _append(index_path, surviving_b)
