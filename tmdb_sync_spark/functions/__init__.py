@@ -11,6 +11,7 @@ from tmdb_sync_spark.functions import (  # noqa: F401
     dedup_index,
     export,
     multimodal,
+    normalize,
     pipeline,
     sampling,
     similarity,
