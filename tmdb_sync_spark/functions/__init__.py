@@ -9,6 +9,7 @@ from tmdb_sync_spark.functions import (  # noqa: F401
     chunking,
     dedup,
     dedup_index,
+    diff,
     export,
     multimodal,
     normalize,
