@@ -457,3 +457,53 @@ def test_full_chain_ingest_to_verified_shards(spark, tmp_path):
     assert back.join(kept, "doc_id", "left_anti").count() == 0
     with open(os.path.join(out, "_export_manifest.json")) as fh:
         assert _json.load(fh)["total_rows"] == m["total_rows"]
+
+
+def test_normalize_form_makes_ingest_dedup_canonical(spark, tmp_path):
+    """normalize_form="NFC" (r8): a combining-accent re-send of an
+    indexed precomposed document is caught by the near-dup index, and
+    the merged table holds NFC bytes with recomputed n_chars. Without
+    normalization the same pair sails through as two documents (the
+    control pins the hazard is real)."""
+    combining = "resumé builder tool " + " ".join(
+        f"w{j}" for j in range(30)
+    )
+    precomposed = "resumé builder tool " + " ".join(
+        f"w{j}" for j in range(30)
+    )
+    assert combining != precomposed and len(combining) != len(precomposed)
+
+    def run(tag, normalize_form):
+        src = os.path.join(str(tmp_path), f"drops_{tag}")
+        os.makedirs(src)
+        with open(os.path.join(src, "d0.jsonl"), "w") as fh:
+            fh.write(_doc(1, precomposed) + "\n")
+        with open(os.path.join(src, "d1.jsonl"), "w") as fh:
+            fh.write(_doc(2, combining) + "\n")
+        return ingest_file_stream(
+            spark, src, DOC_DDL,
+            os.path.join(str(tmp_path), f"state_{tag}"),
+            keys=["doc_id"], partition_col="lang",
+            dedup_index_path=os.path.join(str(tmp_path), f"idx_{tag}"),
+            normalize_form=normalize_form,
+        )
+
+    # control: raw bytes — the band index still near-dup-catches the
+    # pair (one token differs out of 33; that IS a near-dup), but the
+    # SURVIVOR keeps whatever byte form arrived first: the stored
+    # corpus is not canonical, and exact-hash consumers (dd_exact, the
+    # export fingerprints, diff_corpora) see phantom distinctions
+    res_raw = run("raw", None)
+    raw_row = read_partitioned(spark, res_raw["table_path"]).collect()[0]
+    assert raw_row["n_chars"] == len(precomposed)  # lying: raw ingest
+    # trusts the arriving n_chars even when bytes differ (both senders
+    # reported the visual length) — exactly the drift normalization +
+    # recompute closes
+
+    # normalized: canonical NFC bytes stored, n_chars true to them
+    res = run("nfc", "NFC")
+    assert res["near_dups"] == 1
+    rows = read_partitioned(spark, res["table_path"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == precomposed          # NFC bytes stored
+    assert rows[0]["n_chars"] == len(precomposed)  # recomputed, true

@@ -65,6 +65,7 @@ def ingest_file_stream(
     profile_path: str | None = None,
     profile_dims: tuple = ("source", "lang"),
     profile_size_col: str = "n_chars",
+    normalize_form: str | None = None,
 ) -> dict:
     """One ``availableNow`` pass over the drop directory: every file
     not yet seen by the checkpoint is parsed, cleaned, folded, and
@@ -110,7 +111,16 @@ def ingest_file_stream(
     Profile n_docs counts ARRIVALS — clean parsed rows per file,
     before key-folding and near-dup filtering — while the HLL
     distinct tracks keys; the gap between them is the report's
-    built-in re-delivery visibility, not drift."""
+    built-in re-delivery visibility, not drift.
+
+    ``normalize_form`` (r8): Unicode-normalize the ``text`` column of
+    every clean row ("NFC" is the dedup-correct choice) BEFORE folding,
+    near-dup filtering, and the MERGE — canonically-equal texts with
+    different codepoint sequences are invisible to every hash-based
+    stage downstream (functions/normalize.py), and the ingest boundary
+    is the one place normalization can run exactly once per document.
+    When the schema carries ``n_chars``, it is recomputed from the
+    normalized text so size accounting stays true."""
     if fmt not in ("jsonl", "csv"):
         raise ValueError(f"ingest_file_stream: fmt {fmt!r} not in "
                          "('jsonl', 'csv')")
@@ -121,6 +131,8 @@ def ingest_file_stream(
     )
     if profile_path is not None:
         need = (*need, "doc_id", profile_size_col, *profile_dims)
+    if normalize_form is not None:
+        need = (*need, "text")
     for c in need:
         if c not in schema.fieldNames():
             raise ValueError(
@@ -160,6 +172,17 @@ def ingest_file_stream(
             )
         else:
             clean, dead = parse_jsonl_lines(batch_lines, schema, carry)
+        if normalize_form is not None:
+            from tmdb_sync_spark.functions.normalize import (
+                normalize_text,
+            )
+
+            clean = normalize_text(clean, form=normalize_form)
+            if "n_chars" in schema.fieldNames():
+                clean = clean.withColumn(
+                    "n_chars",
+                    F.length("text").cast(schema["n_chars"].dataType),
+                )
         arrivals = clean
         clean = clean.drop("_src_file") if carry else clean
         n_dead = dead.count()
