@@ -124,15 +124,6 @@ def main() -> None:
         for _ in range(100):
             h.update(b)
 
-    _hash_unit()
-    t0 = time.perf_counter()
-    _hash_unit()
-    cpu_floor_1t = round(time.perf_counter() - t0, 3)
-    with ThreadPoolExecutor(32) as ex:
-        t0 = time.perf_counter()
-        list(ex.map(_hash_unit, range(32)))
-        cpu_floor_32t = round(time.perf_counter() - t0, 3)
-
     # Contention self-label (r7 verdict #4): BENCH_r07 recorded a 25.9 s
     # suite that was really an 18.1 s suite on a 3× degraded host, and a
     # reader had to cross-reference COVERAGE.md to learn that. The bench
@@ -147,10 +138,24 @@ def main() -> None:
     # stored absolute) — an ATTRIBUTION AID for round-over-round reads
     # on unequal hosts, not a measurement (suite time is not 100%
     # cpu-floor-bound, so it UNDERestimates the healthy-host time).
+    # The pair is sampled BEFORE and AFTER the timed suite and the
+    # WORSE sample decides the flag: a run that starts healthy and
+    # degrades mid-suite (seen live in r8 — one query's warm median
+    # tripled while the start floor read clean) self-labels too.
     HEALTHY_RATIO_32T = 4.0   # JVM-alive band midpoint
-    floor_ratio = cpu_floor_32t / max(cpu_floor_1t, 1e-9)
-    contended = floor_ratio > 6.0
-    HEALTHY_CPU_FLOOR_32T = HEALTHY_RATIO_32T * cpu_floor_1t
+
+    def _floor_pair() -> tuple[float, float]:
+        _hash_unit()
+        t0 = time.perf_counter()
+        _hash_unit()
+        f1 = time.perf_counter() - t0
+        with ThreadPoolExecutor(32) as ex2:
+            t0 = time.perf_counter()
+            list(ex2.map(_hash_unit, range(32)))
+            f32 = time.perf_counter() - t0
+        return round(f1, 3), round(f32, 3)
+
+    cpu_floor_1t, cpu_floor_32t = _floor_pair()
 
     # Input-corpus fingerprint: parquet count() is footer-metadata-only,
     # so this costs ~one job per table, not a data scan.
@@ -197,6 +202,15 @@ def main() -> None:
         warm_all[name] = [round(r, 3) for r in runs[1:]]
     spark.catalog.clearCache()
 
+    cpu_floor_1t_end, cpu_floor_32t_end = _floor_pair()
+    ratio_start = cpu_floor_32t / max(cpu_floor_1t, 1e-9)
+    ratio_end = cpu_floor_32t_end / max(cpu_floor_1t_end, 1e-9)
+    contended = max(ratio_start, ratio_end) > 6.0
+    worst_32t = max(cpu_floor_32t, cpu_floor_32t_end)
+    HEALTHY_CPU_FLOOR_32T = HEALTHY_RATIO_32T * min(
+        cpu_floor_1t, cpu_floor_1t_end
+    )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full forensic detail (per-rep warm runs, cold runs, input-table row
@@ -230,10 +244,11 @@ def main() -> None:
             "machine_floor_sec": machine_floor,
             "cpu_floor_1t": cpu_floor_1t,
             "cpu_floor_32t": cpu_floor_32t,
+            "cpu_floor_32t_end": cpu_floor_32t_end,
             "contended": contended,
             "value_floor_norm": round(
                 sum(warm.values())
-                * min(1.0, HEALTHY_CPU_FLOOR_32T / max(cpu_floor_32t, 1e-9)),
+                * min(1.0, HEALTHY_CPU_FLOOR_32T / max(worst_32t, 1e-9)),
                 2,
             ),
             "warm_reps": reps - 1,
