@@ -273,8 +273,11 @@ def test_survivors_stable_after_index_append(spark, index_path):
     """The anti-join rewrite (r8) made survivors LAZY; evaluating them
     AFTER update_index appended the drop's own band rows must not make
     them match their own signatures and vanish. The dropped frames are
-    pinned (persist + count) before the append — this is the regression
-    that would silently empty every ingest batch."""
+    pinned with localCheckpoint before the append (persist would be
+    RECACHED against the post-append file listing — CacheManager
+    recaches path-dependent plans on write, which is exactly the bug) —
+    this is the regression that would silently empty every ingest
+    batch."""
     d1 = _docs(spark, [(i, _text(i)) for i in (1, 2, 3)])
     dedup_against_index(spark, d1, index_path)
 
@@ -363,3 +366,36 @@ def test_store_contract_refuses_mismatched_constants(spark, index_path, tmp_path
         _json.dump(rec, fh)
     with _pt.raises(ValueError, match="store contract mismatch"):
         dedup_vectors_against_index(spark, vecs, vidx, update_index=True)
+
+
+def test_readonly_probe_records_no_contract(spark, tmp_path):
+    """Read paths must not pin a store that was never built (r8
+    advice): a probe by one code version creating _store_contract.json
+    on an EMPTY path would refuse a later builder with different
+    (legitimate) constants. update_index=False against a nonexistent
+    index leaves no directory and no contract; the first WRITE
+    (update_index=True / append) records it."""
+    import os as _os
+
+    from tmdb_sync_spark.functions.similarity import DIM
+    from tmdb_sync_spark.functions.vector_index import (
+        dedup_vectors_against_index,
+    )
+
+    path = _os.path.join(str(tmp_path), "never_built")
+    d = _docs(spark, [(1, _text(1))])
+    r = dedup_against_index(spark, d, path, update_index=False)
+    assert [x["doc_id"] for x in r["survivors"].collect()] == [1]
+    assert not _os.path.exists(path)
+
+    vpath = _os.path.join(str(tmp_path), "never_built_vec")
+    vecs = spark.createDataFrame(
+        [(1, [0.5] * DIM)], "vec_id long, embedding array<float>"
+    )
+    rv = dedup_vectors_against_index(spark, vecs, vpath, update_index=False)
+    assert [x["vec_id"] for x in rv["survivors"].collect()] == [1]
+    assert not _os.path.exists(vpath)
+
+    # the write path still records on first use
+    dedup_against_index(spark, d, path)
+    assert _os.path.exists(_os.path.join(path, "_store_contract.json"))

@@ -725,3 +725,22 @@ def test_mix_by_tokens_remainder_independent_across_sources(spark):
     inter = len(kept["a"] & kept["b"])
     assert inter < 0.7 * min(len(kept["a"]), len(kept["b"])), (
         inter, len(kept["a"]), len(kept["b"]))
+
+
+def test_export_staging_sweep_nested_write_is_a_heartbeat(spark, docs, tmp_path):
+    """Same nested-heartbeat contract as the profile store's sweep: a
+    live-pid staging whose top-level mtime is a day old but whose
+    nested task dir has a fresh part file is an in-flight write and
+    must be spared (r8 advice; util.newest_tree_mtime)."""
+    import time as _time
+
+    out = str(tmp_path / "out")
+    live = f"{out}._staging-{os.getpid()}-777"
+    task = os.path.join(live, "_temporary", "task-7")
+    os.makedirs(task)
+    with open(os.path.join(task, "part-7.parquet"), "w") as fh:
+        fh.write("x")
+    old = _time.time() - 25 * 3600
+    os.utime(live, (old, old))
+    export_training_shards(docs, out, 2)
+    assert os.path.exists(live)

@@ -686,3 +686,36 @@ def test_mixed_dims_drop_refused(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="schema mismatch"):
         write_profile_drop(coarse, path, "d2")
     assert _os.path.exists(_os.path.join(path, _PROFILE_SCHEMA_NAME))
+
+
+def test_staging_sweep_nested_write_is_a_heartbeat(spark, tmp_path):
+    """A live writer streaming part files into a NESTED task dir never
+    touches the top-level staging mtime (dir mtime changes only on
+    direct-child adds) — the age backstop must read the newest mtime in
+    the whole tree, or it rmtrees a live slow write mid-flight with
+    ignore_errors masking the loss (r8 advice)."""
+    import os as _os
+    import time as _time
+
+    from tmdb_sync_spark.functions.export import STAGING_MAX_AGE_S
+    from tmdb_sync_spark.functions.stats import _sweep_dead_stagings
+
+    path = str(tmp_path / "p")
+    live = _os.path.join(path, f"._staging-{_os.getpid()}-0")
+    task = _os.path.join(live, "_temporary", "task-0")
+    _os.makedirs(task)
+    with open(_os.path.join(task, "part-0.parquet"), "w") as fh:
+        fh.write("x")   # fresh nested write = heartbeat
+    old = _time.time() - STAGING_MAX_AGE_S - 60
+    _os.utime(live, (old, old))   # top level looks a day stale
+
+    _sweep_dead_stagings(path)
+    assert _os.path.exists(live)   # nested heartbeat spared it
+
+    # and with the heartbeat also aged out, the backstop still fires
+    for root, dirs, files in _os.walk(live):
+        for n in dirs + files:
+            _os.utime(_os.path.join(root, n), (old, old))
+    _os.utime(live, (old, old))
+    _sweep_dead_stagings(path)
+    assert not _os.path.exists(live)

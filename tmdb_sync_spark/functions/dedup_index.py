@@ -70,7 +70,7 @@ BROADCAST_PROBE_MAX_ROWS = 2_000_000
 _H = [f"h{i}" for i in range(N_HASHES)]
 
 
-def _check_contract(index_path: str, what: str) -> None:
+def _check_contract(index_path: str, what: str, record: bool = True) -> None:
     """The constants that define this index's KEY SPACE — band layout
     and bucket modulus. An index written under different values would
     be probed with non-matching band keys / pruned on the wrong bb
@@ -84,6 +84,7 @@ def _check_contract(index_path: str, what: str) -> None:
          "n_bands": N_BANDS, "n_index_buckets": N_INDEX_BUCKETS,
          "shingle_tokens": 3, "digest": "md5-8hex"},
         what,
+        record=record,
     )
 
 
@@ -213,7 +214,9 @@ def contamination_check(
             f"contamination_check: no signature index at {index_path!r}"
             " — build one with append_docs_to_index over the corpus"
         )
-    _check_contract(index_path, "contamination_check")
+    # record=False: a contamination scan is a READ — it must not pin
+    # key-space constants on (or even create) a store it didn't build.
+    _check_contract(index_path, "contamination_check", record=False)
     bands = _band_rows(minhash_signature(eval_docs))
     bbs = sorted(
         r["bb"] for r in bands.select("bb").distinct().collect()
@@ -310,19 +313,27 @@ def dedup_against_index(
     matched ids through the driver — the r7 verdict's one remaining
     collect-shaped residue, fixed the same way as
     ``dedup_vectors_against_index`` (anti-join, O(1) driver). Only the
-    two COUNTS land on the driver. The dropped frames are pinned with
-    an eager ``localCheckpoint`` BEFORE the index append, so the
-    returned ``survivors`` — lazy by design — never re-read an index
-    that already contains the drop's own surviving signatures (persist
-    would NOT do: Spark recaches path-dependent plans on write, against
-    the refreshed listing). Checkpoint blocks are freed by Spark's
-    ContextCleaner when the returned handles are garbage-collected.
+    two COUNTS land on the driver. The dropped frames are pinned BEFORE
+    the index append, so the returned ``survivors`` — lazy by design —
+    never re-read an index that already contains the drop's own
+    surviving signatures (persist would NOT do: Spark recaches
+    path-dependent plans on write, against the refreshed listing). Pin
+    strength follows the path (r8 advice): ``update_index=True`` pins
+    to scratch parquet so the returned frames also survive executor
+    loss (checkpoint blocks don't); ``update_index=False`` — the
+    composed ingest's append-after-commit protocol — uses the cheaper
+    eager ``localCheckpoint``, whose blocks the ContextCleaner frees
+    when the returned handles are garbage-collected.
 
     Policy mirrors the curation pipeline exactly: a new doc sharing
     ≥ ``min_equal`` of ``N_HASHES`` minhashes with ANY indexed doc is
     dropped; within the drop, the greedy keep-smallest-id rule breaks
     near-dup groups."""
-    _check_contract(index_path, "dedup_against_index")
+    # Read-only probes (update_index=False) must not record a contract
+    # for a store that was never built (r8 advice) — recording happens
+    # on the write path only (here with update_index, or in
+    # append_docs_to_index for the append-after-commit composition).
+    _check_contract(index_path, "dedup_against_index", record=update_index)
     sig = minhash_signature(new_docs).cache()
     try:
         new_bands = _band_rows(sig)
@@ -352,27 +363,50 @@ def dedup_against_index(
             # first-drop path (r8 review pass)
             dropped_vs_index = new_docs.select("doc_id").limit(0)
 
-        # Pin the matched ids via localCheckpoint — NOT persist():
-        # Spark's CacheManager recaches path-dependent cached plans when
-        # the path is written, so a persisted frame would be RECOMPUTED
+        # Pin the matched ids — NOT with persist(): Spark's
+        # CacheManager recaches path-dependent cached plans when the
+        # path is written, so a persisted frame would be RECOMPUTED
         # against the post-append file listing and match the drop's own
-        # signatures (found live by the survivors-stability pin).
-        # localCheckpoint truncates the lineage to materialized blocks:
-        # executor-distributed (never a driver list — the r7 funnel),
-        # immutable under the append below. Caveat: checkpoint blocks
-        # die with executors; on a real cluster the composed ingest
-        # (streaming/file_ingest.py) sidesteps this entirely by running
-        # update_index=False and appending after its own merge commit.
-        dropped_vs_index = dropped_vs_index.localCheckpoint(eager=True)
+        # signatures (found live by the survivors-stability pin). Two
+        # pin strengths by path (r8 advice):
+        # - update_index=True appends INSIDE this call, and the caller
+        #   acts on the returned frames afterwards — pin to scratch
+        #   PARQUET (durable storage), because localCheckpoint blocks
+        #   die with executors: on a real cluster a lost block makes a
+        #   post-append action on the truncated-lineage frames fail
+        #   unrecoverably, while a parquet-backed frame just re-reads.
+        #   The id frames are single-column and drop-sized — the write
+        #   is cheap relative to the append it accompanies.
+        # - update_index=False (the composed ingest's append-after-
+        #   commit protocol, streaming/file_ingest.py) does no same-
+        #   path write here; localCheckpoint is the cheaper pin
+        #   (executor-distributed blocks, never a driver list — the r7
+        #   funnel) and the caller's own commit machinery evaluates the
+        #   frames before its later append.
+        if update_index:
+            from tmdb_sync_spark.util import scratch_dir
+
+            pin_base = scratch_dir("dedup-dropped-")
+
+            def _pin(df: DataFrame, name: str) -> DataFrame:
+                p = os.path.join(pin_base, name)
+                df.write.mode("overwrite").parquet(p)
+                return spark.read.parquet(p)
+
+        else:
+            def _pin(df: DataFrame, name: str) -> DataFrame:
+                return df.localCheckpoint(eager=True)
+
+        dropped_vs_index = _pin(dropped_vs_index, "vs_index")
         # within-drop near-dups: batch machinery, greedy keep-first;
         # ids already dropped vs the index are not double-listed
-        dropped_in_batch = (
+        dropped_in_batch = _pin(
             banded_pairs_with_overlap(sig)
             .where(F.col("n_equal_hashes") >= min_equal)
             .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
             .distinct()
-            .join(dropped_vs_index, "doc_id", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(dropped_vs_index, "doc_id", "left_anti"),
+            "in_batch",
         )
         # the counts are the only driver-side values (two ints,
         # whatever the drop size) — cheap aggregates over the blocks

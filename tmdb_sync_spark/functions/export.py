@@ -114,8 +114,14 @@ def _stale_stagings(base: str) -> list:
         tail = d[len(base + "._staging-"):]
         pid_s = tail.split("-", 1)[0]
         if pid_s.isdigit() and _pid_alive(int(pid_s)):
+            # age of the NEWEST entry in the tree, not the top dir:
+            # nested task-dir writes don't touch the top-level mtime,
+            # and sweeping a live slow writer on that would kill its
+            # export mid-job (r8 advice; shared fix with stats.py)
+            from tmdb_sync_spark.util import newest_tree_mtime
+
             try:
-                age = now - os.path.getmtime(d)
+                age = now - newest_tree_mtime(d)
             except OSError:
                 continue
             if age <= STAGING_MAX_AGE_S:

@@ -457,11 +457,21 @@ def _sweep_dead_stagings(path: str) -> None:
             except PermissionError:
                 alive = True
         if alive:
+            # Age of the NEWEST entry anywhere in the staging tree, not
+            # the top-level dir: directory mtime only changes when a
+            # DIRECT child is added, so a live writer streaming part
+            # files into a nested task dir keeps the top-level mtime
+            # frozen while it works — sweeping on that would delete a
+            # live write mid-flight with rmtree(ignore_errors) masking
+            # the loss (r8 advice). Any write activity in the tree
+            # counts as a heartbeat.
+            from tmdb_sync_spark.util import newest_tree_mtime
+
             try:
-                age = now - os.path.getmtime(os.path.join(path, e))
+                newest = newest_tree_mtime(os.path.join(path, e))
             except OSError:
                 continue
-            if age <= STAGING_MAX_AGE_S:
+            if now - newest <= STAGING_MAX_AGE_S:
                 continue
         full = os.path.join(path, e)
         if os.path.isdir(full):

@@ -42,7 +42,7 @@ from tmdb_sync_spark.functions.similarity import (
 )
 
 
-def _check_contract(index_path: str, what: str) -> None:
+def _check_contract(index_path: str, what: str, record: bool = True) -> None:
     """The constants defining this index's key space: plane count
     (bucket strings), embedding DIM, and the quantization scheme the
     stored ``v``/``nrm`` were computed under. A store written under
@@ -56,6 +56,7 @@ def _check_contract(index_path: str, what: str) -> None:
         {"kind": "sign_lsh_vector_index", "n_dup_bits": N_DUP_BITS,
          "dim": DIM, "quant": "floor-x1000-long"},
         what,
+        record=record,
     )
 
 
@@ -171,10 +172,11 @@ def dedup_vectors_against_index(
     "invalid": [...], "zero_norm": [...]}``. The dropped-id frames stay
     DISTRIBUTED (r8, mirroring dedup_against_index's anti-join rewrite):
     a vendor drop that is mostly duplicates never funnels matched ids
-    through the driver — they are pinned with an eager localCheckpoint
-    BEFORE the index append (persist would be recached against the
-    post-append listing; see dedup_index.py) and only the two counts
-    land driver-side. ``invalid`` lists drop vectors failing the
+    through the driver — they are pinned BEFORE the index append
+    (scratch parquet when ``update_index`` so the returned frames
+    survive executor loss; eager localCheckpoint otherwise — persist
+    would be recached against the post-append listing; see
+    dedup_index.py) and only the two counts land driver-side. ``invalid`` lists drop vectors failing the
     validity contract (NULL / wrong DIM / non-finite) — they neither
     merge nor index, the quantization guard's policy surfaced rather
     than silently vanishing. ``zero_norm`` lists structurally VALID
@@ -186,7 +188,12 @@ def dedup_vectors_against_index(
     by ANOMALIES, not the drop. Within-drop near-dups fold by the batch
     candidate machinery (skew-tiled bucket self-pairs, exact cosine,
     greedy keep-smallest-id)."""
-    _check_contract(index_path, "dedup_vectors_against_index")
+    # Contract recorded only on the write path (r8 advice): a probe
+    # with update_index=False neither creates the store dir nor pins
+    # constants for an index that was never built.
+    _check_contract(
+        index_path, "dedup_vectors_against_index", record=update_index
+    )
     from tmdb_sync_spark.functions.similarity import (
         _guarded_quant,
         _nrm_expr,
@@ -226,11 +233,31 @@ def dedup_vectors_against_index(
         else:
             dropped_vs_index = new_vecs.select("vec_id").limit(0)
 
-        # localCheckpoint, NOT persist: the _append below writes the
-        # index path these frames' plans read — Spark would recache a
-        # persisted plan against the refreshed listing and the drop
-        # would match its own just-appended rows (dedup_index.py pin)
-        dropped_vs_index = dropped_vs_index.localCheckpoint(eager=True)
+        # Pin strength by path (r8 advice, mirroring dedup_index.py):
+        # update_index=True appends inside this call, so the returned
+        # frames must survive executor loss — scratch PARQUET pin
+        # (localCheckpoint blocks die with executors and the truncated
+        # lineage can't recompute). update_index=False (append-after-
+        # commit protocol) keeps the cheaper localCheckpoint. Never
+        # persist: the _append below writes the index path these
+        # frames' plans read — Spark would recache a persisted plan
+        # against the refreshed listing and the drop would match its
+        # own just-appended rows (dedup_index.py pin).
+        if update_index:
+            from tmdb_sync_spark.util import scratch_dir
+
+            pin_base = scratch_dir("vecdedup-dropped-")
+
+            def _pin(df: DataFrame, name: str) -> DataFrame:
+                p = os.path.join(pin_base, name)
+                df.write.mode("overwrite").parquet(p)
+                return spark.read.parquet(p)
+
+        else:
+            def _pin(df: DataFrame, name: str) -> DataFrame:
+                return df.localCheckpoint(eager=True)
+
+        dropped_vs_index = _pin(dropped_vs_index, "vs_index")
         pairs = tiled_self_pairs(
             b, "bucket", "vec_id",
             sym={
@@ -239,15 +266,15 @@ def dedup_vectors_against_index(
                 )
             },
         ).where(F.col("cos") >= threshold)
-        dropped_in_batch = (
+        dropped_in_batch = _pin(
             pairs.select(
                 F.greatest(
                     F.col("a.vec_id"), F.col("b.vec_id")
                 ).alias("vec_id")
             )
             .distinct()
-            .join(dropped_vs_index, "vec_id", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(dropped_vs_index, "vec_id", "left_anti"),
+            "in_batch",
         )
         n_vs_index = dropped_vs_index.count()
         n_in_batch = dropped_in_batch.count()

@@ -426,7 +426,33 @@ def reset_materialization_cache(kinds: tuple = ("staged", "model")) -> None:
             fn()
 
 
-def check_store_contract(path: str, expected: dict, what: str) -> None:
+def newest_tree_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` — the path itself, every
+    nested dir, every file. The LIVENESS signal for staging-dir sweeps:
+    a directory's own mtime only changes when a DIRECT child is added,
+    so a live writer streaming part files into a nested task dir looks
+    frozen at the top level; any write anywhere in the tree must count
+    as a heartbeat before an age-based sweep may rmtree it (r8 advice).
+    Raises OSError if ``path`` itself is unstatable; entries that
+    vanish mid-walk (a writer moving files) are treated as activity
+    cheaply by being skipped — the surviving entries' times suffice."""
+    newest = os.path.getmtime(path)
+    for root, _dirs, files in os.walk(path):
+        try:
+            newest = max(newest, os.path.getmtime(root))
+        except OSError:
+            continue
+        for fn in files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, fn)))
+            except OSError:
+                pass
+    return newest
+
+
+def check_store_contract(
+    path: str, expected: dict, what: str, record: bool = True
+) -> None:
     """Validate (or record, on first use) a persisted store's identity
     constants — the guard for the "store outlives the code" hazard
     (r8 review sweep): a signature index probed with different band
@@ -436,14 +462,23 @@ def check_store_contract(path: str, expected: dict, what: str) -> None:
     written by atomic rename on first use and every later use must
     present identical constants, or this raises.
 
+    ``record=False`` marks a READ-ONLY probe (e.g. contamination check,
+    ``dedup_against_index(update_index=False)``): an existing contract
+    is still validated, but a missing one is a no-op — a probe must
+    never create the store directory or pin key-space constants for a
+    store that was never built, which would refuse a later builder
+    running different (legitimate) constants (r8 advice).
+
     Call with the constants that define the store's key space (hash
     counts, band counts, bucket moduli, dims, quantization ids) —
     NEVER tunables that only affect the current query.
     """
     import json as _json
 
-    os.makedirs(path, exist_ok=True)
     f = os.path.join(path, "_store_contract.json")
+    if not record and not os.path.exists(f):
+        return
+    os.makedirs(path, exist_ok=True)
     if os.path.exists(f):
         with open(f) as fh:
             rec = _json.load(fh)
