@@ -14,13 +14,27 @@ Environment knobs:
   is noise-robust and a single JIT-tier-up outlier (e.g. the documented
   dd_embedding_cosine 2.355 → 0.674 warm-up step) can never masquerade
   as a regression. Set to 2 for a quick single-warm-rep iteration loop.
-Forensic detail (per-rep warm runs, cold runs, and `table_rows` — the
-row count per input table at this SF, so a driver-side regeneration of
-/root/testdata is visible without manual forensics) is written to
-bench_detail.json beside this script and printed as an earlier stdout
-line; the FINAL stdout line is the compact driver contract and must stay
-within the driver's ~2000-char stdout tail window (see the length guard
-in main()).
+- SPARK_GRAFT_BENCH_ATTEMPTS (default 3): max suite attempts when the
+  host self-labels contended (see below). Set to 1 to force the old
+  single-shot behavior.
+
+Contention self-SELECTION (r8 verdict #1): r7/r8 both recorded suites
+from degraded host windows (BENCH_r08 went on record at 39.8 s while the
+code's honest number was ~23 s). Labeling alone wasn't enough — a gate
+or a reader of artifacts alone misfires. Now, when a suite's floor pair
+flags contention, the whole timed suite re-runs (up to ATTEMPTS, with a
+cooldown) and the artifact records the BEST HEALTHY attempt — or, if
+every attempt was contended, the best attempt still flagged
+contended=true. Every attempt's total/ratios stay in the artifact
+(`attempts`), so nothing is hidden.
+
+Forensic detail (per-rep warm runs, cold runs, per-query peak
+process-tree RSS, and `table_rows` — the row count per input table at
+this SF, so a driver-side regeneration of /root/testdata is visible
+without manual forensics) is written to bench_detail.json beside this
+script and printed as an earlier stdout line; the FINAL stdout line is
+the compact driver contract and must stay within the driver's
+~2000-char stdout tail window (see the length guard in main()).
 """
 
 from __future__ import annotations
@@ -28,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -58,48 +73,131 @@ HEADLINE = [
     "s7_backdrop_pipeline",
 ]
 
+# Contention flag calibration (r8, measured IN the bench's own context —
+# an idle Spark JVM alive): bare host ratio 2.2-2.3; JVM-alive healthy
+# 3.7-4.5 (the JVM's background threads tax the 32-way floor ~2×); r7's
+# contended windows read ~8-12 with the 1t floor flat throughout. Flag
+# at 6.0 — above the JVM-noise band, below every observed contended
+# state.
+CONTENDED_RATIO = 6.0
+HEALTHY_RATIO_32T = 4.0   # JVM-alive band midpoint
+COOLDOWN_S = 20.0         # between contended attempts
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("tmdb-sync-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+_PAGE = os.sysconf("SC_PAGE_SIZE")
 
-    import tmdb_sync_spark.all_queries  # noqa: F401
+
+def _tree_rss_bytes() -> int:
+    """RSS summed over this process's whole tree (driver Python + the
+    local-mode JVM + every Python worker the JVM forked) — the honest
+    single-host stand-in for 'peak executor memory': in local[32] the
+    executors ARE the JVM, and Arrow workers are its children. One
+    /proc sweep per sample; processes that exit mid-sweep are skipped."""
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    rss: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                tail = fh.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        pid = int(d)
+        ppid[pid] = int(tail[1])      # field 4 (ppid), 0-indexed past comm
+        rss[pid] = int(tail[21])      # field 24 (rss pages)
+    kids: dict[int, list[int]] = {}
+    for p, pp in ppid.items():
+        kids.setdefault(pp, []).append(p)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        total += rss.get(p, 0)
+        stack.extend(kids.get(p, ()))
+    return total * _PAGE
+
+
+class _PeakRss:
+    """Background sampler: peak process-tree RSS while a query runs.
+    0.1 s cadence — a /proc sweep costs ~1 ms, well under 2% overhead,
+    and a window buffering a hot partition for less than 100 ms was
+    never going to OOM an executor. Per-query peaks land in
+    bench_detail.json (r8 verdict #7: wall time alone cannot see a
+    scale-killer that buffers memory)."""
+
+    def __init__(self) -> None:
+        self.peak = 0
+        self._stop = threading.Event()
+        self._t: threading.Thread | None = None
+
+    def __enter__(self) -> "_PeakRss":
+        def run() -> None:
+            while not self._stop.is_set():
+                try:
+                    self.peak = max(self.peak, _tree_rss_bytes())
+                except OSError:
+                    pass
+                self._stop.wait(0.1)
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._t is not None:
+            self._t.join(timeout=2)
+
+
+def _hash_unit(_=None):
+    import hashlib
+
+    h = hashlib.sha256()
+    b = b"x" * 1_000_000
+    for _ in range(100):
+        h.update(b)
+
+
+def _floor_pair() -> tuple[float, float]:
+    """CPU-parallelism floor, JVM-free: the same GIL-releasing hash work
+    on 1 thread vs 32 concurrent. On a healthy 32-vCPU host the two are
+    near-equal; under hypervisor contention the 32-thread number
+    inflates while 1-thread stays flat (measured 3× mid-round-7) — the
+    pair attributes a slow bench to the host without any Spark noise in
+    the signal."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _hash_unit()
+    t0 = time.perf_counter()
+    _hash_unit()
+    f1 = time.perf_counter() - t0
+    with ThreadPoolExecutor(32) as ex2:
+        t0 = time.perf_counter()
+        list(ex2.map(_hash_unit, range(32)))
+        f32 = time.perf_counter() - t0
+    return round(f1, 3), round(f32, 3)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _run_suite(spark, sf_dir: str, reps: int) -> dict:
+    """One full timed pass over HEADLINE, bracketed by floor-pair
+    samples (the WORSE sample decides the contended flag: a run that
+    starts healthy and degrades mid-suite — seen live in r8 — self-
+    labels too). Returns everything an attempt needs to be compared,
+    chosen, and recorded."""
     from tmdb_sync_spark.registry import QUERIES
-
-    # JVM / codegen / Python-worker-pool warmup (not measured): spin up the
-    # JVM whole-stage pipeline, one Python Data Source scan, and one
-    # mapInPandas exchange so per-session daemon startup isn't attributed
-    # to the first measured query.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    QUERIES["a1_sync_coverage"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    for warm in ("s1_discover_source", "mm_media_pipeline"):
-        if warm in QUERIES:
-            QUERIES[warm](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-
-    # Two timed executions per query, reported separately:
-    # - cold: first run, includes whole-stage-codegen (Janino) compile of
-    #   the plan — a per-session constant, but reported so regressions in
-    #   plan complexity are visible;
-    # - warm: second run, steady-state (the headline number — at
-    #   production data volumes compute dominates compile).
-    # Both caches are cleared between runs — executor storage AND the
-    # keyed scratch-parquet materializations (dd_minhash_lsh's signature,
-    # pipeline_curation's stages) — so run 2 recomputes staged
-    # intermediates instead of reading run 1's parquet; warm timings stay
-    # honest and round-over-round comparable.
     from tmdb_sync_spark.util import reset_materialization_cache
 
-    # Host-speed floor: a trivial one-exchange job, warm best-of-3. Query
-    # wall times on tiny SFs are dominated by task scheduling (each AQE
-    # query stage is a job), and the hosts running this bench have varied
-    # ~4× in that overhead between sessions. Reporting the floor beside
-    # the suite makes rounds comparable: suite deltas that track the
-    # floor are the machine, not the code.
+    # Host-speed floor: a trivial one-exchange job, warm best-of-3.
+    # Query wall times at tiny SFs are dominated by task scheduling
+    # (each AQE query stage is a job); hosts have varied ~4× in that
+    # overhead between sessions. Reported beside the suite so deltas
+    # that track the floor read as the machine, not the code.
     floor_df = spark.range(1000).repartition(32)
     floor_df.count()
     floor_runs = []
@@ -109,53 +207,96 @@ def main() -> None:
         floor_runs.append(time.perf_counter() - t0)
     machine_floor = round(min(floor_runs), 3)
 
-    # CPU-parallelism floor, JVM-free: the same GIL-releasing hash work
-    # on 1 thread vs 32 concurrent. On a healthy 32-vCPU host the two
-    # are near-equal; under hypervisor contention the 32-thread number
-    # inflates while 1-thread stays flat (measured 3× mid-round-7) —
-    # the pair attributes a slow bench to the host without any Spark
-    # noise in the signal.
-    import hashlib
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _hash_unit(_=None):
-        h = hashlib.sha256()
-        b = b"x" * 1_000_000
-        for _ in range(100):
-            h.update(b)
-
-    # Contention self-label (r7 verdict #4): BENCH_r07 recorded a 25.9 s
-    # suite that was really an 18.1 s suite on a 3× degraded host, and a
-    # reader had to cross-reference COVERAGE.md to learn that. The bench
-    # now carries its own attribution. Calibration (r8, measured IN the
-    # bench's own context — an idle Spark JVM alive): bare host ratio
-    # 2.2-2.3; JVM-alive healthy 3.7-4.5 (the JVM's background threads
-    # tax the 32-way floor ~2×); r7's contended windows read ~8-12 with
-    # the 1t floor flat throughout. Flag at 6.0 — above the JVM-noise
-    # band, below every observed contended state. value_floor_norm
-    # rescales the suite total to the expected healthy floor
-    # (HEALTHY_RATIO × this machine's own 1t floor — scale-free, no
-    # stored absolute) — an ATTRIBUTION AID for round-over-round reads
-    # on unequal hosts, not a measurement (suite time is not 100%
-    # cpu-floor-bound, so it UNDERestimates the healthy-host time).
-    # The pair is sampled BEFORE and AFTER the timed suite and the
-    # WORSE sample decides the flag: a run that starts healthy and
-    # degrades mid-suite (seen live in r8 — one query's warm median
-    # tripled while the start floor read clean) self-labels too.
-    HEALTHY_RATIO_32T = 4.0   # JVM-alive band midpoint
-
-    def _floor_pair() -> tuple[float, float]:
-        _hash_unit()
-        t0 = time.perf_counter()
-        _hash_unit()
-        f1 = time.perf_counter() - t0
-        with ThreadPoolExecutor(32) as ex2:
-            t0 = time.perf_counter()
-            list(ex2.map(_hash_unit, range(32)))
-            f32 = time.perf_counter() - t0
-        return round(f1, 3), round(f32, 3)
-
     cpu_floor_1t, cpu_floor_32t = _floor_pair()
+
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    warm_all: dict[str, list[float]] = {}
+    peak_rss_mb: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        runs = []
+        with _PeakRss() as sampler:
+            for _ in range(reps):
+                spark.catalog.clearCache()
+                # staged-only: per-query scratch materializations
+                # (minhash signatures, curation stages) are recomputed
+                # every rep, but trained MODEL artifacts (the IVF
+                # k-means codebook) survive — a steady-state query
+                # serves from the built index, so rep 1 (cold) pays
+                # training and the warm median measures the probe,
+                # mirroring the production build-once/probe-many split.
+                reset_materialization_cache(kinds=("staged",))
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        warm[name] = round(_median(runs[1:]), 3)
+        warm_all[name] = [round(r, 3) for r in runs[1:]]
+        peak_rss_mb[name] = round(sampler.peak / 1e6, 1)
+    spark.catalog.clearCache()
+
+    cpu_floor_1t_end, cpu_floor_32t_end = _floor_pair()
+    ratio_start = cpu_floor_32t / max(cpu_floor_1t, 1e-9)
+    ratio_end = cpu_floor_32t_end / max(cpu_floor_1t_end, 1e-9)
+    contended = max(ratio_start, ratio_end) > CONTENDED_RATIO
+    worst_32t = max(cpu_floor_32t, cpu_floor_32t_end)
+    # value_floor_norm rescales the suite total to the expected healthy
+    # floor (HEALTHY_RATIO × this machine's own 1t floor — scale-free,
+    # no stored absolute) — an ATTRIBUTION AID for round-over-round
+    # reads on unequal hosts, not a measurement (suite time is not 100%
+    # cpu-floor-bound, so it UNDERestimates the healthy-host time).
+    healthy_32t = HEALTHY_RATIO_32T * min(cpu_floor_1t, cpu_floor_1t_end)
+    total = round(sum(warm.values()), 3)
+    return {
+        "total": total,
+        "cold": cold,
+        "warm": warm,
+        "warm_all": warm_all,
+        "peak_rss_mb": peak_rss_mb,
+        "machine_floor": machine_floor,
+        "cpu_floor_1t": cpu_floor_1t,
+        "cpu_floor_32t": cpu_floor_32t,
+        "cpu_floor_32t_end": cpu_floor_32t_end,
+        "ratio_start": round(ratio_start, 2),
+        "ratio_end": round(ratio_end, 2),
+        "contended": contended,
+        "floor_norm": round(
+            total * min(1.0, healthy_32t / max(worst_32t, 1e-9)), 2
+        ),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("tmdb-sync-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import tmdb_sync_spark.all_queries  # noqa: F401
+    from tmdb_sync_spark.registry import QUERIES
+
+    # A missing headline query is a broken registry, not a skip:
+    # silently dropping it would shrink the suite and read as a huge
+    # speedup.
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"headline queries missing from registry: {missing}")
+
+    # JVM / codegen / Python-worker-pool warmup (not measured): spin up
+    # the JVM whole-stage pipeline, one Python Data Source scan, and one
+    # mapInPandas exchange so per-session daemon startup isn't
+    # attributed to the first measured query.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    QUERIES["a1_sync_coverage"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for warm_q in ("s1_discover_source", "mm_media_pipeline"):
+        if warm_q in QUERIES:
+            QUERIES[warm_q](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     # Input-corpus fingerprint: parquet count() is footer-metadata-only,
     # so this costs ~one job per table, not a data scan.
@@ -167,65 +308,51 @@ def main() -> None:
             table_rows[t] = spark.read.parquet(p).count()
 
     reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
-
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        n = len(s)
-        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
-
-    # A missing headline query is a broken registry, not a skip: silently
-    # dropping it would shrink the suite and read as a huge speedup.
-    missing = [n for n in HEADLINE if n not in QUERIES]
-    if missing:
-        raise RuntimeError(f"headline queries missing from registry: {missing}")
-
-    cold: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    warm_all: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        runs = []
-        for _ in range(reps):
-            spark.catalog.clearCache()
-            # staged-only: per-query scratch materializations (minhash
-            # signatures, curation stages) are recomputed every rep, but
-            # trained MODEL artifacts (the IVF k-means codebook) survive —
-            # a steady-state query serves from the built index, so rep 1
-            # (cold) pays training and the warm median measures the probe,
-            # mirroring the production build-once/probe-many split.
-            reset_materialization_cache(kinds=("staged",))
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        cold[name] = round(runs[0], 3)
-        warm[name] = round(median(runs[1:]), 3)
-        warm_all[name] = [round(r, 3) for r in runs[1:]]
-    spark.catalog.clearCache()
-
-    cpu_floor_1t_end, cpu_floor_32t_end = _floor_pair()
-    ratio_start = cpu_floor_32t / max(cpu_floor_1t, 1e-9)
-    ratio_end = cpu_floor_32t_end / max(cpu_floor_1t_end, 1e-9)
-    contended = max(ratio_start, ratio_end) > 6.0
-    worst_32t = max(cpu_floor_32t, cpu_floor_32t_end)
-    HEALTHY_CPU_FLOOR_32T = HEALTHY_RATIO_32T * min(
-        cpu_floor_1t, cpu_floor_1t_end
+    max_attempts = max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     )
+
+    # Self-selecting attempt loop (r8 verdict #1): a contended attempt
+    # triggers a cooldown + full re-run; the recorded artifact is the
+    # best healthy attempt, or — if the host never gave a healthy
+    # window — the best attempt, still flagged contended. Every
+    # attempt's summary stays in the artifact.
+    attempts: list[dict] = []
+    for i in range(max_attempts):
+        att = _run_suite(spark, sf_dir, reps)
+        attempts.append(att)
+        if not att["contended"]:
+            break
+        if i < max_attempts - 1:
+            time.sleep(COOLDOWN_S)
+    healthy = [a for a in attempts if not a["contended"]]
+    pool = healthy or attempts
+    chosen = min(pool, key=lambda a: a["total"])
+    chosen_idx = attempts.index(chosen)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Full forensic detail (per-rep warm runs, cold runs, input-table row
-    # counts) goes to a side file + an EARLIER stdout line. The external
-    # driver keeps only the last ~2000 chars of stdout and json-parses the
-    # final line within that tail — round 6's artifact was lost because
-    # embedding queries_warm_all pushed the single line past the window
-    # (BENCH_r06.json: parsed=null). The contract line printed LAST below
-    # stays compact and is guarded against ever outgrowing the window.
+    # Full forensic detail (per-rep warm runs, cold runs, per-query peak
+    # tree RSS, input-table row counts, every attempt) goes to a side
+    # file + an EARLIER stdout line. The external driver keeps only the
+    # last ~2000 chars of stdout and json-parses the final line within
+    # that tail — round 6's artifact was lost because embedding
+    # queries_warm_all pushed the single line past the window
+    # (BENCH_r06.json: parsed=null). The contract line printed LAST
+    # below stays compact and is guarded against outgrowing the window.
     detail = {
         "metric": "headline_suite_detail",
-        "queries_cold": cold,
-        "cold_total": round(sum(cold.values()), 3),
+        "queries_cold": chosen["cold"],
+        "cold_total": round(sum(chosen["cold"].values()), 3),
         "table_rows": table_rows,
-        "queries_warm_all": warm_all,
+        "queries_warm_all": chosen["warm_all"],
+        "peak_tree_rss_mb": chosen["peak_rss_mb"],
+        "attempts": [
+            {k: a[k] for k in ("total", "contended", "ratio_start",
+                               "ratio_end", "machine_floor")}
+            for a in attempts
+        ],
+        "attempt_chosen": chosen_idx,
         "sf": sf_val,
     }
     detail_path = os.path.join(
@@ -238,36 +365,35 @@ def main() -> None:
     line = json.dumps(
         {
             "metric": "headline_suite_total",
-            "value": round(sum(warm.values()), 3),
+            "value": chosen["total"],
             "unit": "sec",
-            "queries": warm,
-            "machine_floor_sec": machine_floor,
-            "cpu_floor_1t": cpu_floor_1t,
-            "cpu_floor_32t": cpu_floor_32t,
-            "cpu_floor_32t_end": cpu_floor_32t_end,
-            "contended": contended,
-            "value_floor_norm": round(
-                sum(warm.values())
-                * min(1.0, HEALTHY_CPU_FLOOR_32T / max(worst_32t, 1e-9)),
-                2,
-            ),
+            "queries": chosen["warm"],
+            "machine_floor_sec": chosen["machine_floor"],
+            "cpu_floor_1t": chosen["cpu_floor_1t"],
+            "cpu_floor_32t": chosen["cpu_floor_32t"],
+            "cpu_floor_32t_end": chosen["cpu_floor_32t_end"],
+            "contended": chosen["contended"],
+            "value_floor_norm": chosen["floor_norm"],
+            "attempts": len(attempts),
+            "attempt_totals": [a["total"] for a in attempts],
             "warm_reps": reps - 1,
             "sf": sf_val,
         }
     )
     # Hard guard on the driver's tail window: degrade to the bare
     # contract (metric/value/unit/sf) rather than emit an unparseable
-    # line. 21 medians ≈ 850 chars today; this fires only if the suite
-    # roughly doubles.
+    # line. 21 medians + 3 attempt totals ≈ 950 chars today; this fires
+    # only if the suite roughly doubles.
     if len(line) > 1800:
         line = json.dumps(
             {
                 "metric": "headline_suite_total",
-                "value": round(sum(warm.values()), 3),
+                "value": chosen["total"],
                 "unit": "sec",
-                "queries_in_detail_file": len(warm),
-                "machine_floor_sec": machine_floor,
-                "contended": contended,
+                "queries_in_detail_file": len(chosen["warm"]),
+                "machine_floor_sec": chosen["machine_floor"],
+                "contended": chosen["contended"],
+                "attempts": len(attempts),
                 "warm_reps": reps - 1,
                 "sf": sf_val,
             }
