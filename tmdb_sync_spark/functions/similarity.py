@@ -233,6 +233,55 @@ def _bucketed(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
     )
 
 
+def exact_topk_frames(
+    queries: DataFrame,
+    cands: DataFrame,
+    k: int,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """The exact-cosine top-k kernel: ``queries`` is ``(query_id, qv,
+    qnrm)`` (tiny — broadcast), ``cands`` is ``(neighbor_id, cv, cnrm)``
+    (the corpus — scanned once). Returns ``(query_id, neighbor_id, rank,
+    cosine_sim)`` with ``rank ≤ k``.
+
+    Two-phase top-k: ranking everything in ONE
+    Window.partitionBy(query_id) caps final-stage parallelism at the
+    query count (q tasks sorting the whole corpus at 10^9 candidates).
+    Phase 1 ranks per (query, input partition) — parallelism n_queries ×
+    n_scan_partitions, each task sorting only its slice — and keeps k
+    rows per group, a superset of the global top-k. Phase 2 ranks the
+    surviving k × n_partitions rows per query: the per-query stage now
+    funnels a few hundred rows, not the corpus. Ties break on
+    neighbor_id both times, so the result (and the oracle hash) is
+    identical to the one-shot window.
+
+    This is both the registered brute-force query's engine and the
+    ANN operators' ground truth (the recall contract — see
+    ``ann_recall_at_k``)."""
+    dot = _dot(F.col("qv"), F.col("cv"))
+    sim = dot / (F.sqrt(F.col("qnrm")) * F.sqrt(F.col("cnrm")))
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"),
+                F.spark_partition_id().alias("pid"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    w_part = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("prank", F.row_number().over(w_part))
+        .where(F.col("prank") <= k)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 @register(
     "knn_cosine_topk",
     oracle=_QUANT_SQL
@@ -273,35 +322,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
-    dot = _dot(F.col("qv"), F.col("cv"))
-    sim = dot / (F.sqrt(F.col("qnrm")) * F.sqrt(F.col("cnrm")))
-    scored = (
-        cands.crossJoin(F.broadcast(queries))
-        .select("query_id", "neighbor_id", sim.alias("cosine_sim"),
-                F.spark_partition_id().alias("pid"))
-    )
-    # Two-phase top-k: ranking everything in ONE Window.partitionBy(query_id)
-    # caps final-stage parallelism at the query count (10 tasks sorting the
-    # whole corpus at 10^9 candidates). Phase 1 ranks per (query, input
-    # partition) — parallelism n_queries × n_scan_partitions, each task
-    # sorting only its slice — and keeps K rows per group, a superset of the
-    # global top-k. Phase 2 ranks the surviving K × n_partitions rows per
-    # query: the per-query stage now funnels a few hundred rows, not the
-    # corpus. Ties break on neighbor_id both times, so the result (and the
-    # oracle hash) is identical to the one-shot window.
-    w_part = Window.partitionBy("query_id", "pid").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("prank", F.row_number().over(w_part))
-        .where(F.col("prank") <= TOP_K)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", "cosine_sim")
-    )
+    return exact_topk_frames(queries, cands, TOP_K)
 
 
 _BUCKET_BITS_SQL = " || ".join(
@@ -332,27 +353,89 @@ _BUCKET_BITS_SQL = " || ".join(
                                 i -> qq.v[i] * c.v[i]), 'sum') AS BIGINT)
              / (sqrt(qq.nrm) * sqrt(c.nrm)) AS cosine_sim
     FROM b qq
-    JOIN b c ON qq.vec_id % 50 = 0 AND c.vec_id <> qq.vec_id AND c.bucket = qq.bucket
+    JOIN b c ON qq.vec_id % 50 = 0 AND c.vec_id <> qq.vec_id
+            AND len(list_filter(generate_series(1, {N_SIGN_BITS}),
+                    i -> substr(c.bucket, i, 1) <> substr(qq.bucket, i, 1))) <= 1
     QUALIFY rank <= 3
     """,
 )
 def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via sign-LSH bucketing.
+    """Approximate NN via sign-LSH bucketing, multi-probe radius 1.
 
     Bucket = sign bits of the first 8 components (axis-aligned random
     hyperplanes — portable across engines, unlike seeded random
-    projections). Candidates are only same-bucket vectors, so the join is
-    an *equi*-join on the bucket key: at 100 TB this shuffles each side
-    once on ``bucket`` instead of building an O(n·q) cross product, and
-    bucket cardinality (2^8..2^64) is tuned to keep partitions balanced.
+    projections). Candidates are vectors whose bucket is within Hamming
+    distance 1 of the query's (the query's own bucket + one probe per
+    flipped bit): on the Spark side this stays an *equi*-join — queries
+    explode to (query, probe-bucket) rows and the corpus shuffles once
+    on its own bucket key — so at 100 TB there is still no O(n·q) cross
+    product, and candidate volume is (bits+1)/2^bits of the corpus. The
+    oracle expresses the same radius as a Hamming predicate, which is
+    fine at oracle scale.
+
+    Default radius 1, by measurement (r9): exact-bucket probing loses
+    any true neighbor on the far side of even ONE of the 8 hyperplanes,
+    which on the clustered recall corpus capped recall@3 at 0.28 and on
+    the isotropic driver corpus at 0.0; radius 1 lifts those to 0.63
+    and 0.125 for ~9/256 of the corpus scanned per query. The recall
+    floor is pinned in tests/test_ann_recall.py; the full
+    bits × radius sweep is recorded in COVERAGE.md
+    (scripts/exp_ann_recall.py).
     """
-    b = _bucketed(spark, sf_dir, N_SIGN_BITS)
+    return ann_signlsh_topk_at(
+        spark, sf_dir, N_SIGN_BITS, 3, hamming_radius=1
+    )
+
+
+def ann_signlsh_topk_at(
+    spark: SparkSession, sf_dir: str, n_bits: int, top_k: int,
+    hamming_radius: int = 0,
+) -> DataFrame:
+    """``ann_signlsh_topk`` with explicit knobs — the sweep/recall
+    surface. ``n_bits`` trades candidate-set size (≈ corpus / 2^bits
+    per bucket) against recall; the registered query pins the defaults
+    so its oracle stays a single static SQL string.
+
+    ``hamming_radius``: multi-probe LSH, the standard recall dial for a
+    single-table sign-LSH. Radius 0 probes only the query's own bucket
+    — a true neighbor on the far side of ANY of the ``n_bits``
+    hyperplanes is unreachable, which is why exact-bucket recall decays
+    geometrically in the bit count (measured: the recall sweep in
+    COVERAGE.md). Radius 1 also probes the ``n_bits`` buckets one bit-
+    flip away — candidate volume ×(n_bits+1)/2^bits of the corpus, and
+    the probe stays an EQUI-join: queries explode to (query, probe-
+    bucket) rows, so at 100 TB the corpus still shuffles once on its
+    own bucket and each candidate can match a query at most once (a
+    vector lives in exactly one bucket — no pair dedup needed).
+    Radius ≥ 2 is combinatorial (C(bits,2) probes) and out of scope —
+    raise rather than silently build it."""
+    if hamming_radius not in (0, 1):
+        raise ValueError(
+            f"hamming_radius must be 0 or 1, got {hamming_radius}"
+        )
+    b = _bucketed(spark, sf_dir, n_bits)
     queries = b.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
+    if hamming_radius == 1:
+        def _flip(i: int) -> Column:   # flip 0-based bit i of the key
+            c = F.substring(F.col("bucket"), i + 1, 1)
+            return F.concat(
+                F.substring(F.col("bucket"), 1, i),
+                F.when(c == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring(F.col("bucket"), i + 2, n_bits - i - 1),
+            )
+
+        probe_set = F.array(F.col("bucket"),
+                            *[_flip(i) for i in range(n_bits)])
+        queries = queries.withColumn(
+            "p_bucket", F.explode(probe_set)
+        )
+    else:
+        queries = queries.withColumn("p_bucket", F.col("bucket"))
     cands = b.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("bucket").alias("c_bucket"),
@@ -367,12 +450,12 @@ def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         queries.join(
             cands,
-            (F.col("bucket") == F.col("c_bucket"))
+            (F.col("p_bucket") == F.col("c_bucket"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
         .select("query_id", "bucket", "neighbor_id", sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
+        .where(F.col("rank") <= top_k)
         .select("query_id", "bucket", "neighbor_id", "rank", "cosine_sim")
     )
 
@@ -812,7 +895,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to train on and this raises ``ValueError`` (loudly, since round 4)
     where older builds returned an empty result — callers replaying
     all-zero corpora should catch it or clean the corpus first.
+
+    Recall contract: the registered defaults (``N_PROBE`` of
+    ``N_CENTROIDS`` lists, top-``IVF_TOP_K``) carry a measured recall
+    floor vs the exact kernel, pinned in tests/test_ann_recall.py; the
+    n_probe-vs-recall sweep is recorded in COVERAGE.md
+    (scripts/exp_ann_recall.py).
     """
+    return ann_ivf_topk_at(spark, sf_dir, N_PROBE, IVF_TOP_K)
+
+
+def ann_ivf_topk_at(
+    spark: SparkSession, sf_dir: str, n_probe: int, top_k: int
+) -> DataFrame:
+    """``ann_ivf_topk`` with explicit knobs — the sweep/recall surface.
+    ``n_probe`` is THE IVF recall/cost dial (fraction of the corpus
+    re-ranked ≈ n_probe/N_CENTROIDS; n_probe = N_CENTROIDS degenerates
+    to exact search); the registered query pins the defaults so its
+    oracle stays a single static SQL string."""
+    if not (1 <= n_probe <= N_CENTROIDS):
+        raise ValueError(f"n_probe out of range: {n_probe}")
     qd = _quantized(spark, sf_dir).where(F.col("nrm") > 0)
     # The coarse quantizer is a BOUNDED side model (≤ N_CENTROIDS rows, a
     # module constant) — collect it once and inline the centroids as
@@ -837,7 +939,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         cents = _train_codebook(spark, sf_dir)
         _CODEBOOK_MEMO[memo_key] = (fingerprint, cents)
-    topn = _codebook_topn(cents, N_PROBE)
+    topn = _codebook_topn(cents, n_probe)
     assign_cid = F.element_at(topn(F.col("v"), F.col("nrm")), 1)
     probe_cids = topn(F.col("v"), F.col("nrm"))
     assign = qd.select("vec_id", "v", "nrm", assign_cid.alias("cid"))
@@ -868,6 +970,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("cosine_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= IVF_TOP_K)
+        .where(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def ann_ground_truth(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    """Exact cosine top-``k`` for the ANN operators' query set
+    (``vec_id % 50 == 0``) over the full valid corpus, self excluded —
+    the recall denominator both ANN variants are graded against."""
+    qd = _quantized(spark, sf_dir).where(F.col("nrm") > 0)
+    queries = qd.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cands = qd.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    return exact_topk_frames(queries, cands, k, exclude_self=True)
+
+
+def ann_recall_at_k(ann: DataFrame, truth: DataFrame, k: int) -> float:
+    """Mean recall@k: |ANN top-k ∩ exact top-k| / k, averaged over ALL
+    ground-truth queries — a query the ANN misses entirely (empty
+    bucket) scores 0, it does not silently drop out of the mean. This
+    is the production ANN contract (recall@k at a probe budget), which
+    determinism checks alone cannot express (r8 verdict #3). Driver
+    cost: two scalar aggregates — never a per-row collect."""
+    t = truth.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = ann.where(F.col("rank") <= k).select(
+        "query_id", "neighbor_id"
+    ).join(t, ["query_id", "neighbor_id"]).count()
+    n_q = t.select("query_id").distinct().count()
+    if n_q == 0:
+        raise ValueError("ann_recall_at_k: ground truth has no queries")
+    return hits / (k * n_q)
