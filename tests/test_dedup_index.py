@@ -399,3 +399,82 @@ def test_readonly_probe_records_no_contract(spark, tmp_path):
     # the write path still records on first use
     dedup_against_index(spark, d, path)
     assert _os.path.exists(_os.path.join(path, "_store_contract.json"))
+
+
+def test_concurrent_writer_lock_enforced(spark, index_path):
+    """The single-writer contract is enforced, not just documented (r8
+    verdict #4): while another writer holds the index lock, a write-path
+    call fails loudly after its wait budget; a read-only probe is not
+    blocked; release admits the writer again."""
+    import pytest as _pt
+
+    from tmdb_sync_spark.plans.partitioned import MERGE_LOCK_NAME
+    from tmdb_sync_spark.util import (
+        ConcurrentWriterError,
+        acquire_dir_lock,
+        release_dir_lock,
+    )
+
+    d1 = _docs(spark, [(1, _text(1))])
+    dedup_against_index(spark, d1, index_path)
+
+    lock = acquire_dir_lock(index_path, MERGE_LOCK_NAME)
+    try:
+        d2 = _docs(spark, [(2, _text(2))])
+        with _pt.raises(ConcurrentWriterError):
+            dedup_against_index(spark, d2, index_path, lock_wait_s=0.1)
+        from tmdb_sync_spark.functions.dedup_index import (
+            append_docs_to_index,
+        )
+
+        with _pt.raises(ConcurrentWriterError):
+            append_docs_to_index(spark, index_path, d2, lock_wait_s=0.1)
+        # read-only probe passes while the lock is held
+        r = dedup_against_index(
+            spark, d2, index_path, update_index=False
+        )
+        assert [x["doc_id"] for x in r["survivors"].collect()] == [2]
+    finally:
+        release_dir_lock(lock)
+    r = dedup_against_index(spark, d2, index_path)
+    assert [x["doc_id"] for x in r["survivors"].collect()] == [2]
+
+
+def test_concurrent_drops_serialize(spark, index_path):
+    """Two dedup-filtering drops racing on one index, each carrying one
+    twin of a near-dup pair: serialized writers mean the later drop
+    SEES the earlier's in-flight signatures, so exactly one twin
+    survives — the silent-miss hazard the lock exists to close."""
+    import threading as _th
+
+    dedup_against_index(spark, _docs(spark, [(1, _text(1))]), index_path)
+
+    errs = []
+
+    def drop(doc_id):
+        def run():
+            try:
+                dedup_against_index(
+                    spark,
+                    _docs(spark, [(doc_id, _text(4))]),
+                    index_path,
+                    lock_wait_s=120.0,
+                )
+            except Exception as e:   # surfaced below
+                errs.append(e)
+        return run
+
+    ts = [_th.Thread(target=drop(i)) for i in (10, 11)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    idx = spark.read.parquet(index_path)
+    survivors = sorted(
+        r["doc_id"]
+        for r in idx.select("doc_id").distinct().collect()
+    )
+    # doc 1 + exactly ONE of the racing twins
+    assert len(survivors) == 2 and survivors[0] == 1
+    assert survivors[1] in (10, 11)

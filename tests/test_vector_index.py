@@ -196,3 +196,47 @@ def test_compact_vector_index(spark, tmp_path):
     assert res["files_before"] > res["files_after"]
     spark.catalog.refreshByPath(idx_path)
     assert spark.read.parquet(idx_path).count() == res["rows"]
+
+
+def test_vector_concurrent_writer_lock_enforced(spark, tmp_path):
+    """Vector-index twin of the dedup-index lock pin: write paths
+    refuse while the lock is held; probes pass; release re-admits."""
+    import os as _os
+
+    import pytest as _pt
+
+    from tmdb_sync_spark.functions.similarity import DIM
+    from tmdb_sync_spark.functions.vector_index import (
+        append_vectors_to_index,
+        dedup_vectors_against_index,
+    )
+    from tmdb_sync_spark.plans.partitioned import MERGE_LOCK_NAME
+    from tmdb_sync_spark.util import (
+        ConcurrentWriterError,
+        acquire_dir_lock,
+        release_dir_lock,
+    )
+
+    path = _os.path.join(str(tmp_path), "vidx")
+    v1 = spark.createDataFrame(
+        [(1, [0.5] * DIM)], "vec_id long, embedding array<float>"
+    )
+    dedup_vectors_against_index(spark, v1, path)
+
+    lock = acquire_dir_lock(path, MERGE_LOCK_NAME)
+    try:
+        v2 = spark.createDataFrame(
+            [(2, [-0.5] * DIM)], "vec_id long, embedding array<float>"
+        )
+        with _pt.raises(ConcurrentWriterError):
+            dedup_vectors_against_index(spark, v2, path, lock_wait_s=0.1)
+        with _pt.raises(ConcurrentWriterError):
+            append_vectors_to_index(spark, path, v2, lock_wait_s=0.1)
+        r = dedup_vectors_against_index(
+            spark, v2, path, update_index=False
+        )
+        assert [x["vec_id"] for x in r["survivors"].collect()] == [2]
+    finally:
+        release_dir_lock(lock)
+    r = dedup_vectors_against_index(spark, v2, path)
+    assert [x["vec_id"] for x in r["survivors"].collect()] == [2]

@@ -35,9 +35,19 @@ minhashes, the curation pipeline's policy (pipeline.py).
 Concurrency: the index is append-only and concurrent appends are safe
 (uniquely-named parquet files), but two drops deduped CONCURRENTLY
 cannot see each other's in-flight signatures — near-dups split across
-them both survive. Run one dedup-filtering ingest per index at a time
-(the drop-cursor model of streaming/file_ingest.py already serializes
-this), or accept eventual near-dups and sweep with the batch operator.
+them both survive. Since r9 this is ENFORCED, not just documented
+(r8 verdict #4): every write-path entry (``dedup_against_index`` with
+``update_index=True``, ``append_docs_to_index``) holds the table's
+single-writer lock (``util.acquire_dir_lock`` under the same
+``_merge.lock`` name ``compact_index``'s journaled rewrite takes, so
+appends and compaction mutually exclude too) for its probe→append
+critical section: concurrent writers serialize for ``lock_wait_s``
+and then fail LOUDLY (``ConcurrentWriterError``) instead of silently
+missing each other's in-flight near-dups. The append-after-commit
+composition (``update_index=False`` + ``append_docs_to_index`` after
+the caller's merge) still needs its probe→append window serialized by
+the caller — the drop-cursor model of streaming/file_ingest.py does —
+because a lock cannot span two calls.
 """
 
 from __future__ import annotations
@@ -158,8 +168,19 @@ def index_matches(
     )
 
 
+def _index_writer_lock(index_path: str, wait_s: float):
+    """The index's single-writer lock — the SAME ``_merge.lock`` name
+    ``compact_index``'s write_partitioned takes, so drop appends and
+    compaction serialize against each other as well as themselves."""
+    from tmdb_sync_spark.plans.partitioned import MERGE_LOCK_NAME
+    from tmdb_sync_spark.util import acquire_dir_lock
+
+    return acquire_dir_lock(index_path, MERGE_LOCK_NAME, wait_s=wait_s)
+
+
 def append_docs_to_index(
-    spark: SparkSession, index_path: str, docs: DataFrame
+    spark: SparkSession, index_path: str, docs: DataFrame,
+    *, lock_wait_s: float = 60.0,
 ) -> None:
     """Append ``docs``' band rows to the index — split out of
     :func:`dedup_against_index` so callers that MERGE survivors into a
@@ -169,8 +190,22 @@ def append_docs_to_index(
     re-merges idempotently, and appends once. (Appending BEFORE the
     merge loses the whole batch on replay: the docs match their own
     signatures and never reach the table — found by this round's
-    crash-ordering review of the composed ingest.)"""
+    crash-ordering review of the composed ingest.)
+
+    Holds the index writer lock for the append (module docstring,
+    Concurrency): waits ``lock_wait_s`` for a concurrent writer, then
+    raises ``ConcurrentWriterError``."""
+    from tmdb_sync_spark.util import release_dir_lock
+
     _check_contract(index_path, "append_docs_to_index")
+    lock = _index_writer_lock(index_path, lock_wait_s)
+    try:
+        _append_band_rows(docs, index_path)
+    finally:
+        release_dir_lock(lock)
+
+
+def _append_band_rows(docs: DataFrame, index_path: str) -> None:
     (
         # one file per touched bucket, not a sliver per shuffle
         # partition (see dedup_against_index)
@@ -298,6 +333,7 @@ def dedup_against_index(
     *,
     min_equal: int = NEAR_DUP_MIN,
     update_index: bool = True,
+    lock_wait_s: float = 60.0,
 ) -> dict:
     """Filter a drop against the corpus signature index.
 
@@ -334,6 +370,18 @@ def dedup_against_index(
     # on the write path only (here with update_index, or in
     # append_docs_to_index for the append-after-commit composition).
     _check_contract(index_path, "dedup_against_index", record=update_index)
+    # Single-writer enforcement (module docstring, Concurrency): with
+    # update_index the probe→append section holds the index writer
+    # lock, so two concurrent drops serialize (wait, then loud
+    # ConcurrentWriterError) instead of silently missing each other's
+    # in-flight near-dups. Read-only probes don't lock — the
+    # append-after-commit caller owns that serialization (drop cursor).
+    from tmdb_sync_spark.util import release_dir_lock
+
+    lock = (
+        _index_writer_lock(index_path, lock_wait_s) if update_index
+        else None
+    )
     sig = minhash_signature(new_docs).cache()
     try:
         new_bands = _band_rows(sig)
@@ -449,3 +497,5 @@ def dedup_against_index(
         }
     finally:
         sig.unpersist()
+        if lock is not None:
+            release_dir_lock(lock)

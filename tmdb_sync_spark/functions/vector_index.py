@@ -21,9 +21,15 @@ survivors elsewhere first should pass ``update_index=False`` and
 append via :func:`append_vectors_to_index` AFTER their commit point.
 
 Concurrency: append-only and safe to append concurrently, but two
-drops deduped concurrently cannot see each other's in-flight vectors —
-serialize dedup-filtering ingests per index, or sweep with the batch
-operator.
+drops deduped concurrently cannot see each other's in-flight vectors.
+Since r9 this is ENFORCED (r8 verdict #4), exactly as in dedup_index:
+write-path entries (``dedup_vectors_against_index`` with
+``update_index=True``, ``append_vectors_to_index``) hold the table's
+single-writer ``_merge.lock`` (shared with ``compact_vector_index``'s
+journaled rewrite) for their probe→append section — concurrent writers
+serialize for ``lock_wait_s`` then raise ``ConcurrentWriterError``.
+The append-after-commit composition still needs its cross-call window
+serialized by the caller (drop cursor).
 """
 
 from __future__ import annotations
@@ -70,13 +76,30 @@ def _append(index_path: str, bucketed: DataFrame) -> None:
     )
 
 
+def _index_writer_lock(index_path: str, wait_s: float):
+    """Single-writer lock, same name as compact_vector_index's
+    write_partitioned — appends and compaction mutually exclude."""
+    from tmdb_sync_spark.plans.partitioned import MERGE_LOCK_NAME
+    from tmdb_sync_spark.util import acquire_dir_lock
+
+    return acquire_dir_lock(index_path, MERGE_LOCK_NAME, wait_s=wait_s)
+
+
 def append_vectors_to_index(
-    spark: SparkSession, index_path: str, vecs: DataFrame
+    spark: SparkSession, index_path: str, vecs: DataFrame,
+    *, lock_wait_s: float = 60.0,
 ) -> None:
     """Append ``(vec_id, embedding)`` rows' bucketed projections to the
     index — the post-commit half of the update_index=False protocol
-    (see the module docstring's crash-ordering note)."""
-    _append(index_path, bucketed_from(vecs, N_DUP_BITS))
+    (see the module docstring's crash-ordering note). Holds the index
+    writer lock for the append."""
+    from tmdb_sync_spark.util import release_dir_lock
+
+    lock = _index_writer_lock(index_path, lock_wait_s)
+    try:
+        _append(index_path, bucketed_from(vecs, N_DUP_BITS))
+    finally:
+        release_dir_lock(lock)
 
 
 def vector_index_exists(index_path: str) -> bool:
@@ -163,6 +186,7 @@ def dedup_vectors_against_index(
     *,
     threshold: float = DUP_THRESHOLD,
     update_index: bool = True,
+    lock_wait_s: float = 60.0,
 ) -> dict:
     """Filter a ``(vec_id, embedding)`` drop against the vector index.
 
@@ -193,6 +217,15 @@ def dedup_vectors_against_index(
     # constants for an index that was never built.
     _check_contract(
         index_path, "dedup_vectors_against_index", record=update_index
+    )
+    # Single-writer enforcement (module docstring, Concurrency): the
+    # update_index probe→append section holds the writer lock; pure
+    # probes don't (the append-after-commit caller serializes those).
+    from tmdb_sync_spark.util import release_dir_lock
+
+    lock = (
+        _index_writer_lock(index_path, lock_wait_s) if update_index
+        else None
     )
     from tmdb_sync_spark.functions.similarity import (
         _guarded_quant,
@@ -308,3 +341,5 @@ def dedup_vectors_against_index(
         }
     finally:
         b.unpersist()
+        if lock is not None:
+            release_dir_lock(lock)
