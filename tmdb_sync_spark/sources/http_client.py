@@ -395,6 +395,34 @@ class TmdbApi:
 _API: TmdbApi | None = None
 
 
+_TRANSPORTS = {"httpx": "HttpxTransport", "requests": "RequestsTransport",
+               "urllib": "UrllibTransport"}
+
+
+def _real_transport(base: str, key: str | None):
+    """Transport selection for a TMDB_API_BASE deployment: explicit via
+    TMDB_TRANSPORT (httpx|requests|urllib — an unknown name fails LOUDLY;
+    a typo silently falling back to a different socket stack would change
+    timeout semantics in production), else best-available (httpx →
+    requests → stdlib)."""
+    forced = os.environ.get("TMDB_TRANSPORT")
+    if forced:
+        cls_name = _TRANSPORTS.get(forced.strip().lower())
+        if cls_name is None:
+            raise ValueError(
+                f"TMDB_TRANSPORT={forced!r}: expected one of "
+                f"{sorted(_TRANSPORTS)}"
+            )
+        return globals()[cls_name](base, key)
+    try:
+        return HttpxTransport(base, key)
+    except ImportError:
+        try:   # no httpx → pooled requests.Session, same policy
+            return RequestsTransport(base, key)
+        except ImportError:   # stdlib last — zero dependencies
+            return UrllibTransport(base, key)
+
+
 def get_api() -> TmdbApi:
     """Per-process API singleton (executors call this inside tasks —
     transports hold sockets/attempt state and are never pickled)."""
@@ -402,14 +430,7 @@ def get_api() -> TmdbApi:
     if _API is None:
         base = os.environ.get("TMDB_API_BASE")
         if base:
-            key = os.environ.get("TMDB_API_KEY")
-            try:
-                transport = HttpxTransport(base, key)
-            except ImportError:
-                try:   # no httpx → pooled requests.Session, same policy
-                    transport = RequestsTransport(base, key)
-                except ImportError:   # stdlib last — zero dependencies
-                    transport = UrllibTransport(base, key)
+            transport = _real_transport(base, os.environ.get("TMDB_API_KEY"))
         else:
             transport = FixtureTransport()
         _API = TmdbApi(transport)
