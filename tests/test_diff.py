@@ -118,3 +118,47 @@ def test_validation(spark, versions):
     v1, v2 = versions
     with pytest.raises(ValueError, match="no 'nope'"):
         diff_corpora(v1.drop("source"), v2, dims=("nope",))
+
+
+def test_duplicate_or_null_keys_fail_loudly(spark):
+    """r9 hostile pass: a duplicated (or NULL) key fans the full-outer
+    join out — every old×new pairing of the key becomes a detail row —
+    and the summary silently stops counting documents. The in-plan
+    guard (merge's assert_true idiom) fails the job instead, naming
+    the offending side."""
+    from pyspark.errors import SparkRuntimeException
+
+    ok = spark.createDataFrame(
+        [(1, "x", "a")], "doc_id long, text string, source string"
+    )
+    dup = spark.createDataFrame(
+        [(1, "x", "a"), (1, "y", "a"), (2, "z", "a")],
+        "doc_id long, text string, source string",
+    )
+    nullk = spark.createDataFrame(
+        [(None, "x", "a"), (2, "z", "a")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(SparkRuntimeException, match="old version has"):
+        diff_corpora(dup, ok).count()
+    with pytest.raises(SparkRuntimeException, match="new version has"):
+        diff_corpora(ok, dup).count()
+    with pytest.raises(SparkRuntimeException, match="NULL 'doc_id'"):
+        diff_corpora(nullk, ok).count()
+    # the documented opt-out reproduces the raw-join fanout: 1 old key
+    # colliding with 2 new rows → 2 detail rows for that key
+    got = diff_corpora(ok, dup, check_keys=False)
+    assert got.where(F.col("doc_id") == 1).count() == 2
+
+
+def test_key_guard_adds_no_exchange(spark, versions):
+    """The guard's count window partitions by the join key, so the
+    physical plan still has exactly one exchange per side — the guard
+    is structurally free at 100 TB."""
+    v1, v2 = versions
+    for check in (True, False):
+        plan = (
+            diff_corpora(v1, v2, check_keys=check)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 2, plan

@@ -507,3 +507,38 @@ def test_normalize_form_makes_ingest_dedup_canonical(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["text"] == precomposed          # NFC bytes stored
     assert rows[0]["n_chars"] == len(precomposed)  # recomputed, true
+
+
+def test_batch_granularity_sweep_and_bound(spark, tmp_path):
+    """Drop-granularity contracts (r8 verdict #6): an availableNow pass
+    folds EVERY pending drop into ONE micro-batch — the natural
+    amortization of the measured ~9 s per-batch constant
+    (scripts/exp_ingest_drops.py) — while max_files_per_batch bounds a
+    batch to N files for backlog-memory control, with identical final
+    state either way."""
+    import pytest
+
+    def feed(n_files, state, **kw):
+        src = os.path.join(str(tmp_path), f"drops_{state}")
+        os.makedirs(src)
+        for d in range(n_files):
+            with open(os.path.join(src, f"d{d}.jsonl"), "w") as fh:
+                fh.write(_doc(d, f"text {d}") + "\n")
+        return ingest_file_stream(
+            spark, src, DOC_DDL, os.path.join(str(tmp_path), state),
+            keys=["doc_id"], partition_col="lang", **kw,
+        )
+
+    swept = feed(4, "sweep")
+    assert swept["batches"] == 1          # 4 pending files, one batch
+
+    bounded = feed(4, "bounded", max_files_per_batch=2)
+    assert bounded["batches"] == 2        # 2 files per batch
+
+    a = read_partitioned(spark, swept["table_path"]).orderBy("doc_id")
+    b = read_partitioned(spark, bounded["table_path"]).orderBy("doc_id")
+    assert [r["text"] for r in a.collect()] == [
+        r["text"] for r in b.collect()]
+
+    with pytest.raises(ValueError, match="must be >= 1"):
+        feed(1, "bad", max_files_per_batch=0)

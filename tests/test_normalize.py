@@ -61,6 +61,12 @@ def test_forms_and_validation(spark):
         normalize_text(df, form="NFX")
     with pytest.raises(ValueError, match="no 'nope'"):
         normalize_text(df, text_col="nope")
+    # plan-time type check (r9 hostile pass): a non-string column would
+    # otherwise die inside an executor's Arrow batch with an opaque
+    # per-task TypeError from unicodedata
+    ints = spark.range(3).toDF("text")
+    with pytest.raises(ValueError, match="is bigint, not string"):
+        normalize_text(ints)
 
 
 def test_normalization_makes_hash_dedup_canonical(spark):

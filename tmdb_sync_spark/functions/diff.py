@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STATUSES = ("added", "removed", "changed", "unchanged")
@@ -41,6 +41,7 @@ def diff_corpora(
     key: str = "doc_id",
     content_col: str = "text",
     dims: Sequence[str] = ("source",),
+    check_keys: bool = True,
 ) -> DataFrame:
     """Per-document diff detail: ``(key, status, <dims>)``.
 
@@ -49,6 +50,18 @@ def diff_corpora(
     ``unchanged`` (both, same — NULL content equal to NULL content).
     Dims come from whichever side has the row; for ``changed`` the NEW
     side wins (the release's current slicing).
+
+    ``check_keys`` (r9 hostile pass): a diff is per-DOCUMENT, so each
+    version must identify documents — a duplicated or NULL key fans the
+    full-outer join out silently (every old×new pairing of that key
+    becomes a row) and the summary's counts stop being document counts.
+    Enforced IN the plan with the MERGE's ``assert_true``-filter idiom
+    (plans/merge.py): the first violating row fails the job with the
+    side named. Structurally free: the per-side count window partitions
+    by the key the join shuffles on, so no extra exchange is added.
+    Opt out only for a corpus some OTHER guard already proved unique
+    (e.g. freshly read from a MERGE-maintained table, whose writer
+    enforces key uniqueness).
     """
     for side, df in (("old", old), ("new", new)):
         for c in (key, content_col, *dims):
@@ -56,12 +69,28 @@ def diff_corpora(
                 raise ValueError(f"diff_corpora: {side} has no {c!r} column")
 
     def fp(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
+        out = df.select(
             F.col(key),
             F.md5(F.col(content_col).cast("binary")).alias(f"_h_{tag}"),
             *[F.col(d).alias(f"_{d}_{tag}") for d in dims],
             F.lit(True).alias(f"_in_{tag}"),
         )
+        if check_keys:
+            n = F.count(F.lit(1)).over(Window.partitionBy(key))
+            guard = F.assert_true(
+                F.col(key).isNotNull() & (F.col("_n") == 1),
+                F.lit(
+                    f"diff_corpora: {tag} version has a duplicate or "
+                    f"NULL {key!r} — a diff is per-document; "
+                    "deduplicate (or filter NULL keys) first"
+                ),
+            )
+            out = (
+                out.withColumn("_n", n)
+                .where(guard.isNull())
+                .drop("_n")
+            )
+        return out
 
     joined = fp(old, "old").join(fp(new, "new"), key, "full_outer")
     status = (

@@ -80,6 +80,15 @@ def normalize_text(
     ``out_col`` when provenance must keep the original bytes)."""
     if text_col not in df.columns:
         raise ValueError(f"normalize_text: no {text_col!r} column")
+    # Fail at plan time, not deep inside an executor's Arrow batch: a
+    # non-string column reaches unicodedata.normalize as int/bytes and
+    # dies there with an opaque per-task TypeError (r9 hostile pass).
+    dt = df.schema[text_col].dataType.simpleString()
+    if dt != "string":
+        raise ValueError(
+            f"normalize_text: column {text_col!r} is {dt}, not string — "
+            "cast (or decode) it first"
+        )
     return df.withColumn(
         out_col or text_col, normalize_expr(F.col(text_col), form)
     )

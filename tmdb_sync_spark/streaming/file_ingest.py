@@ -66,6 +66,7 @@ def ingest_file_stream(
     profile_dims: tuple = ("source", "lang"),
     profile_size_col: str = "n_chars",
     normalize_form: str | None = None,
+    max_files_per_batch: int | None = None,
 ) -> dict:
     """One ``availableNow`` pass over the drop directory: every file
     not yet seen by the checkpoint is parsed, cleaned, folded, and
@@ -120,7 +121,18 @@ def ingest_file_stream(
     stage downstream (functions/normalize.py), and the ingest boundary
     is the one place normalization can run exactly once per document.
     When the schema carries ``n_chars``, it is recomputed from the
-    normalized text so size accounting stays true."""
+    normalized text so size accounting stays true.
+
+    ``max_files_per_batch``: bound one micro-batch to N source files
+    (Spark's ``maxFilesPerTrigger``, honored by ``availableNow``). An
+    unbounded sweep folds EVERY pending drop into one batch — the right
+    default (each batch pays a fixed index-scan + journaled-swap +
+    profile-write constant, measured ~8 s at sf0.1 in
+    scripts/exp_ingest_drops.py, so fewer batches = cheaper) — but a
+    multi-TB backlog swept as one batch is a memory cliff; the bound
+    restores bounded-batch processing at the cost of one fixed constant
+    per N files. Exactly-once is unchanged either way (each batch
+    commits through the same checkpoint + idempotent sinks)."""
     if fmt not in ("jsonl", "csv"):
         raise ValueError(f"ingest_file_stream: fmt {fmt!r} not in "
                          "('jsonl', 'csv')")
@@ -270,7 +282,15 @@ def ingest_file_stream(
         stats["batches"] += 1
         stats["dead"] += n_dead
 
-    stream = spark.readStream.format("text").load(src_dir)
+    reader = spark.readStream.format("text")
+    if max_files_per_batch is not None:
+        if int(max_files_per_batch) < 1:
+            raise ValueError(
+                f"ingest_file_stream: max_files_per_batch "
+                f"{max_files_per_batch!r} must be >= 1"
+            )
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_batch))
+    stream = reader.load(src_dir)
     if carry:
         stream = stream.select(
             "value", F.col("_metadata.file_path").alias("_src_file")
