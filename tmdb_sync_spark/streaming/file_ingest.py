@@ -175,6 +175,8 @@ def ingest_file_stream(
     carry = ("_src_file",) if profile_path is not None else ()
 
     def sink(batch_lines: DataFrame, epoch: int) -> None:
+        from pyspark.storagelevel import StorageLevel
+
         if fmt == "csv":
             from tmdb_sync_spark.sources.files import parse_csv_lines
 
@@ -195,8 +197,23 @@ def ingest_file_stream(
                     "n_chars",
                     F.length("text").cast(schema["n_chars"].dataType),
                 )
-        arrivals = clean
-        clean = clean.drop("_src_file") if carry else clean
+        # Pin the parse ONCE per batch (r9, measured in
+        # scripts/exp_ingest_drops.py): the sink's consumers — dead
+        # count + write, the key fold, the index probe, the MERGE, the
+        # index append, the profile write — are separate actions, and
+        # without a pin EVERY one re-reads the batch's source files and
+        # re-runs from_json (+ the Arrow normalize pass when enabled).
+        # MEMORY_AND_DISK: a backlog sweep's batch may outgrow the
+        # fraction of the heap the block manager grants — spill, never
+        # recompute 6×; max_files_per_batch is the caller's bound when
+        # even spilled batches are too big. Safe to persist (unlike the
+        # index survivors, dedup_index.py): neither frame's plan reads
+        # a path the sink later writes, so no refreshByPath recache can
+        # bite. Unpersisted at sink end — batches must not accumulate
+        # blocks across a long drain.
+        arrivals = clean.persist(StorageLevel.MEMORY_AND_DISK)
+        dead = dead.persist(StorageLevel.MEMORY_AND_DISK)
+        clean = arrivals.drop("_src_file") if carry else arrivals
         n_dead = dead.count()
         if n_dead:
             # idempotent BY BATCH (dynamic partition overwrite, the
@@ -211,76 +228,87 @@ def ingest_file_stream(
                 .parquet(errors_path)
             )
         # fold in-batch duplicate keys deterministically (the MERGE's
-        # unique-source-key contract): greatest full row wins
+        # unique-source-key contract): greatest full row wins. Pinned
+        # like the parse: the MERGE and the index probe/append each
+        # evaluate it (the index survivors stay LAZY on purpose — their
+        # plan reads the index path the append later writes, exactly
+        # the refreshByPath recache hazard dedup_index.py pins around —
+        # so the fold shuffle is the deepest safely-cacheable node).
         folded = (
             clean.groupBy(*keys)
             .agg(F.max_by(row, row).alias("_r"))
             .select("_r.*")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        survivors_for_index = None
-        if dedup_index_path is not None:
-            from tmdb_sync_spark.functions.dedup_index import (
-                dedup_against_index,
-            )
+        pins = (arrivals, dead, folded)
+        try:
+            survivors_for_index = None
+            if dedup_index_path is not None:
+                from tmdb_sync_spark.functions.dedup_index import (
+                    dedup_against_index,
+                )
 
-            # update_index=False: the index append happens AFTER the
-            # merge (below). Appending first loses the whole batch on
-            # crash-replay — the replayed docs match their OWN
-            # signatures and never reach the table; after-the-merge,
-            # a replay re-dedups against a pre-batch index, re-merges
-            # idempotently, and appends once.
-            res = dedup_against_index(
-                spark, folded, dedup_index_path, update_index=False
+                # update_index=False: the index append happens AFTER
+                # the merge (below). Appending first loses the whole
+                # batch on crash-replay — the replayed docs match their
+                # OWN signatures and never reach the table; after-the-
+                # merge, a replay re-dedups against a pre-batch index,
+                # re-merges idempotently, and appends once.
+                res = dedup_against_index(
+                    spark, folded, dedup_index_path, update_index=False
+                )
+                folded = res["survivors"]
+                survivors_for_index = folded
+                stats["near_dups"] += (
+                    res["n_dropped_vs_index"] + res["n_dropped_in_batch"]
+                )
+            merge_into_partitioned(
+                spark, table_path, folded,
+                keys=keys, partition_col=partition_col,
+                lock_wait_s=MERGE_LOCK_WAIT_S,
             )
-            folded = res["survivors"]
-            survivors_for_index = folded
-            stats["near_dups"] += (
-                res["n_dropped_vs_index"] + res["n_dropped_in_batch"]
-            )
-        merge_into_partitioned(
-            spark, table_path, folded,
-            keys=keys, partition_col=partition_col,
-            lock_wait_s=MERGE_LOCK_WAIT_S,
-        )
-        if survivors_for_index is not None:
-            from tmdb_sync_spark.functions.dedup_index import (
-                append_docs_to_index,
-            )
+            if survivors_for_index is not None:
+                from tmdb_sync_spark.functions.dedup_index import (
+                    append_docs_to_index,
+                )
 
-            append_docs_to_index(
-                spark, dedup_index_path, survivors_for_index
-            )
-        if profile_path is not None:
-            from tmdb_sync_spark.functions.stats import (
-                profile_drop_state,
-                write_profile_drops,
-            )
+                append_docs_to_index(
+                    spark, dedup_index_path, survivors_for_index
+                )
+            if profile_path is not None:
+                from tmdb_sync_spark.functions.stats import (
+                    profile_drop_state,
+                    write_profile_drops,
+                )
 
-            # one drop-state row set per SOURCE FILE, all files of the
-            # batch in one aggregation + one partitioned write; files
-            # whose drop id is already recorded are skipped by the
-            # immutability filter (crash replays and re-batched
-            # redrains re-merge idempotently above and no-op here)
-            prof = arrivals.withColumn(
-                "_drop",
-                F.concat(
-                    F.lit("f"),
-                    F.substring(
-                        F.sha1(F.col("_src_file").cast("binary")), 1, 16
+                # one drop-state row set per SOURCE FILE, all files of
+                # the batch in one aggregation + one partitioned write;
+                # files whose drop id is already recorded are skipped by
+                # the immutability filter (crash replays and re-batched
+                # redrains re-merge idempotently above and no-op here)
+                prof = arrivals.withColumn(
+                    "_drop",
+                    F.concat(
+                        F.lit("f"),
+                        F.substring(
+                            F.sha1(F.col("_src_file").cast("binary")), 1, 16
+                        ),
                     ),
-                ),
-            ).drop("_src_file")
-            res_p = write_profile_drops(
-                profile_drop_state(
-                    prof, ("_drop", *profile_dims),
-                    size_col=profile_size_col,
-                ),
-                profile_path,
-                "_drop",
-            )
-            stats["profile_replays"] += len(res_p["skipped"])
-        stats["batches"] += 1
-        stats["dead"] += n_dead
+                ).drop("_src_file")
+                res_p = write_profile_drops(
+                    profile_drop_state(
+                        prof, ("_drop", *profile_dims),
+                        size_col=profile_size_col,
+                    ),
+                    profile_path,
+                    "_drop",
+                )
+                stats["profile_replays"] += len(res_p["skipped"])
+            stats["batches"] += 1
+            stats["dead"] += n_dead
+        finally:
+            for p in pins:
+                p.unpersist()
 
     reader = spark.readStream.format("text")
     if max_files_per_batch is not None:
