@@ -1,0 +1,169 @@
+"""Winnowed local fingerprints (functions/winnow.py): the winnowing
+guarantee, cross-engine parity of the selection rule, hostile shapes
+(short / NULL / repetitive texts), the boilerplate df-cap, and the
+planted-excerpt detection the registered query demonstrates. The
+registered query's full-frame DuckDB parity runs in
+tests/test_oracle_parity.py like every driver slot."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.functions.winnow import (
+    MIN_SHARED_FPS,
+    WINNOW_K,
+    WINNOW_W,
+    doc_fingerprints,
+    substring_overlap,
+    winnow_fingerprints,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_selection_rule_matches_duckdb(spark):
+    """The (pos, fp) selections — k-gram md5, window min, LEFTMOST tie
+    — must be byte-identical to the SQL construction the oracle uses."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "xx the quick brown fox jumps over the lazy dog yy"),
+        (3, "completely different content here entirely"),
+        (4, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),   # repetitive: min ties
+    ]
+    got = (
+        winnow_fingerprints(_docs(spark, rows))
+        .orderBy("doc_id", "pos", "fp").toPandas()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, length(text) - {WINNOW_K - 1}),
+                                  i -> md5(substr(text, i, {WINNOW_K}))) AS hs
+            FROM t WHERE length(text) >= {WINNOW_K}
+        ),
+        w AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(hs) - {WINNOW_W - 1}, 1)),
+                       j -> struct_pack(
+                           pos := j + list_position(hs[j:j+{WINNOW_W - 1}],
+                               list_aggregate(hs[j:j+{WINNOW_W - 1}], 'min')) - 1,
+                           fp := list_aggregate(hs[j:j+{WINNOW_W - 1}], 'min'))) AS wins
+            FROM h
+        )
+        SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp
+        FROM w, UNNEST(w.wins) AS _(u)
+        ORDER BY doc_id, pos, fp
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"pos": "int64"}),
+        want.reset_index(drop=True).astype({"pos": "int64"}),
+    )
+
+
+def test_short_and_null_texts_contribute_nothing(spark):
+    """Sub-K and NULL texts have no k-grams BY DEFINITION — and Spark's
+    sequence(1, 0) DESCENDS instead of returning empty, so an unguarded
+    short text would fabricate a junk fingerprint (the trap the length
+    gate closes; caught aligning the prototypes)."""
+    rows = [(1, "short"), (2, None), (3, "x" * (WINNOW_K - 1)),
+            (4, "y" * WINNOW_K)]
+    got = winnow_fingerprints(_docs(spark, rows))
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").distinct().collect())
+    assert ids == [4]                       # only the exactly-K doc
+    assert got.count() == 1                 # one window, one selection
+
+
+def test_winnowing_guarantee_on_planted_overlap(spark):
+    """Any shared substring of >= K + W - 1 chars shares at least one
+    SELECTED fingerprint — detection is positional, not probabilistic.
+    Probe the exact boundary length."""
+    span = "ZXCVBNMqwertyuiopasdfghjkl"[: WINNOW_K + WINNOW_W - 1]
+    assert len(span) == WINNOW_K + WINNOW_W - 1
+    a = "left-context-" * 3 + span + "-right-rest-" * 3
+    b = "B totally different beginning " + span + " other ending entirely"
+    fps = winnow_fingerprints(_docs(spark, [(1, a), (2, b)]))
+    shared = (
+        fps.where(F.col("doc_id") == 1).select("fp")
+        .intersect(fps.where(F.col("doc_id") == 2).select("fp"))
+    )
+    assert shared.count() >= 1
+
+
+def test_repetitive_text_collapses_before_the_join(spark):
+    """The hostile 'aaaa…' doc selects ONE fp at many positions;
+    doc_fingerprints must reduce it to one row so a pair join cannot go
+    quadratic in position count."""
+    df = doc_fingerprints(_docs(spark, [(1, "a" * 500)]))
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_pos"] > 1 and r["min_pos"] == 1
+    # n_hashes = 500-K+1; windows start at 1..n_hashes-W+1 and every
+    # window's (all-equal) min resolves to its own first slot
+    assert r["max_pos"] == (500 - WINNOW_K + 1) - (WINNOW_W - 1)
+
+
+def test_overlap_detects_excerpt_and_caps_boilerplate(spark):
+    """An excerpt of doc 1 matches doc 1 (and nothing else); a
+    boilerplate line present in EVERY corpus doc is excluded by the
+    df-cap, so it alone never creates a pair."""
+    boiler = "subscribe to our newsletter for updates today "   # 47 chars
+    corpus = _docs(spark, [
+        (i, boiler + f"body {i} " + f"unique content {i} " * 8)
+        for i in range(1, 8)
+    ])
+    # excerpt: 60 chars of doc 3's UNIQUE region
+    q_text = ("body 3 " + "unique content 3 " * 8)[:60]
+    queries = spark.createDataFrame(
+        [(100, q_text)], "query_id long, text string"
+    )
+    got = substring_overlap(queries, corpus, df_cap=3, min_shared=2)
+    rows = {(r["query_id"], r["corpus_id"]): r for r in got.collect()}
+    assert (100, 3) in rows
+    assert rows[(100, 3)]["c_span_chars"] >= 40
+    # boilerplate-only query: its every fingerprint is in all 7 docs —
+    # df-capped away, NO pair may surface
+    qb = spark.createDataFrame([(200, boiler)], "query_id long, text string")
+    assert substring_overlap(qb, corpus, df_cap=3, min_shared=1).count() == 0
+
+
+def test_registered_query_finds_every_planted_source(spark, sf_dir):
+    """The driver query plants excerpts of doc_id % 31 == 0 docs; the
+    winnowing guarantee makes finding each source CERTAIN. (Full-frame
+    DuckDB parity for this query lives in test_oracle_parity.py.)"""
+    from tmdb_sync_spark.functions.winnow import wn_substring_overlap
+    from tmdb_sync_spark.io import table
+
+    docs = table(spark, sf_dir, "documents")
+    expected_sources = {
+        r["doc_id"]
+        for r in docs.where(
+            (F.col("doc_id") % 31 == 0) & (F.length("text") >= 200)
+        ).collect()
+    }
+    got = wn_substring_overlap(spark, sf_dir).collect()
+    self_hits = {r["query_id"] for r in got
+                 if r["query_id"] == r["corpus_id"]}
+    assert self_hits == expected_sources and len(expected_sources) > 0
+    for r in got:
+        assert r["n_shared_fps"] >= MIN_SHARED_FPS
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="no 'nope'"):
+        winnow_fingerprints(
+            _docs(spark, [(1, "x")]), id_col="nope"
+        )
+    with pytest.raises(ValueError, match="bad k"):
+        winnow_fingerprints(_docs(spark, [(1, "x")]), k=1)

@@ -19,4 +19,5 @@ from tmdb_sync_spark.functions import (  # noqa: F401
     stats,
     text,
     vector_index,
+    winnow,
 )

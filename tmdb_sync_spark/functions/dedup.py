@@ -30,7 +30,7 @@ from tmdb_sync_spark.functions.text import WS_SQL, tokens_expr, trim_sql
 
 _TRIM = trim_sql("text")
 from tmdb_sync_spark.io import parallel_table, table
-from tmdb_sync_spark.registry import register
+from tmdb_sync_spark.registry import register, register_retired
 
 N_HASHES = 8  # minhash signature length
 N_BANDS = 4   # bands of 2 hashes -> candidate recall at jaccard ~0.5+
@@ -414,7 +414,15 @@ def dd_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
+    # Rotated to the local parity gate r9 to free the driver slot for
+    # wn_substring_overlap (functions/winnow.py): this operator is the
+    # exact-Jaccard VERIFY stage of the near-dup pipeline whose
+    # candidate stage (dd_minhash_lsh) keeps its driver slot; winnowing
+    # adds a detection capability no current slot covers (paragraph-
+    # level overlap inside otherwise-different documents). Coverage is
+    # unchanged — retired queries run at the identical oracle bar in
+    # tests/test_oracle_parity.py.
     "dd_ngram_jaccard",
     oracle=_SHINGLE_SQL
     + """

@@ -1,0 +1,319 @@
+"""Winnowed local fingerprints — substring-level overlap detection.
+
+The dedup stack's document-level signatures (minhash / simhash,
+functions/dedup.py) see a WHOLE document: a copied paragraph pasted
+into an otherwise-different document moves every doc-level signature
+and the pair never candidates. Training corpora leak exactly that way
+— boilerplate headers, quoted passages, eval questions embedded in
+crawl pages — so the missing primitive is a LOCAL fingerprint with a
+positional guarantee. This module is the classic answer: winnowing
+(Schleimer, Wilkerson, Aiken — "Winnowing: Local Algorithms for
+Document Fingerprinting", SIGMOD 2003, the MOSS algorithm; public
+literature, no reference-repo counterpart — beyond-reference operator
+in the SURVEY §2-adjacent training-pipeline tier).
+
+Algorithm (all Catalyst higher-order functions — no UDF, no shuffle
+until the fingerprints leave the row):
+
+1. k-gram hashes: ``h[i] = md5(text[i : i+K])`` for every position —
+   md5 because it is the engine's one cross-engine hash (DuckDB
+   mirrors it byte-for-byte; SURVEY §5 determinism rules).
+2. window minima: over every window of ``W`` consecutive hashes keep
+   the minimum (leftmost on ties — ``array_position`` /
+   ``list_position`` both return the first match, so the choice is
+   cross-engine deterministic).
+3. distinct ``(pos, fp)`` selections per document.
+
+The winnowing guarantee: any shared substring of at least
+``K + W - 1`` characters shares at least one SELECTED fingerprint —
+detection is not probabilistic like minhash, it is positional.
+Fingerprint density is ~``2/(W+1)`` per character, so the fingerprint
+table is a bounded fraction of corpus size and the K/W choice is a
+recall-versus-index-size dial, not a correctness one.
+
+Scale shape of the overlap join (``substring_overlap``):
+
+- fingerprints reduce to ONE row per (doc, fp) — ``min/max pos`` ride
+  the aggregate — BEFORE any join, so positional multiplicity inside a
+  repetitive document (the hostile "aaaa…" shape: every window selects
+  the same fp) can never fan a pair out quadratically;
+- boilerplate fingerprints are dropped by a document-frequency cap
+  (``df_cap``) computed on the corpus side — the exact analog of the
+  stopword-df cap in the text operators: a header shared by a million
+  documents is not evidence of copying, and at 100 TB it is also the
+  join's skew bomb. The df aggregation shuffles on ``fp`` and the
+  match join reuses that partitioning;
+- the query side is typically small (an eval set, a single release's
+  suspects) and broadcasts; the corpus fingerprint table shuffles once.
+
+Sub-``K`` texts have no k-grams BY DEFINITION and are filtered with
+``length(text) >= K`` on BOTH engines — also a real Spark trap:
+``sequence(1, 0)`` DESCENDS (yields ``[1, 0]``) rather than returning
+empty, so an unguarded short text would fabricate a junk fingerprint
+(caught while aligning the two prototypes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.io import parallel_table
+from tmdb_sync_spark.registry import register
+
+WINNOW_K = 12        # k-gram width (chars)
+WINNOW_W = 6         # hashes per winnowing window; density ≈ 2/(W+1)
+HOT_FP_DOC_CAP = 10  # fp in more corpus docs = boilerplate, dropped
+MIN_SHARED_FPS = 3   # pair detection threshold
+
+
+def _kgram_hashes(text: Column, k: int) -> Column:
+    """``h[i] = md5(text[i : i+k])`` for every 1-based position."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)),
+        lambda i: F.md5(text.substr(i, F.lit(k)).cast("binary")),
+    )
+
+
+def _window_minima(hs: Column, w: int) -> Column:
+    """Winnowing selections over a MATERIALIZED hash-array column.
+
+    ``hs`` must be an attribute reference (a projected column), never
+    the raw ``transform(...)`` expression: array-HOF lambdas evaluate
+    interpreted per element, so an embedded k-gram transform here would
+    re-hash the WHOLE document once per window × per slice — O(n²·k)
+    per doc, the exact trap dedup.py's ``_shingles_from`` documents
+    (re-found empirically: the inlined form timed out at sf0.1 where
+    the two-projection form runs in seconds). The enclosing projections
+    stay separate because CollapseProject refuses to inline a non-cheap
+    alias referenced more than once."""
+    def pick(j: Column) -> Column:
+        win = F.slice(hs, j, w)
+        mn = F.array_min(win)
+        return F.struct(
+            (j + F.array_position(win, mn) - 1).alias("pos"),
+            mn.alias("fp"),
+        )
+
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))),
+        pick,
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id_col, pos, fp)`` — the distinct winnowing selections of each
+    document. ``pos`` is the 1-based char offset of the selected k-gram.
+    Documents shorter than ``k`` (or with NULL text) contribute nothing.
+    """
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"winnow_fingerprints: no {c!r} column")
+    if not (k >= 2 and w >= 1):
+        raise ValueError(f"winnow_fingerprints: bad k={k} / w={w}")
+    hashed = (
+        df.where(F.length(text_col) >= k)
+        .select(
+            F.col(id_col), _kgram_hashes(F.col(text_col), k).alias("_hs")
+        )
+    )
+    # explode_OUTER dodges InferFiltersFromGenerate re-substituting the
+    # hash transform into a pushed-down size() filter (dedup.py's
+    # minhash note); identical here — the selection array is never
+    # empty once length >= k holds.
+    return (
+        hashed.select(
+            id_col,
+            F.explode_outer(_window_minima(F.col("_hs"), w)).alias("_s"),
+        )
+        .select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
+        .distinct()
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per ``(doc, fp)`` with positional extent
+    (``min_pos`` / ``max_pos`` / ``n_pos``) — the join-ready reduction
+    of :func:`winnow_fingerprints`: positional multiplicity inside a
+    document (repetitive text selects one fp at many positions) is
+    collapsed BEFORE any pair join can multiply it."""
+    return (
+        winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+        .groupBy(id_col, "fp")
+        .agg(
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+
+
+def substring_overlap(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    df_cap: int = HOT_FP_DOC_CAP,
+    min_shared: int = MIN_SHARED_FPS,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs ``(query_id, corpus_id)`` sharing ≥ ``min_shared`` winnowed
+    fingerprints, with the corpus-side matched extent:
+    ``(query_id, corpus_id, n_shared_fps, c_span_chars)``.
+
+    ``c_span_chars`` = ``max(max_pos) - min(min_pos) + k`` over the
+    matched fingerprints — an upper bound on the matched region's char
+    extent in the corpus document (an audit pointer, not an exact
+    alignment; exact spans are a per-pair verify stage's job, exactly
+    like ``dd_ngram_jaccard`` verifies ``dd_minhash_lsh`` candidates).
+
+    Fingerprints present in more than ``df_cap`` corpus documents are
+    dropped from BOTH sides (boilerplate + join-skew guard; module
+    docstring). Detection guarantee under the cap: a shared substring
+    of ``k + w - 1`` chars whose fingerprints are not boilerplate
+    yields a match row.
+    """
+    cf = doc_fingerprints(
+        corpus, k=k, w=w, id_col=corpus_id_col, text_col=text_col
+    )
+    # df over (doc, fp)-unique rows = count(*) per fp; the HAVING-style
+    # filter keeps the fp list tiny relative to the fingerprint table
+    ok = (
+        cf.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= df_cap)
+        .select("fp")
+    )
+    cf = cf.join(ok, "fp")   # co-partitioned on fp with the agg above
+    qf = winnow_fingerprints(
+        queries, k=k, w=w, id_col=query_id_col, text_col=text_col
+    ).select(query_id_col, "fp").distinct()
+    return (
+        qf.join(cf, "fp")
+        .groupBy(query_id_col, corpus_id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fps"),
+            (F.max("max_pos") - F.min("min_pos") + F.lit(k))
+            .cast("long").alias("c_span_chars"),
+        )
+        .where(F.col("n_shared_fps") >= min_shared)
+        .withColumnRenamed(corpus_id_col, "corpus_id")
+    )
+
+
+@register(
+    "wn_substring_overlap",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id AS query_id, substr(text, 8, 150) AS text
+        FROM documents WHERE doc_id % 31 = 0 AND length(text) >= 200
+    ),
+    corp AS (
+        SELECT doc_id, text FROM documents
+        WHERE length(text) >= {WINNOW_K}
+    ),
+    ch AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, length(text) - {WINNOW_K - 1}),
+                   i -> md5(substr(text, i, {WINNOW_K}))) AS hs
+        FROM corp
+    ),
+    cw AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(hs) - {WINNOW_W - 1}, 1)),
+                   j -> struct_pack(
+                       pos := j + list_position(
+                           hs[j:j+{WINNOW_W - 1}],
+                           list_aggregate(hs[j:j+{WINNOW_W - 1}], 'min')) - 1,
+                       fp := list_aggregate(hs[j:j+{WINNOW_W - 1}], 'min')
+                   )) AS wins
+        FROM ch
+    ),
+    cf AS (
+        SELECT doc_id, u.fp AS fp,
+               MIN(u.pos) AS min_pos, MAX(u.pos) AS max_pos
+        FROM cw, UNNEST(cw.wins) AS _(u)
+        GROUP BY doc_id, u.fp
+    ),
+    ok AS (
+        SELECT fp FROM cf GROUP BY fp HAVING COUNT(*) <= {HOT_FP_DOC_CAP}
+    ),
+    cfo AS (SELECT cf.* FROM cf JOIN ok USING (fp)),
+    qh AS (
+        SELECT query_id,
+               list_transform(
+                   generate_series(1, length(text) - {WINNOW_K - 1}),
+                   i -> md5(substr(text, i, {WINNOW_K}))) AS hs
+        FROM q WHERE length(text) >= {WINNOW_K}
+    ),
+    qw AS (
+        SELECT query_id,
+               list_transform(
+                   generate_series(1, greatest(len(hs) - {WINNOW_W - 1}, 1)),
+                   j -> struct_pack(
+                       pos := j + list_position(
+                           hs[j:j+{WINNOW_W - 1}],
+                           list_aggregate(hs[j:j+{WINNOW_W - 1}], 'min')) - 1,
+                       fp := list_aggregate(hs[j:j+{WINNOW_W - 1}], 'min')
+                   )) AS wins
+        FROM qh
+    ),
+    qf AS (
+        SELECT DISTINCT query_id, u.fp AS fp
+        FROM qw, UNNEST(qw.wins) AS _(u)
+    )
+    SELECT q.query_id,
+           c.doc_id AS corpus_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
+           CAST(MAX(c.max_pos) - MIN(c.min_pos) + {WINNOW_K} AS BIGINT)
+               AS c_span_chars
+    FROM qf q JOIN cfo c USING (fp)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {MIN_SHARED_FPS}
+    ORDER BY query_id, corpus_id
+    """,
+)
+def wn_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based substring-overlap detection, end to end.
+
+    Queries are 150-char excerpts cut from a deterministic slice of the
+    corpus itself (``doc_id % 31 == 0``, offset 8) — a planted
+    paragraph-level leak with a known answer: every excerpt must match
+    its source document (the winnowing guarantee makes that detection
+    certain, not probabilistic), plus any genuine cross-document
+    repetition the synthetic corpus contains. This is the contamination
+    shape doc-LEVEL signatures cannot see: the excerpt's minhash is far
+    from its 300-char source's.
+
+    Plan: two fingerprint projections (Catalyst HOFs, no UDF) → per-doc
+    (fp, extent) aggregate → df-cap semi-join (reuses the fp
+    partitioning) → broadcast-joined query side → pair aggregate.
+    """
+    docs = parallel_table(spark, sf_dir, "documents")
+    queries = (
+        docs.where((F.col("doc_id") % 31 == 0) & (F.length("text") >= 200))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 8, 150).alias("text"),
+        )
+    )
+    return substring_overlap(queries, docs).orderBy("query_id", "corpus_id")
