@@ -54,6 +54,8 @@ HOSTILE_TEXTS = [
 ]
 
 # text-reading queries whose Spark/DuckDB twins must hash-match on this
+# (looked up across BOTH registries — driver slots rotate, the hostile
+# bar does not: dd_ngram_jaccard faces it from the retired registry)
 TEXT_QUERIES = [
     "tx_text_features", "tx_ngram_topk", "dd_exact", "dd_minhash_lsh",
     "dd_simhash_fingerprint", "dd_ngram_jaccard", "dd_cluster_components",
@@ -62,6 +64,8 @@ TEXT_QUERIES = [
     # hostile corpus (unicode classes, WS zoo, NULL text/lang/size edges)
     "chunk_documents", "repetition_stats", "corpus_report",
     "export_shard_layout",
+    # r9: winnowed fingerprints read raw text (multi-byte substr + md5)
+    "wn_substring_overlap",
 ]
 
 
@@ -131,7 +135,11 @@ def test_text_query_parity_on_hostile_corpus(spark, hostile_sf, name):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{hostile_sf}/{t}.parquet')"
         )
-    got = _canon(E.queries()[name](spark, hostile_sf))
-    want = _canon(con.execute(E.oracle_sql()[name]).df())
+    from tmdb_sync_spark.registry import RETIRED_ORACLES, RETIRED_QUERIES
+
+    queries = {**E.queries(), **RETIRED_QUERIES}
+    oracles = {**E.oracle_sql(), **RETIRED_ORACLES}
+    got = _canon(queries[name](spark, hostile_sf))
+    want = _canon(con.execute(oracles[name]).df())
     con.close()
     assert got == want, f"{name} diverges on hostile text"
