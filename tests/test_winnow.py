@@ -167,3 +167,6 @@ def test_validation(spark):
         )
     with pytest.raises(ValueError, match="bad k"):
         winnow_fingerprints(_docs(spark, [(1, "x")]), k=1)
+    d = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="must differ"):
+        substring_overlap(d, d, query_id_col="doc_id")

@@ -190,6 +190,12 @@ def substring_overlap(
     of ``k + w - 1`` chars whose fingerprints are not boilerplate
     yields a match row.
     """
+    if query_id_col == corpus_id_col:
+        raise ValueError(
+            "substring_overlap: query_id_col and corpus_id_col must "
+            f"differ (both {query_id_col!r}) — alias one side first, or "
+            "the pair aggregation's columns are ambiguous"
+        )
     cf = doc_fingerprints(
         corpus, k=k, w=w, id_col=corpus_id_col, text_col=text_col
     )
