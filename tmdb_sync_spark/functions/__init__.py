@@ -20,4 +20,5 @@ from tmdb_sync_spark.functions import (  # noqa: F401
     text,
     vector_index,
     winnow,
+    winnow_index,
 )

@@ -1,0 +1,230 @@
+"""Persisted winnow-fingerprint index — incremental substring
+contamination at corpus scale.
+
+``functions/winnow.py`` answers "does this eval paragraph appear in
+that corpus frame" with a full fingerprint pass over the corpus — fine
+once per release, wrong as the STANDING contamination gate: every eval
+drop would re-fingerprint 100 TB. This module is the third member of
+the engine's incremental-index family (minhash bands —
+``dedup_index.py``; quantized vectors — ``vector_index.py``): corpus
+winnow fingerprints are persisted ONCE, partitioned by a hash bucket of
+the fingerprint (``bb = pmod(xxhash64(fp), 64)``), and an eval set
+probes only the buckets its own fingerprints hash into — a
+bucket-pruned scan + one equi-join, never a corpus pass.
+
+Same operational contracts as the sibling indexes, deliberately:
+
+- **store contract** (``_store_contract.json``): K / W / bucket modulus
+  / digest are the index's KEY SPACE — probing an index built under
+  different constants silently misses, so first write records them and
+  every later use must match (read-only probes validate but never
+  create — r8 advice).
+- **single-writer lock**: appends take the table's ``_merge.lock``
+  (shared with compaction's journaled rewrite), so concurrent writers
+  serialize or fail loudly.
+- **append-only + compaction**: drops append one file per touched
+  bucket; ``compact_fp_index`` rewrites to one file per bucket through
+  ``plans.partitioned.write_partitioned`` (staging + journaled swap —
+  a crash leaves the old index or the new one, never a torn one),
+  locally sorted by ``fp`` so row-group stats serve the probe join.
+- **a missing index RAISES** from the contamination check: scanning
+  nothing and reporting "clean" is the worst failure mode.
+
+Scale shape of the probe: the eval side is small by definition —
+its distinct fingerprints broadcast (size-gated like the band index's
+probe); the index scan reads only the probed ``bb=`` partitions; the
+boilerplate df-cap is computed over the SAME pruned scan (document
+frequency per fingerprint is complete within its bucket, since a
+fingerprint lives in exactly one bucket); match rows aggregate per
+(eval doc, corpus doc) with the positional span riding min/max.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tmdb_sync_spark.functions.winnow import (
+    HOT_FP_DOC_CAP,
+    MIN_SHARED_FPS,
+    WINNOW_K,
+    WINNOW_W,
+    doc_fingerprints,
+    winnow_fingerprints,
+)
+
+N_FP_BUCKETS = 64
+
+# Probe-side broadcast gate (same discipline as dedup_index's
+# BROADCAST_PROBE_MAX_ROWS): an "eval set" large enough to blow the
+# broadcast ceiling should shuffle, not OOM an executor.
+BROADCAST_PROBE_MAX_ROWS = 2_000_000
+
+
+def _check_contract(index_path: str, what: str, record: bool = True) -> None:
+    from tmdb_sync_spark.util import check_store_contract
+
+    check_store_contract(
+        index_path,
+        {"kind": "winnow_fp_index", "k": WINNOW_K, "w": WINNOW_W,
+         "n_fp_buckets": N_FP_BUCKETS, "digest": "md5-hex32",
+         "tie": "leftmost"},
+        what,
+        record=record,
+    )
+
+
+def _index_writer_lock(index_path: str, wait_s: float):
+    from tmdb_sync_spark.plans.partitioned import MERGE_LOCK_NAME
+    from tmdb_sync_spark.util import acquire_dir_lock
+
+    return acquire_dir_lock(index_path, MERGE_LOCK_NAME, wait_s=wait_s)
+
+
+def _bb(col) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(N_FP_BUCKETS))
+
+
+def fp_index_exists(index_path: str) -> bool:
+    return os.path.isdir(index_path) and any(
+        e.startswith("bb=") for e in os.listdir(index_path)
+    )
+
+
+def append_fingerprints_to_index(
+    spark: SparkSession,
+    index_path: str,
+    docs: DataFrame,
+    *,
+    lock_wait_s: float = 60.0,
+) -> None:
+    """Append ``docs``' winnow fingerprints — ``(doc_id, fp, min_pos,
+    max_pos, n_pos, bb)`` — to the index. Caller contract mirrors the
+    sibling indexes: ``doc_id``s must be new to the index (the drop
+    cursor's discipline; re-appending a doc duplicates its rows until
+    compaction, and the probe's ``countDistinct`` tolerates but does
+    not excuse it). Order AFTER your table commit, exactly like
+    ``append_docs_to_index``."""
+    _check_contract(index_path, "append_fingerprints_to_index")
+    lock = _index_writer_lock(index_path, lock_wait_s)
+    try:
+        (
+            doc_fingerprints(docs)
+            .withColumn("bb", _bb(F.col("fp")))
+            # one file per touched bucket, not a sliver per shuffle
+            # partition (the band index's append discipline)
+            .repartition("bb")
+            .write.mode("append")
+            .partitionBy("bb")
+            .parquet(index_path)
+        )
+    finally:
+        from tmdb_sync_spark.util import release_dir_lock
+
+        release_dir_lock(lock)
+
+
+def substring_contamination_check(
+    spark: SparkSession,
+    index_path: str,
+    eval_docs: DataFrame,
+    *,
+    min_shared: int = MIN_SHARED_FPS,
+    df_cap: int = HOT_FP_DOC_CAP,
+) -> DataFrame:
+    """Which eval documents share a SUBSTRING (≥ K+W-1 chars, winnowing
+    guarantee) with the indexed corpus?
+
+    ``eval_docs`` is ``(doc_id, text, ...)``. Returns one row per
+    detected pair — ``(doc_id, corpus_doc_id, n_shared_fps,
+    c_span_chars)`` — lazy and composable (anti-join for the clean
+    subset, join back for eval metadata). Sensitivity: ``min_shared``
+    distinct fingerprints after the ``df_cap`` boilerplate drop; the
+    complement of ``dedup_index.contamination_check`` (whole-document
+    near-match) and ``vector_index`` (semantic match) — this one sees
+    the copied PARAGRAPH inside an otherwise-novel eval document.
+
+    A missing index raises; a read never records or creates the store.
+    """
+    if not fp_index_exists(index_path):
+        raise ValueError(
+            f"substring_contamination_check: no fingerprint index at "
+            f"{index_path!r} — build one with append_fingerprints_to_index"
+        )
+    _check_contract(index_path, "substring_contamination_check",
+                    record=False)
+    probe = (
+        winnow_fingerprints(eval_docs)
+        .select("doc_id", "fp").distinct()
+        .withColumn("bb", _bb(F.col("fp")))
+    )
+    # bounded driver-side bucket list (≤ N_FP_BUCKETS rows) → partition
+    # pruning on the index read
+    bbs = sorted(r["bb"] for r in probe.select("bb").distinct().collect())
+    idx = spark.read.parquet(index_path)
+    if len(bbs) < N_FP_BUCKETS:
+        idx = idx.where(F.col("bb").isin(bbs))
+    # boilerplate drop, computed on the pruned scan (complete per fp:
+    # a fingerprint lives in exactly one bucket)
+    ok = (
+        idx.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .where(F.col("_df") <= df_cap)
+        .select("fp")
+    )
+    cand = idx.join(ok, "fp")
+    p = probe.select(F.col("doc_id"), "fp")
+    if probe.count() <= BROADCAST_PROBE_MAX_ROWS:
+        p = F.broadcast(p)
+    return (
+        p.join(
+            cand.select(
+                F.col("doc_id").alias("corpus_doc_id"),
+                "fp", "min_pos", "max_pos",
+            ),
+            "fp",
+        )
+        .groupBy("doc_id", "corpus_doc_id")
+        .agg(
+            F.count_distinct("fp").alias("n_shared_fps"),
+            (F.max("max_pos") - F.min("min_pos") + F.lit(WINNOW_K))
+            .cast("long").alias("c_span_chars"),
+        )
+        .where(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def compact_fp_index(spark: SparkSession, index_path: str) -> dict:
+    """Rewrite the append-only fingerprint index into one file per
+    bucket (sorted by ``fp`` for tight row-group stats on the probe
+    join). Crash safety delegates to ``write_partitioned`` (staging +
+    journaled swap + the same writer lock appends take)."""
+    from tmdb_sync_spark.plans.partitioned import write_partitioned
+
+    if not fp_index_exists(index_path):
+        raise ValueError(f"compact_fp_index: no index at {index_path!r}")
+    _check_contract(index_path, "compact_fp_index")
+
+    def _count_files() -> int:
+        n = 0
+        for e in os.scandir(index_path):
+            if e.is_dir() and e.name.startswith("bb="):
+                n += sum(
+                    1 for f in os.listdir(e.path)
+                    if not f.startswith(("_", ".")) and f.endswith(".parquet")
+                )
+        return n
+
+    before = _count_files()
+    idx = spark.read.parquet(index_path)
+    rows = idx.count()
+    write_partitioned(
+        idx.repartition("bb"), index_path, "bb", cluster_by=("fp",),
+    )
+    return {
+        "files_before": before,
+        "files_after": _count_files(),
+        "rows": rows,
+    }
