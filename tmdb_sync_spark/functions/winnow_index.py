@@ -102,10 +102,10 @@ def append_fingerprints_to_index(
 ) -> None:
     """Append ``docs``' winnow fingerprints — ``(doc_id, fp, min_pos,
     max_pos, n_pos, bb)`` — to the index. Caller contract mirrors the
-    sibling indexes: ``doc_id``s must be new to the index (the drop
-    cursor's discipline; re-appending a doc duplicates its rows until
-    compaction, and the probe's ``countDistinct`` tolerates but does
-    not excuse it). Order AFTER your table commit, exactly like
+    sibling indexes: ``doc_id``s must be NEW to the index (the drop
+    cursor's discipline) — a re-appended doc duplicates its rows, which
+    inflates the probe's per-fp document-frequency counts toward the
+    boilerplate cap. Order AFTER your table commit, exactly like
     ``append_docs_to_index``."""
     _check_contract(index_path, "append_fingerprints_to_index")
     lock = _index_writer_lock(index_path, lock_wait_s)
@@ -166,26 +166,31 @@ def substring_contamination_check(
     idx = spark.read.parquet(index_path)
     if len(bbs) < N_FP_BUCKETS:
         idx = idx.where(F.col("bb").isin(bbs))
-    # boilerplate drop, computed on the pruned scan (complete per fp:
-    # a fingerprint lives in exactly one bucket)
-    ok = (
-        idx.groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("_df"))
-        .where(F.col("_df") <= df_cap)
-        .select("fp")
-    )
-    cand = idx.join(ok, "fp")
     p = probe.select(F.col("doc_id"), "fp")
     if probe.count() <= BROADCAST_PROBE_MAX_ROWS:
         p = F.broadcast(p)
-    return (
-        p.join(
-            cand.select(
-                F.col("doc_id").alias("corpus_doc_id"),
-                "fp", "min_pos", "max_pos",
-            ),
-            "fp",
+    # Scale shape — fp semi-join FIRST, df-cap on the sliver: the
+    # broadcast of the probed fps makes `cand` ONE map-side pass over
+    # the pruned index (zero index shuffle), bounded by the probed fps'
+    # total document frequency. The df-cap is then a count window over
+    # the sliver — COMPLETE per probed fp (every index row with that fp
+    # is in `cand`, one row per (corpus doc, fp) by construction) —
+    # instead of a full-index aggregation per audit. Total movement:
+    # one sliver shuffle (the window) + the pair aggregation.
+    from pyspark.sql import Window
+
+    cand = idx.select(
+        F.col("doc_id").alias("corpus_doc_id"), "fp", "min_pos", "max_pos",
+    ).join(F.broadcast(probe.select("fp").distinct()), "fp")
+    kept = (
+        cand.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
         )
+        .where(F.col("_df") <= df_cap)
+        .drop("_df")
+    )
+    return (
+        kept.join(p, "fp")
         .groupBy("doc_id", "corpus_doc_id")
         .agg(
             F.count_distinct("fp").alias("n_shared_fps"),
