@@ -152,3 +152,17 @@ def test_compaction_preserves_probe_results(spark, index_path):
     assert stats["rows"] > 0
     spark.catalog.refreshByPath(index_path)
     assert probe() == before and len(before) >= 1
+
+
+def test_degenerate_eval_sets(spark, index_path):
+    """Edge contracts: an eval set with only sub-K (or NULL) texts has
+    no fingerprints by definition — the probe returns an EMPTY frame
+    (never an error, never a scan of the whole index); same for an
+    eval set whose fingerprints simply match nothing."""
+    append_fingerprints_to_index(spark, index_path,
+                                 _docs(spark, _corpus_rows(1, 4)))
+    short = _docs(spark, [(1, "tiny"), (2, None)])
+    assert substring_contamination_check(spark, index_path, short).count() == 0
+    novel = _docs(spark, [(3, "fresh wording that shares nothing at all "
+                              "with the indexed corpus body text")])
+    assert substring_contamination_check(spark, index_path, novel).count() == 0
