@@ -478,3 +478,34 @@ def test_concurrent_drops_serialize(spark, index_path):
     # doc 1 + exactly ONE of the racing twins
     assert len(survivors) == 2 and survivors[0] == 1
     assert survivors[1] in (10, 11)
+
+
+def test_compact_index_holds_writer_lock(spark, tmp_path):
+    """r9 advice (lock-before-snapshot): compaction must take the writer
+    lock BEFORE its snapshot read, so an append can never commit between
+    the listing and the rewrite. Pinned via the loud-failure mechanism:
+    a held lock refuses compaction instead of snapshotting around it."""
+    from tmdb_sync_spark.functions.dedup_index import (
+        append_docs_to_index,
+        compact_index,
+    )
+    from tmdb_sync_spark.plans.partitioned import MERGE_LOCK_NAME
+    from tmdb_sync_spark.util import (
+        ConcurrentWriterError,
+        acquire_dir_lock,
+        release_dir_lock,
+    )
+
+    idx_path = str(tmp_path / "idx")
+    append_docs_to_index(spark, idx_path, spark.createDataFrame(
+        [(i, f"quick brown fox {i} jumps over {i} lazy dogs")
+         for i in range(8)],
+        "doc_id long, text string",
+    ))
+    held = acquire_dir_lock(idx_path, MERGE_LOCK_NAME, wait_s=5)
+    try:
+        with pytest.raises(ConcurrentWriterError):
+            compact_index(spark, idx_path, lock_wait_s=0.2)
+    finally:
+        release_dir_lock(held)
+    assert compact_index(spark, idx_path)["rows"] > 0

@@ -240,3 +240,30 @@ def test_vector_concurrent_writer_lock_enforced(spark, tmp_path):
         release_dir_lock(lock)
     r = dedup_vectors_against_index(spark, v2, path)
     assert [x["vec_id"] for x in r["survivors"].collect()] == [2]
+
+
+def test_compact_vector_index_holds_writer_lock(spark, tmp_path):
+    """Lock-before-snapshot (r9 advice), vector twin: a held writer lock
+    refuses compaction loudly instead of snapshotting around it."""
+    from tmdb_sync_spark.functions.vector_index import (
+        append_vectors_to_index,
+        compact_vector_index,
+    )
+    from tmdb_sync_spark.plans.partitioned import MERGE_LOCK_NAME
+    from tmdb_sync_spark.util import (
+        ConcurrentWriterError,
+        acquire_dir_lock,
+        release_dir_lock,
+    )
+
+    idx_path = str(tmp_path / "vidx")
+    append_vectors_to_index(
+        spark, idx_path, _df(spark, [(i, _vec(i)) for i in range(6)])
+    )
+    held = acquire_dir_lock(idx_path, MERGE_LOCK_NAME, wait_s=5)
+    try:
+        with pytest.raises(ConcurrentWriterError):
+            compact_vector_index(spark, idx_path, lock_wait_s=0.2)
+    finally:
+        release_dir_lock(held)
+    assert compact_vector_index(spark, idx_path)["rows"] > 0

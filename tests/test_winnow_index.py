@@ -154,6 +154,58 @@ def test_compaction_preserves_probe_results(spark, index_path):
     assert probe() == before and len(before) >= 1
 
 
+def test_broadcast_gate_shuffle_path_identical(spark, index_path,
+                                               monkeypatch):
+    """r9 verdict #2: the probe's distinct-fp set must obey the SAME
+    broadcast row-count gate as the (doc, fp) join. With the gate forced
+    to 0 (every probe 'too big'), both joins take the shuffle path and
+    the detected pairs must be identical to the broadcast path's."""
+    import tmdb_sync_spark.functions.winnow_index as wi
+
+    append_fingerprints_to_index(spark, index_path,
+                                 _docs(spark, _corpus_rows(1, 10)))
+    stolen = ("body 4 " + "unique corpus content 4 " * 6)[:90]
+    ev = _docs(spark, [
+        (100, "wrapper around the stolen paragraph: " + stolen),
+        (200, "clean eval text sharing nothing with the corpus at all"),
+    ])
+
+    def probe():
+        return sorted(
+            map(tuple, substring_contamination_check(
+                spark, index_path, ev, min_shared=2).collect())
+        )
+
+    broadcast_pairs = probe()
+    monkeypatch.setattr(wi, "BROADCAST_PROBE_MAX_ROWS", 0)
+    shuffle_pairs = probe()
+    assert shuffle_pairs == broadcast_pairs and len(broadcast_pairs) >= 1
+
+
+def test_compaction_holds_writer_lock(spark, index_path):
+    """r9 advice: the compaction snapshot must be taken UNDER the writer
+    lock — an append committing between a pre-lock listing and the
+    rewrite would be silently dropped. Pin the mechanism: a held lock
+    makes compaction fail loudly instead of snapshotting around it."""
+    from tmdb_sync_spark.plans.partitioned import MERGE_LOCK_NAME
+    from tmdb_sync_spark.util import (
+        ConcurrentWriterError,
+        acquire_dir_lock,
+        release_dir_lock,
+    )
+
+    append_fingerprints_to_index(spark, index_path,
+                                 _docs(spark, _corpus_rows(1, 4)))
+    held = acquire_dir_lock(index_path, MERGE_LOCK_NAME, wait_s=5)
+    try:
+        with pytest.raises(ConcurrentWriterError):
+            compact_fp_index(spark, index_path, lock_wait_s=0.2)
+    finally:
+        release_dir_lock(held)
+    stats = compact_fp_index(spark, index_path)       # lock free → works
+    assert stats["rows"] > 0
+
+
 def test_degenerate_eval_sets(spark, index_path):
     """Edge contracts: an eval set with only sub-K (or NULL) texts has
     no fingerprints by definition — the probe returns an EMPTY frame

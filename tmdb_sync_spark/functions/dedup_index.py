@@ -271,7 +271,8 @@ def index_exists(index_path: str) -> bool:
 
 
 def compact_index(
-    spark: SparkSession, index_path: str, *, cluster_by: str = "band_key"
+    spark: SparkSession, index_path: str, *, cluster_by: str = "band_key",
+    lock_wait_s: float = 60.0,
 ) -> dict:
     """Rewrite the append-only index into one file per bucket.
 
@@ -284,46 +285,50 @@ def compact_index(
     band-key equi-join.
 
     Crash safety is NOT hand-rolled: the rewrite delegates to
-    ``plans.partitioned.write_partitioned`` — staging dir, journaled
-    swap plan, roll-forward recovery, writer lock — so a crash
-    mid-compaction leaves either the old file set or the new one,
-    never a torn index. Single-writer contract: do not compact while
-    a drop ingest is appending (the same serialization the dedup
-    ingest already requires); the lock makes a violation block rather
-    than corrupt.
+    ``plans.partitioned.write_partitioned_locked`` — staging dir,
+    journaled swap plan, roll-forward recovery — so a crash
+    mid-compaction leaves either the old file set or the new one, never
+    a torn index. The writer lock is acquired HERE, before the snapshot
+    read: the earlier shape (snapshot first, lock inside the rewrite)
+    had a window where an append committing between the listing and the
+    rewrite was silently dropped by the compaction (r9 advice).
 
     Returns ``{"files_before", "files_after", "rows"}``.
     """
-    from tmdb_sync_spark.plans.partitioned import write_partitioned
+    from tmdb_sync_spark.util import release_dir_lock
 
     if not index_exists(index_path):
         raise ValueError(f"compact_index: no index at {index_path!r}")
+    lock = _index_writer_lock(index_path, lock_wait_s)
+    try:
+        return _compact_locked(spark, index_path, cluster_by)
+    finally:
+        release_dir_lock(lock)
 
-    def _count_files() -> int:
-        n = 0
-        for e in os.scandir(index_path):
-            if e.is_dir() and e.name.startswith("bb="):
-                n += sum(
-                    1 for f in os.listdir(e.path)
-                    if not f.startswith(("_", ".")) and f.endswith(".parquet")
-                )
-        return n
 
-    before = _count_files()
+def _compact_locked(
+    spark: SparkSession, index_path: str, cluster_by: str = "band_key"
+) -> dict:
+    """Compaction body — caller holds the index writer lock (excludes
+    appends for the snapshot; also the auto-compaction entry point from
+    inside an append's own held lock)."""
+    from tmdb_sync_spark.plans.partitioned import write_partitioned_locked
+    from tmdb_sync_spark.util import count_bucket_files
+
+    before, _ = count_bucket_files(index_path, "bb=")
+    # drop any pre-lock FileStatusCache listing of this path
+    spark.catalog.refreshByPath(index_path)
     idx = spark.read.parquet(index_path)
     rows = idx.count()
     # one task per bucket → exactly one output file per bucket; without
     # this, every input task would write a sliver into every bucket —
     # the very problem being compacted away
-    write_partitioned(
+    write_partitioned_locked(
         idx.repartition("bb"), index_path, "bb",
         cluster_by=(cluster_by,),
     )
-    return {
-        "files_before": before,
-        "files_after": _count_files(),
-        "rows": rows,
-    }
+    after, _ = count_bucket_files(index_path, "bb=")
+    return {"files_before": before, "files_after": after, "rows": rows}
 
 
 def dedup_against_index(

@@ -108,40 +108,43 @@ def vector_index_exists(index_path: str) -> bool:
     )
 
 
-def compact_vector_index(spark: SparkSession, index_path: str) -> dict:
+def compact_vector_index(
+    spark: SparkSession, index_path: str, *, lock_wait_s: float = 60.0,
+) -> dict:
     """One file per bucket — the vector twin of
     ``dedup_index.compact_index`` (same journaled-swap crash safety via
-    ``write_partitioned``, same single-writer contract); rows cluster
-    by ``vec_id`` for tight row-group stats."""
-    from tmdb_sync_spark.plans.partitioned import write_partitioned
+    ``write_partitioned_locked``, same lock-before-snapshot discipline:
+    the writer lock is taken here so an append cannot commit between
+    the snapshot listing and the rewrite — r9 advice); rows cluster by
+    ``vec_id`` for tight row-group stats."""
+    from tmdb_sync_spark.util import release_dir_lock
 
     if not vector_index_exists(index_path):
         raise ValueError(
             f"compact_vector_index: no index at {index_path!r}"
         )
+    lock = _index_writer_lock(index_path, lock_wait_s)
+    try:
+        return _compact_vec_locked(spark, index_path)
+    finally:
+        release_dir_lock(lock)
 
-    def _count_files() -> int:
-        n = 0
-        for e in os.scandir(index_path):
-            if e.is_dir() and e.name.startswith("bucket="):
-                n += sum(
-                    1 for f in os.listdir(e.path)
-                    if not f.startswith(("_", ".")) and f.endswith(".parquet")
-                )
-        return n
 
-    before = _count_files()
+def _compact_vec_locked(spark: SparkSession, index_path: str) -> dict:
+    """Compaction body — caller holds the index writer lock."""
+    from tmdb_sync_spark.plans.partitioned import write_partitioned_locked
+    from tmdb_sync_spark.util import count_bucket_files
+
+    before, _ = count_bucket_files(index_path, "bucket=")
+    spark.catalog.refreshByPath(index_path)
     idx = spark.read.parquet(index_path)
     rows = idx.count()
-    write_partitioned(
+    write_partitioned_locked(
         idx.repartition("bucket"), index_path, "bucket",
         cluster_by=("vec_id",),
     )
-    return {
-        "files_before": before,
-        "files_after": _count_files(),
-        "rows": rows,
-    }
+    after, _ = count_bucket_files(index_path, "bucket=")
+    return {"files_before": before, "files_after": after, "rows": rows}
 
 
 def vector_index_matches(

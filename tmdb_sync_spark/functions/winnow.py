@@ -186,9 +186,15 @@ def substring_overlap(
 
     Fingerprints present in more than ``df_cap`` corpus documents are
     dropped from BOTH sides (boilerplate + join-skew guard; module
-    docstring). Detection guarantee under the cap: a shared substring
-    of ``k + w - 1`` chars whose fingerprints are not boilerplate
-    yields a match row.
+    docstring). Detection guarantee under the cap: the winnowing
+    guarantee ensures a shared substring of ``k + w - 1`` chars (with
+    non-boilerplate fingerprints) shares ≥ 1 SELECTED fingerprint, so
+    it yields a match row **at ``min_shared=1``**; the default
+    ``min_shared`` (module constant) deliberately trades that boundary
+    case for precision — a pair sharing only 1–2 fingerprints is noise
+    at corpus scale, and longer overlaps select ~``2·len/(w+1)``
+    fingerprints, far past the threshold. Callers auditing for minimal
+    K+W-1 slivers should pass ``min_shared=1`` explicitly.
     """
     if query_id_col == corpus_id_col:
         raise ValueError(

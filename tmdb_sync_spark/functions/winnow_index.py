@@ -155,10 +155,16 @@ def substring_contamination_check(
         )
     _check_contract(index_path, "substring_contamination_check",
                     record=False)
+    # Pin the probe ONCE (eager localCheckpoint — executor-distributed
+    # blocks the ContextCleaner frees when the returned frame is GC'd):
+    # it feeds the bucket-list collect, the row-count gate, and both
+    # match joins — unpinned, every contamination audit fingerprinted
+    # the eval set three times over (r9 advice).
     probe = (
         winnow_fingerprints(eval_docs)
         .select("doc_id", "fp").distinct()
         .withColumn("bb", _bb(F.col("fp")))
+        .localCheckpoint(eager=True)
     )
     # bounded driver-side bucket list (≤ N_FP_BUCKETS rows) → partition
     # pruning on the index read
@@ -166,9 +172,19 @@ def substring_contamination_check(
     idx = spark.read.parquet(index_path)
     if len(bbs) < N_FP_BUCKETS:
         idx = idx.where(F.col("bb").isin(bbs))
+    # ONE broadcast decision for BOTH probe-side joins: the distinct-fp
+    # set is ≤ the (doc, fp) probe by construction, so the shared gate is
+    # conservative for it — and an eval set past the ceiling now shuffles
+    # on BOTH joins instead of force-broadcasting the fp set into the
+    # same executor OOM the gate exists to prevent (r9 verdict #2: the
+    # fp broadcast was unconditional while the pair join was gated).
+    n_probe = probe.count()
+    may_broadcast = n_probe <= BROADCAST_PROBE_MAX_ROWS
     p = probe.select(F.col("doc_id"), "fp")
-    if probe.count() <= BROADCAST_PROBE_MAX_ROWS:
+    fps = probe.select("fp").distinct()
+    if may_broadcast:
         p = F.broadcast(p)
+        fps = F.broadcast(fps)
     # Scale shape — fp semi-join FIRST, df-cap on the sliver: the
     # broadcast of the probed fps makes `cand` ONE map-side pass over
     # the pruned index (zero index shuffle), bounded by the probed fps'
@@ -181,7 +197,7 @@ def substring_contamination_check(
 
     cand = idx.select(
         F.col("doc_id").alias("corpus_doc_id"), "fp", "min_pos", "max_pos",
-    ).join(F.broadcast(probe.select("fp").distinct()), "fp")
+    ).join(fps, "fp")
     kept = (
         cand.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
@@ -201,35 +217,46 @@ def substring_contamination_check(
     )
 
 
-def compact_fp_index(spark: SparkSession, index_path: str) -> dict:
+def compact_fp_index(
+    spark: SparkSession, index_path: str, *, lock_wait_s: float = 60.0,
+) -> dict:
     """Rewrite the append-only fingerprint index into one file per
     bucket (sorted by ``fp`` for tight row-group stats on the probe
-    join). Crash safety delegates to ``write_partitioned`` (staging +
-    journaled swap + the same writer lock appends take)."""
-    from tmdb_sync_spark.plans.partitioned import write_partitioned
+    join). Crash safety delegates to ``write_partitioned_locked``
+    (staging + journaled swap).
 
+    The writer lock is acquired FIRST, before the snapshot read — the
+    earlier shape (snapshot, then let write_partitioned lock) had a
+    window where an append committing between the listing and the
+    rewrite was silently dropped by the compaction (r9 advice; same
+    latent shape fixed in the sibling compactions this round)."""
     if not fp_index_exists(index_path):
         raise ValueError(f"compact_fp_index: no index at {index_path!r}")
     _check_contract(index_path, "compact_fp_index")
+    lock = _index_writer_lock(index_path, lock_wait_s)
+    try:
+        return _compact_fp_locked(spark, index_path)
+    finally:
+        from tmdb_sync_spark.util import release_dir_lock
 
-    def _count_files() -> int:
-        n = 0
-        for e in os.scandir(index_path):
-            if e.is_dir() and e.name.startswith("bb="):
-                n += sum(
-                    1 for f in os.listdir(e.path)
-                    if not f.startswith(("_", ".")) and f.endswith(".parquet")
-                )
-        return n
+        release_dir_lock(lock)
 
-    before = _count_files()
+
+def _compact_fp_locked(spark: SparkSession, index_path: str) -> dict:
+    """Compaction body — caller holds the index writer lock (so the
+    snapshot read below cannot race an append; also the auto-compaction
+    entry point from inside the append's own held lock)."""
+    from tmdb_sync_spark.plans.partitioned import write_partitioned_locked
+    from tmdb_sync_spark.util import count_bucket_files
+
+    before, _ = count_bucket_files(index_path, "bb=")
+    # the session FileStatusCache may hold a pre-lock listing of this
+    # path — refresh so the snapshot sees every committed append
+    spark.catalog.refreshByPath(index_path)
     idx = spark.read.parquet(index_path)
     rows = idx.count()
-    write_partitioned(
+    write_partitioned_locked(
         idx.repartition("bb"), index_path, "bb", cluster_by=("fp",),
     )
-    return {
-        "files_before": before,
-        "files_after": _count_files(),
-        "rows": rows,
-    }
+    after, _ = count_bucket_files(index_path, "bb=")
+    return {"files_before": before, "files_after": after, "rows": rows}

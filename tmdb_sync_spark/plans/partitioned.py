@@ -124,72 +124,93 @@ def write_partitioned(
     this call wrote the table."""
     lock = _acquire_merge_lock(path, wait_s=lock_wait_s)
     try:
-        _recover_leftovers(path)
-        if if_not_exists and table_exists(path):
-            return False
-        staging = _staging_dir(path)
-        if cluster_by:
-            df = df.sortWithinPartitions(partition_col, *cluster_by)
-        df.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
-        staged_names = [
-            e for e in sorted(os.listdir(staging))
-            if km._is_part_dir(e, partition_col)
-        ]
-        existing = [
-            e.name for e in os.scandir(path)
-            if km._is_part_dir(e.name, partition_col)
-        ] if os.path.isdir(path) else []
-        # staged partitions install; existing ones with no staged twin are
-        # full-overwrite deletes (handled by _swap_partition's .del path)
-        deletes = [n for n in sorted(existing) if n not in staged_names]
-        swap_names = staged_names + deletes
-        schema_rec = _schema_record(df.schema, partition_col)
-        manifest_path = os.path.join(path, km.MANIFEST_NAME)
-        if manifest_key:
-            staged_ranges = {
-                n: km.footer_range(os.path.join(staging, n), manifest_key)
-                for n in staged_names
-            }
-            manifest_plan = {"key": manifest_key, "post": staged_ranges}
-        else:
-            # a manifest maintained by earlier merges no longer describes
-            # the table once it's overwritten; drop it so the next merge
-            # re-harvests footer stats instead of pruning on stale ranges
-            manifest_plan = {"drop": True}
-        # COMMIT POINT: journal the swap plan (atomic rename). Before
-        # this, a crash leaves the old table + a discardable staging dir;
-        # after it, recovery rolls the overwrite FORWARD to completion.
-        _write_swap_journal(
-            path, staging, partition_col,
-            [[n, "install"] for n in staged_names]
-            + [[n, "delete"] for n in deletes],
-            manifest_plan, schema_rec,
+        return write_partitioned_locked(
+            df, path, partition_col, cluster_by=cluster_by,
+            manifest_key=manifest_key, if_not_exists=if_not_exists,
         )
-        if manifest_key:
-            # pre-swap superset write: old ∪ staged per installed
-            # partition, old ranges retained for pending deletes — a
-            # crash anywhere in the swap loop leaves the manifest
-            # over-inclusive, never wrong
-            pre = km.load(path, manifest_key, partition_col)
-            for n in staged_names:
-                pre[n] = (
-                    km.union_range(pre[n], staged_ranges[n])
-                    if n in pre else staged_ranges[n]
-                )
-            km.save(path, manifest_key, partition_col, pre)
-        elif os.path.exists(manifest_path):
-            os.unlink(manifest_path)
-        for n in swap_names:
-            _swap_partition(path, staging, n)
-        if manifest_key:
-            km.save(path, manifest_key, partition_col, staged_ranges)
-        _save_schema_record(path, schema_rec)
-        os.unlink(os.path.join(path, SWAP_JOURNAL_NAME))
-        shutil.rmtree(staging, ignore_errors=True)
-        df.sparkSession.catalog.refreshByPath(path)
-        return True
     finally:
         release_dir_lock(lock)
+
+
+def write_partitioned_locked(
+    df: DataFrame, path: str, partition_col: str,
+    cluster_by: Sequence[str] = (),
+    manifest_key: str | None = None,
+    if_not_exists: bool = False,
+) -> bool:
+    """:func:`write_partitioned`'s body for callers that ALREADY hold the
+    table's ``_merge.lock`` (the index compactions, which must take their
+    source snapshot under the same lock that excludes appends — a
+    snapshot read outside the lock can miss an append that commits
+    between the listing and the rewrite, silently dropping its rows; and
+    the auto-compaction path, which runs inside an append's held lock).
+    The lock file is pid+tid-keyed and NOT reentrant, so re-acquiring
+    here would deadlock the legitimate holder — callers own acquisition
+    and release."""
+    _recover_leftovers(path)
+    if if_not_exists and table_exists(path):
+        return False
+    staging = _staging_dir(path)
+    if cluster_by:
+        df = df.sortWithinPartitions(partition_col, *cluster_by)
+    df.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
+    staged_names = [
+        e for e in sorted(os.listdir(staging))
+        if km._is_part_dir(e, partition_col)
+    ]
+    existing = [
+        e.name for e in os.scandir(path)
+        if km._is_part_dir(e.name, partition_col)
+    ] if os.path.isdir(path) else []
+    # staged partitions install; existing ones with no staged twin are
+    # full-overwrite deletes (handled by _swap_partition's .del path)
+    deletes = [n for n in sorted(existing) if n not in staged_names]
+    swap_names = staged_names + deletes
+    schema_rec = _schema_record(df.schema, partition_col)
+    manifest_path = os.path.join(path, km.MANIFEST_NAME)
+    if manifest_key:
+        staged_ranges = {
+            n: km.footer_range(os.path.join(staging, n), manifest_key)
+            for n in staged_names
+        }
+        manifest_plan = {"key": manifest_key, "post": staged_ranges}
+    else:
+        # a manifest maintained by earlier merges no longer describes
+        # the table once it's overwritten; drop it so the next merge
+        # re-harvests footer stats instead of pruning on stale ranges
+        manifest_plan = {"drop": True}
+    # COMMIT POINT: journal the swap plan (atomic rename). Before
+    # this, a crash leaves the old table + a discardable staging dir;
+    # after it, recovery rolls the overwrite FORWARD to completion.
+    _write_swap_journal(
+        path, staging, partition_col,
+        [[n, "install"] for n in staged_names]
+        + [[n, "delete"] for n in deletes],
+        manifest_plan, schema_rec,
+    )
+    if manifest_key:
+        # pre-swap superset write: old ∪ staged per installed
+        # partition, old ranges retained for pending deletes — a
+        # crash anywhere in the swap loop leaves the manifest
+        # over-inclusive, never wrong
+        pre = km.load(path, manifest_key, partition_col)
+        for n in staged_names:
+            pre[n] = (
+                km.union_range(pre[n], staged_ranges[n])
+                if n in pre else staged_ranges[n]
+            )
+        km.save(path, manifest_key, partition_col, pre)
+    elif os.path.exists(manifest_path):
+        os.unlink(manifest_path)
+    for n in swap_names:
+        _swap_partition(path, staging, n)
+    if manifest_key:
+        km.save(path, manifest_key, partition_col, staged_ranges)
+    _save_schema_record(path, schema_rec)
+    os.unlink(os.path.join(path, SWAP_JOURNAL_NAME))
+    shutil.rmtree(staging, ignore_errors=True)
+    df.sparkSession.catalog.refreshByPath(path)
+    return True
 
 # Characters Spark/Hive %-escape in partition dir names
 # (ExternalCatalogUtils.escapePathName): ASCII control chars plus the set

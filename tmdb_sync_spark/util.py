@@ -450,6 +450,26 @@ def newest_tree_mtime(path: str) -> float:
     return newest
 
 
+def count_bucket_files(index_path: str, prefix: str) -> tuple[int, int]:
+    """``(total data files, max files in any one bucket dir)`` over a
+    hive-partitioned index whose partition dirs start with ``prefix``
+    (``bb=`` / ``bucket=``) — the compaction-need signal shared by the
+    incremental-index family: appends add ≥1 file per touched bucket per
+    drop, so the per-bucket max is what turns a probe file-open-bound."""
+    total, worst = 0, 0
+    if not os.path.isdir(index_path):
+        return 0, 0
+    for e in os.scandir(index_path):
+        if e.is_dir() and e.name.startswith(prefix):
+            n = sum(
+                1 for f in os.listdir(e.path)
+                if not f.startswith(("_", ".")) and f.endswith(".parquet")
+            )
+            total += n
+            worst = max(worst, n)
+    return total, worst
+
+
 def check_store_contract(
     path: str, expected: dict, what: str, record: bool = True
 ) -> None:
