@@ -509,3 +509,67 @@ def test_compact_index_holds_writer_lock(spark, tmp_path):
     finally:
         release_dir_lock(held)
     assert compact_index(spark, idx_path)["rows"] > 0
+
+
+def test_auto_compaction_policy(spark, tmp_path):
+    """r9 verdict #5: append paths trigger compaction themselves when
+    any bucket exceeds the files-per-bucket threshold — under the writer
+    lock they already hold. Pins: (a) under the threshold nothing
+    compacts (files accumulate); (b) crossing it compacts to one file
+    per bucket with probe results unchanged; (c) None disables."""
+    from tmdb_sync_spark.functions.dedup import minhash_signature
+    from tmdb_sync_spark.functions.dedup_index import (
+        _band_rows,
+        append_docs_to_index,
+        index_match_pairs,
+    )
+    from tmdb_sync_spark.util import count_bucket_files
+
+    idx_path = str(tmp_path / "idx")
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"the quick brown fox {i} jumps over {i} dogs")
+             for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    # (a) threshold not yet crossed → appends accumulate files
+    for k in range(3):
+        append_docs_to_index(
+            spark, idx_path, docs(k * 10, k * 10 + 10),
+            auto_compact_files_per_bucket=10,
+        )
+    grown, worst = count_bucket_files(idx_path, "bb=")
+    assert worst >= 2, (grown, worst)
+
+    probe = _band_rows(minhash_signature(docs(0, 5)))
+    spark.catalog.refreshByPath(idx_path)
+    before = sorted(
+        map(tuple, index_match_pairs(
+            spark.read.parquet(idx_path), probe).collect())
+    )
+    assert before
+
+    # (b) threshold crossed → the append itself compacts
+    append_docs_to_index(
+        spark, idx_path, docs(30, 40), auto_compact_files_per_bucket=2,
+    )
+    _, worst_after = count_bucket_files(idx_path, "bb=")
+    assert worst_after == 1
+    spark.catalog.refreshByPath(idx_path)
+    after = sorted(
+        map(tuple, index_match_pairs(
+            spark.read.parquet(idx_path), probe).collect())
+    )
+    assert after == before
+
+    # (c) None disables — files accumulate again
+    append_docs_to_index(
+        spark, idx_path, docs(40, 50), auto_compact_files_per_bucket=None,
+    )
+    append_docs_to_index(
+        spark, idx_path, docs(50, 60), auto_compact_files_per_bucket=None,
+    )
+    _, worst_off = count_bucket_files(idx_path, "bb=")
+    assert worst_off >= 2

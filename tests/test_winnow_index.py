@@ -218,3 +218,43 @@ def test_degenerate_eval_sets(spark, index_path):
     novel = _docs(spark, [(3, "fresh wording that shares nothing at all "
                               "with the indexed corpus body text")])
     assert substring_contamination_check(spark, index_path, novel).count() == 0
+
+
+def test_auto_compaction_on_append(spark, index_path):
+    """The fingerprint index's append auto-compacts past the shared
+    files-per-bucket threshold (r9 verdict #5) and probe results are
+    unchanged across the self-triggered rewrite."""
+    from tmdb_sync_spark.util import count_bucket_files
+
+    for lo, hi in ((1, 4), (4, 7)):
+        append_fingerprints_to_index(
+            spark, index_path, _docs(spark, _corpus_rows(lo, hi)),
+            auto_compact_files_per_bucket=16,
+        )
+    _, worst = count_bucket_files(index_path, "bb=")
+    assert worst >= 2
+
+    stolen = ("body 2 " + "unique corpus content 2 " * 6)[:90]
+    ev = _docs(spark, [(100, "eval wrapper around: " + stolen)])
+    before = sorted(
+        map(tuple, substring_contamination_check(
+            spark, index_path, ev, min_shared=2).collect())
+    )
+    assert before
+
+    # second drop shares NO text with the eval doc, so the probe result
+    # must be unchanged — only the compaction (and index growth) happens
+    append_fingerprints_to_index(
+        spark, index_path,
+        _docs(spark, [(i, f"totally unrelated drop text number {i} " * 4)
+                      for i in (7, 8, 9)]),
+        auto_compact_files_per_bucket=1,
+    )
+    _, worst_after = count_bucket_files(index_path, "bb=")
+    assert worst_after == 1
+    spark.catalog.refreshByPath(index_path)
+    after = sorted(
+        map(tuple, substring_contamination_check(
+            spark, index_path, ev, min_shared=2).collect())
+    )
+    assert after == before

@@ -77,6 +77,21 @@ N_INDEX_BUCKETS = 64
 # broadcast ceiling with margin for skewed string lengths.
 BROADCAST_PROBE_MAX_ROWS = 2_000_000
 
+# Auto-compaction policy (r9 verdict #5), shared by all three index
+# families: the append-only layout adds ≥1 file per touched bucket per
+# drop, so a year of daily drops makes probes FILE-OPEN-bound (measured
+# in scripts/exp_index_ramp.py / COVERAGE.md) — and compaction existed
+# but had to be called by hand. Now every append path checks the worst
+# bucket's data-file count AFTER its write, still under the writer lock
+# it already holds, and compacts when the count exceeds this threshold.
+# Amortization: compaction rewrites the whole index, so a threshold of
+# T means each row is rewritten ~1/T of the drops — 16 keeps the
+# amortized append overhead ~6% while capping probe file-opens at
+# 16×buckets. Per-call override (or None = disabled) on every append
+# entry point for callers that batch compaction into a maintenance
+# window.
+AUTO_COMPACT_FILES_PER_BUCKET = 16
+
 _H = [f"h{i}" for i in range(N_HASHES)]
 
 
@@ -181,6 +196,7 @@ def _index_writer_lock(index_path: str, wait_s: float):
 def append_docs_to_index(
     spark: SparkSession, index_path: str, docs: DataFrame,
     *, lock_wait_s: float = 60.0,
+    auto_compact_files_per_bucket: int | None = AUTO_COMPACT_FILES_PER_BUCKET,
 ) -> None:
     """Append ``docs``' band rows to the index — split out of
     :func:`dedup_against_index` so callers that MERGE survivors into a
@@ -194,15 +210,36 @@ def append_docs_to_index(
 
     Holds the index writer lock for the append (module docstring,
     Concurrency): waits ``lock_wait_s`` for a concurrent writer, then
-    raises ``ConcurrentWriterError``."""
+    raises ``ConcurrentWriterError``. Auto-compacts under that same
+    lock when the append pushes any bucket past
+    ``auto_compact_files_per_bucket`` files (policy note at the
+    constant; ``None`` disables)."""
     from tmdb_sync_spark.util import release_dir_lock
 
     _check_contract(index_path, "append_docs_to_index")
     lock = _index_writer_lock(index_path, lock_wait_s)
     try:
         _append_band_rows(docs, index_path)
+        _maybe_compact_locked(
+            spark, index_path, auto_compact_files_per_bucket
+        )
     finally:
         release_dir_lock(lock)
+
+
+def _maybe_compact_locked(
+    spark: SparkSession, index_path: str, threshold: int | None,
+) -> bool:
+    """Compact iff the worst bucket exceeds ``threshold`` data files —
+    called by append paths while they still hold the writer lock."""
+    from tmdb_sync_spark.util import count_bucket_files
+
+    if threshold is None:
+        return False
+    if count_bucket_files(index_path, "bb=")[1] <= threshold:
+        return False
+    _compact_locked(spark, index_path)
+    return True
 
 
 def _append_band_rows(docs: DataFrame, index_path: str) -> None:
@@ -339,6 +376,7 @@ def dedup_against_index(
     min_equal: int = NEAR_DUP_MIN,
     update_index: bool = True,
     lock_wait_s: float = 60.0,
+    auto_compact_files_per_bucket: int | None = AUTO_COMPACT_FILES_PER_BUCKET,
 ) -> dict:
     """Filter a drop against the corpus signature index.
 
@@ -492,6 +530,14 @@ def dedup_against_index(
                 .write.mode("append")
                 .partitionBy("bb")
                 .parquet(index_path)
+            )
+            # auto-compaction rides the lock this path already holds
+            # (policy at AUTO_COMPACT_FILES_PER_BUCKET); the returned
+            # dropped frames are scratch-parquet-pinned and survivors
+            # read only the caller's new_docs, so the rewrite cannot
+            # invalidate anything returned below
+            _maybe_compact_locked(
+                spark, index_path, auto_compact_files_per_bucket
             )
         return {
             "survivors": survivors,

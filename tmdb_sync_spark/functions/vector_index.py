@@ -39,6 +39,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tmdb_sync_spark.functions.dedup_index import (
+    AUTO_COMPACT_FILES_PER_BUCKET,
+)
 from tmdb_sync_spark.functions.pairs import tiled_self_pairs
 from tmdb_sync_spark.functions.similarity import (
     DUP_THRESHOLD,
@@ -46,6 +49,22 @@ from tmdb_sync_spark.functions.similarity import (
     _dot,
     bucketed_from,
 )
+
+
+def _maybe_compact_vec_locked(
+    spark: SparkSession, index_path: str, threshold: int | None,
+) -> bool:
+    """Auto-compaction check (policy rationale at
+    ``dedup_index.AUTO_COMPACT_FILES_PER_BUCKET``) — called by append
+    paths while they still hold the writer lock."""
+    from tmdb_sync_spark.util import count_bucket_files
+
+    if threshold is None:
+        return False
+    if count_bucket_files(index_path, "bucket=")[1] <= threshold:
+        return False
+    _compact_vec_locked(spark, index_path)
+    return True
 
 
 def _check_contract(index_path: str, what: str, record: bool = True) -> None:
@@ -88,16 +107,21 @@ def _index_writer_lock(index_path: str, wait_s: float):
 def append_vectors_to_index(
     spark: SparkSession, index_path: str, vecs: DataFrame,
     *, lock_wait_s: float = 60.0,
+    auto_compact_files_per_bucket: int | None = AUTO_COMPACT_FILES_PER_BUCKET,
 ) -> None:
     """Append ``(vec_id, embedding)`` rows' bucketed projections to the
     index — the post-commit half of the update_index=False protocol
     (see the module docstring's crash-ordering note). Holds the index
-    writer lock for the append."""
+    writer lock for the append; auto-compacts under that same lock when
+    any bucket exceeds the threshold (``None`` disables)."""
     from tmdb_sync_spark.util import release_dir_lock
 
     lock = _index_writer_lock(index_path, lock_wait_s)
     try:
         _append(index_path, bucketed_from(vecs, N_DUP_BITS))
+        _maybe_compact_vec_locked(
+            spark, index_path, auto_compact_files_per_bucket
+        )
     finally:
         release_dir_lock(lock)
 
@@ -190,6 +214,7 @@ def dedup_vectors_against_index(
     threshold: float = DUP_THRESHOLD,
     update_index: bool = True,
     lock_wait_s: float = 60.0,
+    auto_compact_files_per_bucket: int | None = AUTO_COMPACT_FILES_PER_BUCKET,
 ) -> dict:
     """Filter a ``(vec_id, embedding)`` drop against the vector index.
 
@@ -333,6 +358,12 @@ def dedup_vectors_against_index(
 
         if update_index:
             _append(index_path, surviving_b)
+            # rides the held writer lock; the returned dropped frames
+            # are scratch-parquet-pinned and survivors read only the
+            # caller's new_vecs, so the rewrite invalidates nothing
+            _maybe_compact_vec_locked(
+                spark, index_path, auto_compact_files_per_bucket
+            )
         return {
             "survivors": survivors,
             "dropped_vs_index": dropped_vs_index,

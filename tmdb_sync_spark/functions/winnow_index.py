@@ -62,6 +62,15 @@ N_FP_BUCKETS = 64
 # broadcast ceiling should shuffle, not OOM an executor.
 BROADCAST_PROBE_MAX_ROWS = 2_000_000
 
+# Auto-compaction threshold (shared policy with the sibling indexes —
+# dedup_index.AUTO_COMPACT_FILES_PER_BUCKET is the canonical value):
+# when an append leaves any bucket dir holding more than this many data
+# files, the append compacts the index before releasing its writer
+# lock. See dedup_index.py for the policy rationale.
+from tmdb_sync_spark.functions.dedup_index import (  # noqa: E402
+    AUTO_COMPACT_FILES_PER_BUCKET,
+)
+
 
 def _check_contract(index_path: str, what: str, record: bool = True) -> None:
     from tmdb_sync_spark.util import check_store_contract
@@ -99,6 +108,7 @@ def append_fingerprints_to_index(
     docs: DataFrame,
     *,
     lock_wait_s: float = 60.0,
+    auto_compact_files_per_bucket: int | None = AUTO_COMPACT_FILES_PER_BUCKET,
 ) -> None:
     """Append ``docs``' winnow fingerprints — ``(doc_id, fp, min_pos,
     max_pos, n_pos, bb)`` — to the index. Caller contract mirrors the
@@ -106,7 +116,16 @@ def append_fingerprints_to_index(
     cursor's discipline) — a re-appended doc duplicates its rows, which
     inflates the probe's per-fp document-frequency counts toward the
     boilerplate cap. Order AFTER your table commit, exactly like
-    ``append_docs_to_index``."""
+    ``append_docs_to_index``.
+
+    Auto-compaction (same policy as the sibling indexes): when this
+    append leaves any bucket past ``auto_compact_files_per_bucket``
+    data files, the index is compacted before the writer lock is
+    released — probes stay file-open-bound-free across unbounded drop
+    counts with no manual ``compact_fp_index`` call. ``None`` disables
+    (callers owning a maintenance window)."""
+    from tmdb_sync_spark.util import count_bucket_files, release_dir_lock
+
     _check_contract(index_path, "append_fingerprints_to_index")
     lock = _index_writer_lock(index_path, lock_wait_s)
     try:
@@ -120,9 +139,13 @@ def append_fingerprints_to_index(
             .partitionBy("bb")
             .parquet(index_path)
         )
+        if (
+            auto_compact_files_per_bucket is not None
+            and count_bucket_files(index_path, "bb=")[1]
+            > auto_compact_files_per_bucket
+        ):
+            _compact_fp_locked(spark, index_path)
     finally:
-        from tmdb_sync_spark.util import release_dir_lock
-
         release_dir_lock(lock)
 
 
