@@ -9,14 +9,24 @@ no driver-side result transfer) after a short JVM warmup.
 
 Environment knobs:
 - SPARK_GRAFT_BENCH_REPS (default 4): timed executions per query. Run 1
-  is always "cold" (includes whole-stage-codegen compile); "warm" is the
-  MEDIAN of runs 2..N (3 warm reps by default), so the recorded artifact
-  is noise-robust and a single JIT-tier-up outlier (e.g. the documented
+  is recorded as "first_rep" — on the process's FIRST attempt it is the
+  true cold run (whole-stage-codegen compile included); on retry
+  attempts the JVM is already JIT-warm, so the field is named for what
+  it measurably is (the attempt's first rep), not "cold" (r9 verdict
+  #8: the old name overclaimed). "warm" is the MEDIAN of runs 2..N
+  (3 warm reps by default), so the recorded artifact is noise-robust
+  and a single JIT-tier-up outlier (e.g. the documented
   dd_embedding_cosine 2.355 → 0.674 warm-up step) can never masquerade
   as a regression. Set to 2 for a quick single-warm-rep iteration loop.
 - SPARK_GRAFT_BENCH_ATTEMPTS (default 3): max suite attempts when the
   host self-labels contended (see below). Set to 1 to force the old
   single-shot behavior.
+
+Coverage (r9 verdict #3): the HEADLINE list is frozen for r7+ artifact
+comparability; every OTHER driver-registry query gets a standing perf
+row in a second measured section — `queries_extended` in the final
+line (warm medians + its own contended flag), full forensics in
+bench_detail.json — so no driver slot ships without a recorded number.
 
 Contention self-SELECTION (r8 verdict #1): r7/r8 both recorded suites
 from degraded host windows (BENCH_r08 went on record at 39.8 s while the
@@ -28,7 +38,7 @@ every attempt was contended, the best attempt still flagged
 contended=true. Every attempt's total/ratios stay in the artifact
 (`attempts`), so nothing is hidden.
 
-Forensic detail (per-rep warm runs, cold runs, per-query peak
+Forensic detail (per-rep warm runs, first-rep runs, per-query peak
 process-tree RSS, and `table_rows` — the row count per input table at
 this SF, so a driver-side regeneration of /root/testdata is visible
 without manual forensics) is written to bench_detail.json beside this
@@ -184,8 +194,8 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def _run_suite(spark, sf_dir: str, reps: int) -> dict:
-    """One full timed pass over HEADLINE, bracketed by floor-pair
+def _run_suite(spark, sf_dir: str, reps: int, names: list[str]) -> dict:
+    """One full timed pass over ``names``, bracketed by floor-pair
     samples (the WORSE sample decides the contended flag: a run that
     starts healthy and degrades mid-suite — seen live in r8 — self-
     labels too). Returns everything an attempt needs to be compared,
@@ -209,11 +219,11 @@ def _run_suite(spark, sf_dir: str, reps: int) -> dict:
 
     cpu_floor_1t, cpu_floor_32t = _floor_pair()
 
-    cold: dict[str, float] = {}
+    first_rep: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_all: dict[str, list[float]] = {}
     peak_rss_mb: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = QUERIES[name]
         runs = []
         with _PeakRss() as sampler:
@@ -232,7 +242,7 @@ def _run_suite(spark, sf_dir: str, reps: int) -> dict:
                     "overwrite"
                 ).save()
                 runs.append(time.perf_counter() - t0)
-        cold[name] = round(runs[0], 3)
+        first_rep[name] = round(runs[0], 3)
         warm[name] = round(_median(runs[1:]), 3)
         warm_all[name] = [round(r, 3) for r in runs[1:]]
         peak_rss_mb[name] = round(sampler.peak / 1e6, 1)
@@ -252,7 +262,7 @@ def _run_suite(spark, sf_dir: str, reps: int) -> dict:
     total = round(sum(warm.values()), 3)
     return {
         "total": total,
-        "cold": cold,
+        "first_rep": first_rep,
         "warm": warm,
         "warm_all": warm_all,
         "peak_rss_mb": peak_rss_mb,
@@ -319,7 +329,7 @@ def main() -> None:
     # attempt's summary stays in the artifact.
     attempts: list[dict] = []
     for i in range(max_attempts):
-        att = _run_suite(spark, sf_dir, reps)
+        att = _run_suite(spark, sf_dir, reps, HEADLINE)
         attempts.append(att)
         if not att["contended"]:
             break
@@ -329,6 +339,22 @@ def main() -> None:
     pool = healthy or attempts
     chosen = min(pool, key=lambda a: a["total"])
     chosen_idx = attempts.index(chosen)
+
+    # Extended section (r9 verdict #3): a standing warm-median row for
+    # every driver-registry query NOT in the frozen headline — same
+    # measurement protocol, its own contention self-selection (2
+    # attempts max: the headline already characterized the host).
+    ext_names = [n for n in QUERIES if n not in HEADLINE]
+    ext_attempts: list[dict] = []
+    for i in range(min(2, max_attempts)):
+        att = _run_suite(spark, sf_dir, reps, ext_names)
+        ext_attempts.append(att)
+        if not att["contended"]:
+            break
+        if i == 0:
+            time.sleep(COOLDOWN_S)
+    ext_pool = [a for a in ext_attempts if not a["contended"]] or ext_attempts
+    ext = min(ext_pool, key=lambda a: a["total"])
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -342,8 +368,8 @@ def main() -> None:
     # below stays compact and is guarded against outgrowing the window.
     detail = {
         "metric": "headline_suite_detail",
-        "queries_cold": chosen["cold"],
-        "cold_total": round(sum(chosen["cold"].values()), 3),
+        "queries_first_rep": chosen["first_rep"],
+        "first_rep_total": round(sum(chosen["first_rep"].values()), 3),
         "table_rows": table_rows,
         "queries_warm_all": chosen["warm_all"],
         "peak_tree_rss_mb": chosen["peak_rss_mb"],
@@ -353,6 +379,14 @@ def main() -> None:
             for a in attempts
         ],
         "attempt_chosen": chosen_idx,
+        "extended_first_rep": ext["first_rep"],
+        "extended_warm_all": ext["warm_all"],
+        "extended_peak_tree_rss_mb": ext["peak_rss_mb"],
+        "extended_attempts": [
+            {k: a[k] for k in ("total", "contended", "ratio_start",
+                               "ratio_end", "machine_floor")}
+            for a in ext_attempts
+        ],
         "sf": sf_val,
     }
     detail_path = os.path.join(
@@ -362,29 +396,36 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail))
 
-    line = json.dumps(
-        {
-            "metric": "headline_suite_total",
-            "value": chosen["total"],
-            "unit": "sec",
-            "queries": chosen["warm"],
-            "machine_floor_sec": chosen["machine_floor"],
-            "cpu_floor_1t": chosen["cpu_floor_1t"],
-            "cpu_floor_32t": chosen["cpu_floor_32t"],
-            "cpu_floor_32t_end": chosen["cpu_floor_32t_end"],
-            "contended": chosen["contended"],
-            "value_floor_norm": chosen["floor_norm"],
-            "attempts": len(attempts),
-            "attempt_totals": [a["total"] for a in attempts],
-            "warm_reps": reps - 1,
-            "sf": sf_val,
-        }
-    )
-    # Hard guard on the driver's tail window: degrade to the bare
-    # contract (metric/value/unit/sf) rather than emit an unparseable
-    # line. 21 medians + 3 attempt totals ≈ 950 chars today; this fires
-    # only if the suite roughly doubles.
-    if len(line) > 1800:
+    contract = {
+        "metric": "headline_suite_total",
+        "value": chosen["total"],
+        "unit": "sec",
+        "queries": chosen["warm"],
+        "queries_extended": ext["warm"],
+        "value_extended": ext["total"],
+        "extended_contended": ext["contended"],
+        "machine_floor_sec": chosen["machine_floor"],
+        "cpu_floor_1t": chosen["cpu_floor_1t"],
+        "cpu_floor_32t": chosen["cpu_floor_32t"],
+        "cpu_floor_32t_end": chosen["cpu_floor_32t_end"],
+        "contended": chosen["contended"],
+        "value_floor_norm": chosen["floor_norm"],
+        "attempts": len(attempts),
+        "attempt_totals": [a["total"] for a in attempts],
+        "warm_reps": reps - 1,
+        "sf": sf_val,
+    }
+    # compact separators: the line now carries all 50 warm medians and
+    # the driver json-parses it from a ~2000-char stdout tail
+    line = json.dumps(contract, separators=(",", ":"))
+    # Hard guard on the driver's tail window — degrade in steps rather
+    # than emit an unparseable line: first fold the extended medians
+    # into the detail file only, then fall back to the bare contract.
+    if len(line) > 1900:
+        contract.pop("queries_extended")
+        contract["extended_in_detail_file"] = len(ext["warm"])
+        line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > 1900:
         line = json.dumps(
             {
                 "metric": "headline_suite_total",
@@ -396,7 +437,8 @@ def main() -> None:
                 "attempts": len(attempts),
                 "warm_reps": reps - 1,
                 "sf": sf_val,
-            }
+            },
+            separators=(",", ":"),
         )
     print(line)
 
