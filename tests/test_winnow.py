@@ -170,3 +170,133 @@ def test_validation(spark):
     d = _docs(spark, [(1, "x")])
     with pytest.raises(ValueError, match="must differ"):
         substring_overlap(d, d, query_id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# verify_overlap_spans (r10: the per-pair exact-span verify stage)
+
+def _qdocs(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, text string")
+
+
+def _cdocs(spark, rows):
+    return spark.createDataFrame(rows, "corpus_id long, text string")
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, corpus_id long")
+
+
+def _spans(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_verify_spans_exact_planted_alignment(spark):
+    """An excerpt cut at a known offset must verify to EXACTLY that
+    alignment — q_start/c_start/match_len, not a bound."""
+    from tmdb_sync_spark.functions.winnow import verify_overlap_spans
+
+    base = (
+        "every document deserves one genuinely unique sentence about "
+        "topic %d plus some shared-nothing filler to pad the body out"
+    )
+    corpus = _cdocs(spark, [(i, base % i) for i in range(1, 4)])
+    # query 10 = chars 20..79 of corpus doc 2 (1-based c_start=21,len 60)
+    stolen = (base % 2)[20:80]
+    queries = _qdocs(spark, [
+        (10, "prefix words here: " + stolen + " trailing novel words"),
+    ])
+    got = _spans(verify_overlap_spans(
+        queries, corpus, _pairs(spark, [(10, 2)])
+    ))
+    q_start = len("prefix words here: ") + 1
+    assert got == [(10, 2, q_start, 21, 60)]
+
+
+def test_verify_spans_multiple_disjoint_spans(spark):
+    """Two separate copied regions in one pair yield two span rows —
+    islands on different diagonals never merge."""
+    from tmdb_sync_spark.functions.winnow import verify_overlap_spans
+
+    a = "first copied passage with enough characters to clear threshold"
+    b = "second lifted fragment also comfortably past the minimum size"
+    # glue boundary chars differ between the two sides (#… vs =…), so
+    # the maximal spans are exactly a and exactly b — a shared boundary
+    # char would legitimately extend the span across it
+    corpus = _cdocs(spark, [(1, a + "#middle corpus padding#" + b)])
+    queries = _qdocs(spark, [(7, a + "=unrelated glue text=" + b)])
+    got = _spans(verify_overlap_spans(
+        queries, corpus, _pairs(spark, [(7, 1)])
+    ))
+    assert len(got) == 2
+    (s1, s2) = got
+    # first span starts both sides at 1 and covers exactly a
+    assert (s1[2], s1[3], s1[4]) == (1, 1, len(a))
+    # second span covers exactly b at each side's known offset
+    assert s2[4] == len(b)
+    assert s2[2] == len(a) + len("=unrelated glue text=") + 1
+    assert s2[3] == len(a) + len("#middle corpus padding#") + 1
+
+
+def test_verify_spans_min_len_and_unpaired_docs(spark):
+    """Short shared fragments below min_len are dropped; docs not in the
+    pair set are never compared even if they'd match."""
+    from tmdb_sync_spark.functions.winnow import verify_overlap_spans
+
+    shared = "tiny overlap here"   # 17 chars = K + W - 1 exactly
+    # boundary chars differ on each side of the sliver (#/=) so the
+    # maximal span is exactly the 17 shared chars
+    corpus = _cdocs(spark, [
+        (1, shared + "#plus corpus-only continuation text"),
+        (2, shared + "#identical twin that is NOT in the pair set"),
+    ])
+    queries = _qdocs(spark, [(5, "query words then " + shared + "=end")])
+    got = _spans(verify_overlap_spans(
+        queries, corpus, _pairs(spark, [(5, 1)])
+    ))
+    # the 17-char sliver survives min_len exactly; only pair (5, 1)
+    assert got == [(5, 1, len("query words then ") + 1, 1, len(shared))]
+    got_long = _spans(verify_overlap_spans(
+        queries, corpus, _pairs(spark, [(5, 1)]), min_len=18
+    ))
+    assert got_long == []
+
+
+def test_verify_spans_gram_cap_bounds_repetitive_bomb(spark):
+    """The 'aaaa…' pair would fabricate quadratic diagonal matches;
+    gram_cap drops hyper-repeated grams so the stage stays bounded (the
+    documented precision trade: such spans vanish, they never explode)."""
+    from tmdb_sync_spark.functions.winnow import verify_overlap_spans
+
+    bomb = "a" * 2000
+    corpus = _cdocs(spark, [(1, bomb)])
+    queries = _qdocs(spark, [(9, bomb)])
+    got = verify_overlap_spans(queries, corpus, _pairs(spark, [(9, 1)]))
+    assert got.count() == 0
+    # normal text beside the bomb still verifies exactly
+    tail = " then a normal unique sentence closes both documents"
+    corpus2 = _cdocs(spark, [(1, bomb + tail)])
+    queries2 = _qdocs(spark, [(9, bomb + tail)])
+    got2 = _spans(verify_overlap_spans(
+        queries2, corpus2, _pairs(spark, [(9, 1)])
+    ))
+    assert len(got2) == 1 and got2[0][4] >= len(tail)
+
+
+def test_verify_spans_empty_pairs_and_validation(spark):
+    from tmdb_sync_spark.functions.winnow import verify_overlap_spans
+
+    corpus = _cdocs(spark, [(1, "some corpus text long enough to gram")])
+    queries = _qdocs(spark, [(5, "some query text long enough to gram")])
+    assert verify_overlap_spans(
+        queries, corpus, _pairs(spark, [])
+    ).count() == 0
+    with pytest.raises(ValueError, match="must differ"):
+        verify_overlap_spans(
+            queries.withColumnRenamed("query_id", "doc_id"),
+            corpus.withColumnRenamed("corpus_id", "doc_id"),
+            spark.createDataFrame([], "doc_id long"),
+            query_id_col="doc_id", corpus_id_col="doc_id",
+        )
+    with pytest.raises(ValueError, match="no 'corpus_id'"):
+        verify_overlap_spans(queries, corpus, queries)

@@ -230,10 +230,12 @@ def substring_overlap(
     )
 
 
-@register(
-    "wn_substring_overlap",
-    oracle=f"""
-    WITH q AS (
+# Shared oracle CTEs: the full detection pipeline (planted-excerpt
+# query slice → winnow fingerprints both sides → df-cap → qf/cfo join
+# inputs), reused verbatim by wn_substring_overlap (pair aggregate) and
+# wn_verify_spans (pair set → exact-span verify stage).
+_ORACLE_PAIR_CTES = f"""
+    q AS (
         SELECT doc_id AS query_id, substr(text, 8, 150) AS text
         FROM documents WHERE doc_id % 31 = 0 AND length(text) >= 200
     ),
@@ -292,7 +294,13 @@ def substring_overlap(
     qf AS (
         SELECT DISTINCT query_id, u.fp AS fp
         FROM qw, UNNEST(qw.wins) AS _(u)
-    )
+    )"""
+
+
+@register(
+    "wn_substring_overlap",
+    oracle=f"""
+    WITH {_ORACLE_PAIR_CTES}
     SELECT q.query_id,
            c.doc_id AS corpus_id,
            CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
@@ -329,3 +337,240 @@ def wn_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return substring_overlap(queries, docs).orderBy("query_id", "corpus_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-pair exact-span verification (r9 verdict #1)
+
+# Spans shorter than the winnowing detection threshold are below what
+# the detector can have promised — reporting them would make the verify
+# stage NOISIER than its detection stage.
+VERIFY_MIN_LEN = WINNOW_K + WINNOW_W - 1
+# Within-doc k-gram multiplicity cap: a k-gram occurring G times on both
+# sides of a pair yields G² diagonal matches ("aaaa…" is the hostile
+# shape: every position is the same gram, and a 1 MB repeated-char pair
+# would fabricate 10¹² match rows). Grams past the cap are dropped from
+# BOTH sides before the join — spans composed ONLY of hyper-repeated
+# grams fragment or vanish (documented precision trade; normal prose has
+# within-doc gram multiplicity ~1), everything else is exact.
+VERIFY_GRAM_CAP = 64
+
+
+def verify_overlap_spans(
+    queries: DataFrame,
+    corpus: DataFrame,
+    pairs: DataFrame,
+    *,
+    k: int = WINNOW_K,
+    min_len: int = VERIFY_MIN_LEN,
+    gram_cap: int = VERIFY_GRAM_CAP,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "corpus_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact matched-substring extents for an already-DETECTED pair set
+    — the verify stage :func:`substring_overlap` declares for its
+    ``c_span_chars`` upper bound, exactly as ``dd_ngram_jaccard``
+    verifies ``dd_minhash_lsh`` candidates (functions/dedup.py).
+
+    ``pairs`` is ``(query_id_col, corpus_id_col)`` (extra columns
+    ignored); ``corpus`` must carry ``corpus_id_col``. Returns one row
+    per MAXIMAL exactly-matching span of length ≥ ``min_len``:
+    ``(query_id, corpus_id, q_start, c_start, match_len)`` — 1-based
+    character offsets into each side, alignment exact (not a bound).
+
+    Algorithm — joint k-gram hash alignment, pure Catalyst:
+
+    1. both sides' texts are restricted to documents IN the pair set
+       (semi-joins; the explode below is bounded by the pair set, never
+       corpus-wide) and exploded to ``(id, pos, h)`` k-gram hash rows;
+    2. a shared substring of length L contributes ``L - k + 1``
+       consecutive matches on one DIAGONAL (``cpos - qpos`` constant),
+       so matches group by (pair, diag) and maximal runs fall out of
+       one gaps-and-islands pass (``qpos - row_number()``);
+    3. islands aggregate to ``(q_start, c_start, match_len)``.
+
+    Scale shape: two bounded explodes (pair documents only), a window
+    per side for the ``gram_cap`` guard, one equi-join on
+    ``(corpus_id, h)``, one island window + aggregate — every exchange
+    is keyed by pair-set columns, so cost scales with the DETECTED
+    overlap volume, not the corpus. The pair frame is pinned once
+    (eager localCheckpoint) — it gates three joins and is typically the
+    output of a detection pass nobody wants to re-run three times.
+    """
+    if query_id_col == corpus_id_col:
+        raise ValueError(
+            "verify_overlap_spans: query_id_col and corpus_id_col must "
+            f"differ (both {query_id_col!r})"
+        )
+    for df, col, what in (
+        (queries, query_id_col, "queries"),
+        (corpus, corpus_id_col, "corpus"),
+        (pairs, query_id_col, "pairs"),
+        (pairs, corpus_id_col, "pairs"),
+        (queries, text_col, "queries"),
+        (corpus, text_col, "corpus"),
+    ):
+        if col not in df.columns:
+            raise ValueError(f"verify_overlap_spans: no {col!r} in {what}")
+    p = (
+        pairs.select(query_id_col, corpus_id_col).distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _grams(df: DataFrame, id_col: str, pos_name: str) -> DataFrame:
+        arr = F.transform(
+            F.sequence(F.lit(1), F.length(text_col) - F.lit(k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.col(text_col).substr(i, F.lit(k)).cast("binary"))
+                .alias("h"),
+            ),
+        )
+        from pyspark.sql import Window
+
+        g = (
+            df.join(F.broadcast(p.select(id_col).distinct()), id_col)
+            .where(F.length(text_col) >= k)
+            .select(id_col, F.explode(arr).alias("_g"))
+            .select(id_col, F.col("_g.pos").alias(pos_name), F.col("_g.h"))
+        )
+        return (
+            g.withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy(id_col, "h"))
+            )
+            .where(F.col("_n") <= gram_cap)
+            .drop("_n")
+        )
+
+    from pyspark.sql import Window
+
+    qg = _grams(queries, query_id_col, "qpos")
+    cg = _grams(corpus, corpus_id_col, "cpos")
+    m = (
+        qg.join(F.broadcast(p), query_id_col)
+        .join(cg, [corpus_id_col, "h"])
+        .withColumn("diag", F.col("cpos") - F.col("qpos"))
+    )
+    isl = Window.partitionBy(query_id_col, corpus_id_col, "diag").orderBy(
+        "qpos"
+    )
+    # qpos is unique within (pair, diag) — one hash per position, and a
+    # fixed diagonal determines cpos from qpos — so row_number is
+    # deterministic and consecutive positions share (qpos - rn)
+    runs = m.withColumn("_grp", F.col("qpos") - F.row_number().over(isl))
+    return (
+        runs.groupBy(query_id_col, corpus_id_col, "diag", "_grp")
+        .agg(
+            F.min("qpos").cast("long").alias("q_start"),
+            F.min("cpos").cast("long").alias("c_start"),
+            (F.max("qpos") - F.min("qpos") + F.lit(k))
+            .cast("long").alias("match_len"),
+        )
+        .where(F.col("match_len") >= min_len)
+        .select(
+            query_id_col, corpus_id_col, "q_start", "c_start", "match_len"
+        )
+    )
+
+
+@register(
+    "wn_verify_spans",
+    oracle=f"""
+    WITH {_ORACLE_PAIR_CTES},
+    prs AS (
+        SELECT q.query_id, c.doc_id AS corpus_id
+        FROM qf q JOIN cfo c USING (fp)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MIN_SHARED_FPS}
+    ),
+    vq AS (
+        SELECT t.query_id, u.pos AS qpos, u.h AS h
+        FROM (
+            SELECT query_id,
+                   list_transform(
+                       generate_series(1, length(text) - {WINNOW_K - 1}),
+                       i -> struct_pack(
+                           pos := i,
+                           h := md5(substr(text, i, {WINNOW_K})))) AS gs
+            FROM q
+            WHERE length(text) >= {WINNOW_K}
+              AND query_id IN (SELECT query_id FROM prs)
+        ) t, UNNEST(t.gs) AS _(u)
+    ),
+    vqc AS (
+        SELECT query_id, qpos, h FROM (
+            SELECT vq.*,
+                   COUNT(*) OVER (PARTITION BY query_id, h) AS _n
+            FROM vq
+        ) WHERE _n <= {VERIFY_GRAM_CAP}
+    ),
+    vc AS (
+        SELECT t.corpus_id, u.pos AS cpos, u.h AS h
+        FROM (
+            SELECT doc_id AS corpus_id,
+                   list_transform(
+                       generate_series(1, length(text) - {WINNOW_K - 1}),
+                       i -> struct_pack(
+                           pos := i,
+                           h := md5(substr(text, i, {WINNOW_K})))) AS gs
+            FROM corp
+            WHERE doc_id IN (SELECT corpus_id FROM prs)
+        ) t, UNNEST(t.gs) AS _(u)
+    ),
+    vcc AS (
+        SELECT corpus_id, cpos, h FROM (
+            SELECT vc.*,
+                   COUNT(*) OVER (PARTITION BY corpus_id, h) AS _n
+            FROM vc
+        ) WHERE _n <= {VERIFY_GRAM_CAP}
+    ),
+    mm AS (
+        SELECT p.query_id, p.corpus_id, a.qpos, b.cpos,
+               b.cpos - a.qpos AS diag
+        FROM prs p
+        JOIN vqc a ON a.query_id = p.query_id
+        JOIN vcc b ON b.corpus_id = p.corpus_id AND b.h = a.h
+    ),
+    isl AS (
+        SELECT query_id, corpus_id, diag, qpos, cpos,
+               qpos - row_number() OVER (
+                   PARTITION BY query_id, corpus_id, diag
+                   ORDER BY qpos) AS grp
+        FROM mm
+    )
+    SELECT query_id, corpus_id,
+           CAST(MIN(qpos) AS BIGINT) AS q_start,
+           CAST(MIN(cpos) AS BIGINT) AS c_start,
+           CAST(MAX(qpos) - MIN(qpos) + {WINNOW_K} AS BIGINT) AS match_len
+    FROM isl
+    GROUP BY query_id, corpus_id, diag, grp
+    HAVING MAX(qpos) - MIN(qpos) + {WINNOW_K} >= {VERIFY_MIN_LEN}
+    ORDER BY 1, 2, 3, 4
+    """,
+)
+def wn_verify_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection → verification, end to end: the winnowing pair detector
+    (:func:`wn_substring_overlap`'s exact pipeline) feeds
+    :func:`verify_overlap_spans`, which replaces the detector's
+    ``c_span_chars`` UPPER BOUND with exact per-pair alignments.
+
+    The planted excerpts (150 chars cut from offset 8 of every
+    ``doc_id % 31 == 0`` document) carry a known answer the oracle pins:
+    each self-pair must recover the span ``(q_start=1, c_start=8,
+    match_len=150)`` exactly — plus whatever genuine cross-document
+    repetition the corpus contains, spans ≥ the detection threshold.
+    """
+    docs = parallel_table(spark, sf_dir, "documents")
+    queries = (
+        docs.where((F.col("doc_id") % 31 == 0) & (F.length("text") >= 200))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 8, 150).alias("text"),
+        )
+    )
+    pairs = substring_overlap(queries, docs)
+    corpus = docs.select(F.col("doc_id").alias("corpus_id"), "text")
+    return verify_overlap_spans(queries, corpus, pairs).orderBy(
+        "query_id", "corpus_id", "q_start", "c_start"
+    )

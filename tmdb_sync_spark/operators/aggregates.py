@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from tmdb_sync_spark.io import table
 from tmdb_sync_spark.operators.scalars import NAN_VALUE_SQL, nan_to_null
-from tmdb_sync_spark.registry import register
+from tmdb_sync_spark.registry import register, register_retired
 
 
 @register(
@@ -242,7 +242,11 @@ def a6_a7_p11_recent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
+    # Rotated to the local-parity window in round 10 to free the driver
+    # slot for wn_verify_spans (the r9 verdict's top item): exact
+    # percentiles are a single well-understood aggregate whose semantics
+    # this oracle pins identically from tests/test_oracle_parity.py.
     "a9_percentiles",
     oracle="""
     SELECT l_returnflag,
