@@ -171,13 +171,15 @@ def _compact_vec_locked(spark: SparkSession, index_path: str) -> dict:
     return {"files_before": before, "files_after": after, "rows": rows}
 
 
-def vector_index_matches(
+def vector_index_match_pairs(
     idx: DataFrame, new_b: DataFrame, threshold: float = DUP_THRESHOLD,
     probe_rows: int | None = None,
 ) -> DataFrame:
-    """Drop vec_ids whose exact quantized cosine against ANY indexed
-    vector in their sign bucket clears ``threshold`` — drop side
-    broadcast, index map-side (the dedup_index plan contract).
+    """Verified (probe vec, indexed vec) matches with their exact
+    quantized cosine — ``(vec_id, corpus_vec_id, cosine_sim)`` — the
+    detail surface the unified contamination audit reports from (the
+    vector twin of ``dedup_index.index_match_pairs``). Probe side
+    broadcast, index map-side (the dedup_index plan contract);
     ``probe_rows`` engages the same size gate as dedup_index: above
     the bound the broadcast hint is dropped rather than OOM-shipping a
     corpus-sized probe (quantized vectors are ~DIM×8 bytes each, so
@@ -201,8 +203,24 @@ def vector_index_matches(
             on=F.col("i.bucket") == F.col("n.bucket"),
         )
         .where(cos >= threshold)
-        .select(F.col("n.vec_id").alias("vec_id"))
+        .select(
+            F.col("n.vec_id").alias("vec_id"),
+            F.col("i.vec_id").alias("corpus_vec_id"),
+            cos.alias("cosine_sim"),
+        )
         .distinct()
+    )
+
+
+def vector_index_matches(
+    idx: DataFrame, new_b: DataFrame, threshold: float = DUP_THRESHOLD,
+    probe_rows: int | None = None,
+) -> DataFrame:
+    """Just the matched probe vec_ids — the dedup filter's view of
+    :func:`vector_index_match_pairs`."""
+    return (
+        vector_index_match_pairs(idx, new_b, threshold, probe_rows)
+        .select("vec_id").distinct()
     )
 
 
