@@ -300,3 +300,128 @@ def test_verify_spans_empty_pairs_and_validation(spark):
         )
     with pytest.raises(ValueError, match="no 'corpus_id'"):
         verify_overlap_spans(queries, corpus, queries)
+
+
+# ---------------------------------------------------------------------------
+# r10 hostile pass (r9 verdict #7)
+
+_HOSTILE_ROWS = [
+    # CJK + emoji past the BMP (astral plane, 4-byte UTF-8): character
+    # indexing must agree between Spark's UTF8String and DuckDB
+    (1, "火車站在哪裡請問一下謝謝你 🚀🚀 多字節內容測試資料延伸更多"),
+    # combining marks: e + U+0301 is TWO code points in both engines
+    (2, "café au lait résumé entrée naivë "
+        "plus enough tail text to fingerprint"),
+    # mixed-width: ascii interleaved with multibyte
+    (3, "aä漢zZ🚀!aä漢zZ?aä漢zZ.aä漢zZ,aä漢zZ;aä漢zZ:"),
+    # whitespace-only but ≥ K chars: fingerprints exist (the text IS
+    # its content) and must match cross-engine like any other
+    (4, " " * (WINNOW_K + WINNOW_W + 3)),
+    # NUL and control chars inside the text
+    (5, "control\x00chars\x01inside\x02this\x03string\x04body\x05text"),
+    # RTL text with embedded digits
+    (6, "مرحبا بالعالم 12345 اختبار المحتوى متعدد البايت هنا الآن"),
+]
+
+
+def test_hostile_unicode_selection_parity(spark):
+    """Multibyte winnowing parity — the md5-over-substr path meets CJK,
+    astral emoji, combining marks, RTL, NULs: Spark `substr` counts
+    CHARACTERS on UTF8String and the binary cast hashes the UTF-8
+    bytes; DuckDB's substr/length count code points and md5(varchar)
+    hashes UTF-8 — the (pos, fp) selections must be byte-identical
+    (this is the r9 verdict's 'prove or refute' probe; proven here)."""
+    got = (
+        winnow_fingerprints(_docs(spark, _HOSTILE_ROWS))
+        .orderBy("doc_id", "pos", "fp").toPandas()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", _HOSTILE_ROWS)
+    want = con.execute(f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, length(text) - {WINNOW_K - 1}),
+                                  i -> md5(substr(text, i, {WINNOW_K}))) AS hs
+            FROM t WHERE length(text) >= {WINNOW_K}
+        ),
+        w AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(hs) - {WINNOW_W - 1}, 1)),
+                       j -> struct_pack(
+                           pos := j + list_position(hs[j:j+{WINNOW_W - 1}],
+                               list_aggregate(hs[j:j+{WINNOW_W - 1}], 'min')) - 1,
+                           fp := list_aggregate(hs[j:j+{WINNOW_W - 1}], 'min'))) AS wins
+            FROM h
+        )
+        SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp
+        FROM w, UNNEST(w.wins) AS _(u)
+        ORDER BY doc_id, pos, fp
+    """).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"pos": "int64"}),
+        want.reset_index(drop=True).astype({"pos": "int64"}),
+    )
+
+
+def test_hostile_unicode_excerpt_detection_and_spans(spark):
+    """End to end on multibyte text: a CJK excerpt embedded in a novel
+    eval doc is detected AND span-verified with CHARACTER-exact offsets
+    (byte offsets would be ~3x larger and wrong)."""
+    from tmdb_sync_spark.functions.winnow import verify_overlap_spans
+
+    body = "開頭引言部分" + "獨特內容第五號文件" * 6 + "結尾部分完結"
+    corpus = _docs(spark, [(5, body),
+                           (6, "完全不同的另一篇文件內容展示用")])
+    stolen = body[6:36]                  # 30 chars from char-offset 7
+    queries = spark.createDataFrame(
+        [(100, "novel eval wrapper: " + stolen + " trailing")],
+        "query_id long, text string",
+    )
+    pairs = substring_overlap(queries, corpus, min_shared=2)
+    got = sorted(map(tuple, pairs.collect()))
+    assert [(q, c) for q, c, *_ in got] == [(100, 5)]
+    spans = sorted(map(tuple, verify_overlap_spans(
+        queries,
+        corpus.withColumnRenamed("doc_id", "corpus_id"),
+        pairs,
+    ).collect()))
+    # the excerpt region is itself repetitive (the x6 repeat), so the
+    # maximal matched span extends past the cut on the corpus side —
+    # assert the span COVERS the planted excerpt with exact q offsets
+    assert len(spans) >= 1
+    q_start = len("novel eval wrapper: ") + 1
+    covering = [s for s in spans
+                if s[2] <= q_start and s[2] + s[4] - 1 >= q_start + 29]
+    assert covering, spans
+
+
+def test_all_boilerplate_doc_is_invisible_by_design(spark):
+    """A doc whose EVERY fingerprint exceeds df_cap (pure boilerplate)
+    cannot pair with anything — including its own verbatim copy. Pinned
+    as the df-cap's documented trade: boilerplate is not evidence of
+    copying, so an all-boilerplate doc has no evidence to give."""
+    boiler = "all rights reserved worldwide contact legal for terms "
+    corpus = _docs(spark, [(i, boiler) for i in range(1, 15)])
+    queries = spark.createDataFrame(
+        [(100, boiler)], "query_id long, text string"
+    )
+    got = substring_overlap(queries, corpus, df_cap=5, min_shared=1)
+    assert got.count() == 0
+    # …and the same doc WITH unique content pairs on that content only
+    corpus2 = _docs(spark, [
+        *[(i, boiler) for i in range(1, 15)],
+        (99, boiler + "except this document adds a unique closing line"),
+    ])
+    queries2 = spark.createDataFrame(
+        [(100, boiler + "except this document adds a unique closing line")],
+        "query_id long, text string",
+    )
+    got2 = sorted(
+        (r["query_id"], r["corpus_id"])
+        for r in substring_overlap(
+            queries2, corpus2, df_cap=5, min_shared=1).collect()
+    )
+    assert got2 == [(100, 99)]
