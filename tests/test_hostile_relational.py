@@ -175,3 +175,26 @@ def test_decimal_overflow_is_loud_in_both(spark, hostile_rel_sf):
         con2.execute(E.oracle_sql()["q1_sql_pricing_summary"]).df()
     con.close()
     con2.close()
+
+
+def test_try_to_int_equivalent_to_try_cast(spark):
+    """try_to_int's regex guard must accept EXACTLY the strings ANSI
+    string->int can parse — any divergence silently changes the F1
+    non-numeric taxonomy. Hostile domain: control-char trim (cast trims
+    chars <= 0x20, regex \\s would not), overflow digits, decimals,
+    non-ASCII digits, malformed signs, empty, NULL."""
+    from pyspark.sql import functions as F
+
+    from tmdb_sync_spark.operators.scalars import try_to_int
+
+    rows = [("12",), ("+7",), ("-0",), ("  33  ",), ("\x0199\x01",),
+            ("\x09-4\x0b",), ("1.5",), ("A",), ("",), (None,),
+            ("99999999999999",), ("٣٤",), (" +1",), ("+-1",),
+            ("0x10",), ("2147483647",), ("2147483648",), ("- 5",)]
+    df = spark.createDataFrame(rows, "s string")
+    bad = df.select(
+        "s",
+        try_to_int(F.col("s")).alias("fast"),
+        F.expr("try_cast(s AS INT)").alias("ref"),
+    ).where(~F.col("fast").eqNullSafe(F.col("ref"))).collect()
+    assert bad == []

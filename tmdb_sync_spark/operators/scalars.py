@@ -34,6 +34,35 @@ def nan_to_null(col: Column) -> Column:
     return F.when(F.isnan(col), F.lit(None)).otherwise(col)
 
 
+# Exactly the string domain Spark's ANSI string→int cast can PARSE:
+# trimAll strips chars ≤ 0x20 from both ends, then sign + digits
+# (UTF8String.toInt's grammar). Everything outside this regex is a
+# guaranteed parse failure — returned as NULL without entering the cast.
+_INT_PARSE_GUARD = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+
+
+def try_to_int(col: Column) -> Column:
+    """``try_cast(col AS INT)`` without the caught-exception tax on
+    non-numeric input.
+
+    Spark's ``try_cast`` evaluates the ANSI cast and catches the
+    per-row ``NumberFormatException`` — ~10 µs per FAILING row (the
+    JVM fills in a stack trace each time). On a column where failure is
+    the COMMON case that tax dominates the whole aggregate: the r10
+    extended-bench section caught ``f_scalar_suite`` at 6.6 s warm
+    where its plan-twin aggregates run in ~1 s, and bisection attributed
+    ~6 s to one ``try_cast(l_returnflag AS INT)`` over 600 k
+    always-non-numeric rows. The regex guard above short-circuits every
+    row the cast could not possibly parse straight to NULL (regex ≈
+    0.5 µs/row, no exception); rows that MATCH still go through real
+    ``try_cast``, so out-of-int-range digits ('99999999999') stay NULL
+    exactly as before. Result-identical to bare ``try_cast`` by
+    construction: the guard's accept set is precisely the parseable
+    grammar, and the inner try_cast decides overflow.
+    """
+    return F.when(col.rlike(_INT_PARSE_GUARD), col.try_cast("int"))
+
+
 @register(
     "f_scalar_suite",
     oracle="""
@@ -88,8 +117,12 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_returnflag").alias("return_flag"), bucket, segment)
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # try_to_int, not bare try_cast: the flag is non-numeric on
+            # EVERY row, the worst case for try_cast's caught-exception
+            # path (see try_to_int — found by the r10 extended bench)
             F.sum(
-                F.when(F.expr("try_cast(l_returnflag AS INT)").isNull(), 1).otherwise(0)
+                F.when(try_to_int(F.col("l_returnflag")).isNull(), 1)
+                .otherwise(0)
             ).alias("non_numeric_flag"),
             F.min(ship_year).alias("min_ship_year"),
             F.max(ship_year).alias("max_ship_year"),
