@@ -109,7 +109,13 @@ def test_event_query_parity_on_hostile_events(spark, hostile_ev_sf, name):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{hostile_ev_sf}/{t}.parquet')"
         )
-    got = _canon(E.queries()[name](spark, hostile_ev_sf))
-    want = _canon(con.execute(E.oracle_sql()[name]).df())
+    # retired queries keep this hostile bar too (the r8 rotation rule,
+    # tests/test_hostile_text.py): look them up past the driver window
+    from tmdb_sync_spark.registry import RETIRED_ORACLES, RETIRED_QUERIES
+
+    queries = {**E.queries(), **RETIRED_QUERIES}
+    oracles = {**E.oracle_sql(), **RETIRED_ORACLES}
+    got = _canon(queries[name](spark, hostile_ev_sf))
+    want = _canon(con.execute(oracles[name]).df())
     con.close()
     assert got == want, f"{name} diverges on hostile events"
