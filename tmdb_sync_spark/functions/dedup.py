@@ -611,13 +611,27 @@ def min_label_components(
             .groupBy(F.col("w").alias("v"))
             .agg(F.min("label").alias("nl"))
         )
+        # _old rides along so the fixpoint check below is a filter over
+        # the round's own checkpointed output — the previous shape
+        # re-joined the FULL label set against the new one every round
+        # just to count changes, one whole extra V-row shuffle per round
+        # (r10 extended-bench review)
         prop = (
             labels.join(neigh_min, "v", "left")
-            .select("v", F.least("label", "nl").alias("label"))
+            .select(
+                "v",
+                F.col("label").alias("_old"),
+                F.least("label", "nl").alias("label"),
+            )
         )
         # pointer jump: follow the current label one hop (labels always
         # point at a node id in the same component, so the lookup is a
-        # self-equi-join; coalesce covers label == v roots)
+        # self-equi-join; coalesce covers label == v roots). Exactly ONE
+        # jump per round, measured: a second jump per round was tried
+        # (r10) and LOST — rounds stayed at 10 on the sf0.1 near-dup
+        # graph (convergence there is gated by neighbor-min's one-hop
+        # spread, not by chain length) while the doubled self-join of
+        # the unmaterialized prop subtree ~5×'d per-round cost.
         jumped = (
             prop.alias("a")
             .join(
@@ -629,19 +643,17 @@ def min_label_components(
             )
             .select(
                 F.col("a.v").alias("v"),
+                F.col("a._old").alias("_old"),
                 F.least(
                     F.col("a.label"), F.coalesce("b.jl", "a.label")
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
+        # fixpoint test = a filter over this round's checkpoint blocks;
+        # labels only ever DECREASE, so label != _old iff it changed
+        changed = jumped.where(F.col("label") != F.col("_old")).count()
+        labels = jumped.drop("_old")
     if stats is not None:
         stats["rounds"] = rounds   # observability for the scale ramp
     return labels
