@@ -202,12 +202,15 @@ def contamination_audit(
     finally:
         eval_docs.unpersist()
     if "semantic" in lenses:
+        # pinned once — it feeds the bucket-list collect, the broadcast
+        # row-count gate, and the match join (the same 3×-evaluation
+        # shape the winnow probe fixed this round)
         b = bucketed_from(
             eval_embeddings.select(
                 F.col("doc_id").alias("vec_id"), "embedding"
             ),
             N_DUP_BITS,
-        )
+        ).localCheckpoint(eager=True)
         bbs = [r["bucket"] for r in b.select("bucket").distinct().collect()]
         idx = spark.read.parquet(paths["semantic"])
         if bbs:
