@@ -425,3 +425,26 @@ def test_all_boilerplate_doc_is_invisible_by_design(spark):
             queries2, corpus2, df_cap=5, min_shared=1).collect()
     )
     assert got2 == [(100, 99)]
+
+
+def test_verify_spans_broadcast_gate_shuffle_parity(spark, monkeypatch):
+    """The pair-frame broadcast hints share one row-count gate (the
+    r9-verdict class: an unconditional hint is the OOM the gated joins
+    pretend to prevent). Gate forced to 0 → all three joins take the
+    shuffle path and spans are identical."""
+    import tmdb_sync_spark.functions.dedup_index as di
+    from tmdb_sync_spark.functions.winnow import verify_overlap_spans
+
+    corpus = _cdocs(spark, [
+        (1, "a shared fragment that is long enough to verify exactly"),
+        (2, "completely unrelated corpus text for the other document"),
+    ])
+    queries = _qdocs(spark, [
+        (9, "prefix! a shared fragment that is long enough to verify "
+            "exactly =suffix"),
+    ])
+    pairs = _pairs(spark, [(9, 1)])
+    broadcast_spans = _spans(verify_overlap_spans(queries, corpus, pairs))
+    monkeypatch.setattr(di, "BROADCAST_PROBE_MAX_ROWS", 0)
+    shuffle_spans = _spans(verify_overlap_spans(queries, corpus, pairs))
+    assert shuffle_spans == broadcast_spans and len(broadcast_spans) == 1

@@ -417,6 +417,22 @@ def verify_overlap_spans(
         pairs.select(query_id_col, corpus_id_col).distinct()
         .localCheckpoint(eager=True)
     )
+    # ONE broadcast decision for every pair-frame join (the r9-verdict
+    # lesson from the winnow-index probe: an unconditional hint on one
+    # of several joins is the OOM the gate on the others pretends to
+    # prevent). A pair set is small by the verify stage's contract, but
+    # a pathological detection pass can emit millions of pairs — past
+    # the ceiling they shuffle instead of force-broadcasting. The id
+    # projections are ≤ the pair count by construction, so one shared
+    # decision covers all three joins.
+    from tmdb_sync_spark.functions.dedup_index import (
+        BROADCAST_PROBE_MAX_ROWS,
+    )
+
+    may_broadcast = p.count() <= BROADCAST_PROBE_MAX_ROWS
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if may_broadcast else df
 
     def _grams(df: DataFrame, id_col: str, pos_name: str) -> DataFrame:
         arr = F.transform(
@@ -430,7 +446,7 @@ def verify_overlap_spans(
         from pyspark.sql import Window
 
         g = (
-            df.join(F.broadcast(p.select(id_col).distinct()), id_col)
+            df.join(_hint(p.select(id_col).distinct()), id_col)
             .where(F.length(text_col) >= k)
             .select(id_col, F.explode(arr).alias("_g"))
             .select(id_col, F.col("_g.pos").alias(pos_name), F.col("_g.h"))
@@ -448,7 +464,7 @@ def verify_overlap_spans(
     qg = _grams(queries, query_id_col, "qpos")
     cg = _grams(corpus, corpus_id_col, "cpos")
     m = (
-        qg.join(F.broadcast(p), query_id_col)
+        qg.join(_hint(p), query_id_col)
         .join(cg, [corpus_id_col, "h"])
         .withColumn("diag", F.col("cpos") - F.col("qpos"))
     )
