@@ -159,3 +159,27 @@ def test_incremental_maintenance_across_drops(spark, tmp_path):
            for r in audit["pairs"]["substring"].collect()}
     assert (50, 5) in got
     assert audit["clean"].count() == 0
+
+
+def test_verify_substring_spans_adapter(spark, index_root):
+    """Audit substring pairs feed straight into exact-span verification
+    — the copied paragraph's extent comes back exactly, 1-based on both
+    sides, using the corpus table's text for the matched docs only."""
+    from tmdb_sync_spark.functions.audit import verify_substring_spans
+
+    stolen = _corpus_text(5)[30:120]
+    ev = _docs(spark, [
+        (101, "a genuinely novel eval question, but quoting: " + stolen),
+    ])
+    audit = contamination_audit(
+        spark, ev, index_root, lenses=("substring",)
+    )
+    corpus_docs = _docs(spark, [(i, _corpus_text(i)) for i in range(1, 11)])
+    spans = sorted(map(tuple, verify_substring_spans(
+        ev, corpus_docs, audit["pairs"]["substring"]
+    ).collect()))
+    # both sides precede the 90-char excerpt (corpus offset 31) with a
+    # space, so the MAXIMAL match starts one char earlier and is 91
+    # chars — exact-span semantics, pinned as such in test_winnow.py
+    q_start = len("a genuinely novel eval question, but quoting: ")  # 46
+    assert (101, 5, q_start, 30, 91) in spans

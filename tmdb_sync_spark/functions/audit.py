@@ -158,6 +158,13 @@ def contamination_audit(
     A missing index for any REQUESTED lens raises; drop a lens from
     ``lenses`` to audit without it (the verdict frame then simply lacks
     that column — absence is visible, never a silent all-clear).
+
+    Caveat: ``eval_docs`` is persisted for the duration of the text-lens
+    probes and unpersisted after — pass an unpersisted frame (a caller's
+    own ``persist()`` on the SAME plan would be released with it).
+
+    For exact matched-substring extents of the ``substring`` pairs, feed
+    them through :func:`verify_substring_spans` with the corpus text.
     """
     unknown = [x for x in lenses if x not in LENSES]
     if unknown:
@@ -233,12 +240,47 @@ def contamination_audit(
         verdicts = verdicts.join(flagged, "doc_id", "left").withColumn(
             lens, F.coalesce(F.col(lens), F.lit(False))
         )
+    flags = [F.col(lens) for lens in LENSES if lens in pairs]
+    # greatest() requires ≥2 columns — a single-lens audit's verdict is
+    # that lens's flag itself (caught by the span-adapter test, which
+    # audits with lenses=("substring",) only)
     verdicts = verdicts.withColumn(
-        "contaminated",
-        F.greatest(*[F.col(lens) for lens in LENSES if lens in pairs]),
+        "contaminated", F.greatest(*flags) if len(flags) > 1 else flags[0]
     )
     contaminated_ids = (
         verdicts.where(F.col("contaminated")).select("doc_id")
     )
     clean = eval_docs.join(contaminated_ids, "doc_id", "left_anti")
     return {"pairs": pairs, "verdicts": verdicts, "clean": clean}
+
+
+def verify_substring_spans(
+    eval_docs: DataFrame,
+    corpus_docs: DataFrame,
+    substring_pairs: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Exact matched-substring alignments for an audit's ``substring``
+    pair frame — the audit-shaped adapter over
+    ``winnow.verify_overlap_spans`` (the index probe's ``c_span_chars``
+    is an upper bound; this recovers exact extents).
+
+    ``substring_pairs`` is ``(doc_id, corpus_doc_id, ...)`` as returned
+    under ``pairs["substring"]``; ``corpus_docs`` must provide the
+    matched corpus documents' TEXT (``(doc_id, text)`` — the index
+    stores fingerprints, not text, so exact spans need one read of the
+    pair docs from the corpus table; the verify stage semi-joins it
+    down to the pair set before anything widens). Returns
+    ``(doc_id, corpus_doc_id, q_start, c_start, match_len)``.
+    """
+    from tmdb_sync_spark.functions.winnow import verify_overlap_spans
+
+    out = verify_overlap_spans(
+        eval_docs.withColumnRenamed("doc_id", "query_id"),
+        corpus_docs.withColumnRenamed("doc_id", "corpus_doc_id"),
+        substring_pairs.withColumnRenamed("doc_id", "query_id"),
+        query_id_col="query_id",
+        corpus_id_col="corpus_doc_id",
+        **kwargs,
+    )
+    return out.withColumnRenamed("query_id", "doc_id")
