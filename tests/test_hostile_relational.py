@@ -190,7 +190,11 @@ def test_try_to_int_equivalent_to_try_cast(spark):
     rows = [("12",), ("+7",), ("-0",), ("  33  ",), ("\x0199\x01",),
             ("\x09-4\x0b",), ("1.5",), ("A",), ("",), (None,),
             ("99999999999999",), ("٣٤",), (" +1",), ("+-1",),
-            ("0x10",), ("2147483647",), ("2147483648",), ("- 5",)]
+            ("0x10",), ("2147483647",), ("2147483648",), ("- 5",),
+            # DEL (0x7f) IS in the cast's trim set (r10 advice); C1
+            # controls and Unicode whitespace are NOT (BMP sweep).
+            ("\x7f12",), ("12\x7f",), ("\x7f\x7f-8\x20\x7f",),
+            ("\x8512",), ("12",), (" 12",), (" 12",)]
     df = spark.createDataFrame(rows, "s string")
     bad = df.select(
         "s",

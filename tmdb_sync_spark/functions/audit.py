@@ -43,9 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tmdb_sync_spark.functions.dedup import minhash_signature
 from tmdb_sync_spark.functions.dedup_index import (
-    _band_rows,
     contamination_check,
     index_exists,
 )

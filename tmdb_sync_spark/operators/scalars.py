@@ -35,10 +35,15 @@ def nan_to_null(col: Column) -> Column:
 
 
 # Exactly the string domain Spark's ANSI string→int cast can PARSE:
-# trimAll strips chars ≤ 0x20 from both ends, then sign + digits
-# (UTF8String.toInt's grammar). Everything outside this regex is a
-# guaranteed parse failure — returned as NULL without entering the cast.
-_INT_PARSE_GUARD = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+# trimAll strips chars ≤ 0x20 AND DEL (0x7F) from both ends, then sign +
+# ASCII digits (UTF8String.toInt's grammar). Everything outside this
+# regex is a guaranteed parse failure — returned as NULL without
+# entering the cast. The trim set was established empirically on this
+# Spark build by sweeping every BMP codepoint as a leading/trailing
+# char: ONLY \x00-\x20 and \x7f are trimmed — C1 controls (U+0080-9F)
+# and Unicode whitespace (U+2028 etc.) are NOT, so neither
+# \p{javaWhitespace} nor \p{Cc} would be the right class here.
+_INT_PARSE_GUARD = r"^[\x00-\x20\x7f]*[+-]?[0-9]+[\x00-\x20\x7f]*$"
 
 
 def try_to_int(col: Column) -> Column:
