@@ -1,0 +1,102 @@
+"""Replay the r10 contention weather through bench.py's labeling logic
+(r10 verdict #1: the official r10 headline read ratio_end 5.85 — under
+the old 6.0 flag — and shipped a tainted artifact labeled healthy).
+Pure-function tests, no Spark session."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_BENCH = os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
+_spec = importlib.util.spec_from_file_location("bench_module", _BENCH)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+REPO = os.path.dirname(os.path.abspath(_BENCH))
+
+# The r10 official run's recorded evidence (BENCH_r10.json +
+# bench_detail.json): brackets 2.59 / 5.85, dd_exact warm 1.708 vs a
+# nine-round family of 0.20-0.33.
+R10_RATIOS = [2.59, 5.85]
+R10_WARM = {"dd_exact": 1.708, "q5_revenue_by_nation": 0.35}
+
+
+def test_r10_weather_now_flags_on_floor_alone():
+    label = bench.label_attempt(R10_RATIOS, {}, {})
+    assert label["floor_contended"] is True
+    assert label["contended"] is True
+    assert label["ratio_worst"] == 5.85
+
+
+def test_r10_weather_flags_on_family_even_with_clean_floors():
+    """Interior sampling can still miss a spike confined to one query's
+    reps — the family check is the independent second tripwire."""
+    family = {"dd_exact": 0.25, "q5_revenue_by_nation": 0.3}
+    label = bench.label_attempt([2.3, 2.4], R10_WARM, family)
+    assert label["floor_contended"] is False
+    assert label["family_outliers"] == ["dd_exact"]
+    assert label["contended"] is True
+
+
+def test_healthy_attempt_stays_healthy():
+    family = {"dd_exact": 0.25}
+    label = bench.label_attempt(
+        [3.8, 4.4, 4.1], {"dd_exact": 0.31}, family
+    )
+    assert label["contended"] is False
+    assert label["family_outliers"] == []
+
+
+def test_worst_interior_sample_decides():
+    """A run that is healthy at both brackets but spikes mid-suite —
+    exactly the r10 shape — must flag from the interior sample."""
+    label = bench.label_attempt([3.9, 9.2, 4.1], {}, {})
+    assert label["floor_contended"] is True
+    assert label["ratio_worst"] == 9.2
+
+
+def test_family_from_repo_artifacts_is_robust_to_r10():
+    """The family loader over the repo's real BENCH_r*.json history:
+    r8 (contended: true) is excluded; r10's tainted dd_exact 1.708 is
+    absorbed by the cross-round median; the resulting family median
+    sits in the healthy 0.20-0.35 band, so an r10-like reading is an
+    outlier against it."""
+    head, ext = bench.load_family(REPO, 0.1)
+    assert head, "no headline family derived from repo artifacts"
+    dd = head.get("dd_exact")
+    assert dd is not None and 0.15 < dd < 0.40, dd
+    assert 1.708 > bench.FAMILY_OUTLIER_X * dd
+    # extended history: only r10 carries the section and it is flagged
+    # extended_contended, so no extended family exists yet (< MIN_SAMPLES)
+    assert ext == {}
+
+
+def test_family_requires_min_samples(tmp_path):
+    import json
+
+    for i, v in enumerate([0.2, 0.3]):
+        (tmp_path / f"BENCH_r{i:02d}.json").write_text(
+            json.dumps(
+                {"parsed": {"sf": 0.1, "contended": False,
+                            "queries": {"qx": v}}}
+            )
+        )
+    head, _ = bench.load_family(str(tmp_path), 0.1)
+    assert head == {}  # 2 samples < FAMILY_MIN_SAMPLES
+
+
+def test_family_ignores_other_sf_and_unparsed(tmp_path):
+    import json
+
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"parsed": None}))
+    (tmp_path / "BENCH_r02.json").write_text("not json at all")
+    for i in range(3, 7):
+        (tmp_path / f"BENCH_r{i:02d}.json").write_text(
+            json.dumps(
+                {"parsed": {"sf": 0.01, "contended": False,
+                            "queries": {"qx": 0.2}}}
+            )
+        )
+    head, _ = bench.load_family(str(tmp_path), 0.1)
+    assert head == {}
