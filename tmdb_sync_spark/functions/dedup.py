@@ -589,10 +589,43 @@ def min_label_components(
     Every step is an equi-join shuffle with ``localCheckpoint()`` lineage
     truncation; no driver-side data. The hard cap only guards against a
     non-terminating bug and fails loudly.
+
+    Shuffle sizing (r10 verdict #8): every round pays its exchanges at
+    the session's configured ``spark.sql.shuffle.partitions`` — AQE
+    coalescing does NOT shrink them below default parallelism
+    (``coalescePartitions.parallelismFirst`` favors parallelism over the
+    advisory size), so a tiny label frame at bench SF schedules ~32
+    tasks per exchange, ~10 rounds × 4 exchanges a round of pure
+    scheduling overhead. The loop therefore keys its shuffle partitions
+    to the materialized edge count — capped AT the session's setting, so
+    a 100 TB edge list keeps the session's shape and only small graphs
+    shrink — for the loop's duration, restored in ``finally`` (the
+    returned frame is checkpointed, so downstream plans never see the
+    loop's setting).
     """
+    spark = edges.sparkSession
     sym = edges.unionByName(
         edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
     )
+    # ~500k label/edge rows per task keeps a round's exchange payload
+    # well under a shuffle partition's memory comfort zone while never
+    # raising the session's configured partition count.
+    n_edges = edges.count()
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(conf_key)
+    loop_parts = max(1, min(int(prev_parts), -(-2 * n_edges // 500_000)))
+    spark.conf.set(conf_key, str(loop_parts))
+    if stats is not None:
+        stats["shuffle_partitions"] = loop_parts
+    try:
+        return _min_label_fixpoint(sym, max_rounds, stats)
+    finally:
+        spark.conf.set(conf_key, prev_parts)
+
+
+def _min_label_fixpoint(
+    sym: DataFrame, max_rounds: int, stats: dict | None
+) -> DataFrame:
     labels = (
         sym.select(F.col("u").alias("v")).distinct()
         .withColumn("label", F.col("v"))
