@@ -183,3 +183,133 @@ def test_verify_substring_spans_adapter(spark, index_root):
     # chars — exact-span semantics, pinned as such in test_winnow.py
     q_start = len("a genuinely novel eval question, but quoting: ")  # 46
     assert (101, 5, q_start, 30, 91) in spans
+
+
+# ---- r11 hostile pass (r10 verdict #3): probe the audit surface the
+# way winnow was probed — degenerate inputs, id collisions, and the
+# silent-vanish failure mode in the span adapter. Findings table in
+# COVERAGE.md.
+
+
+def test_audit_empty_eval_set(spark, index_root):
+    """Zero eval docs: every frame is empty, nothing crashes, and no
+    lens reports anything (0 verdicts ≠ all-clear of a non-empty set)."""
+    ev = _docs(spark, [])
+    emb = _vecs(spark, [])
+    audit = contamination_audit(spark, ev, index_root, eval_embeddings=emb)
+    assert audit["verdicts"].count() == 0
+    assert audit["clean"].count() == 0
+    assert {k: v.count() for k, v in audit["pairs"].items()} == {
+        "whole_doc": 0, "substring": 0, "semantic": 0,
+    }
+
+
+def test_audit_duplicate_eval_ids(spark, index_root):
+    """Duplicate doc_ids: ONE verdict row per distinct id, contaminated
+    if ANY of the id's rows trips a lens (ids are the audit unit — two
+    texts sharing an id share a fate); clean keeps the duplicate ROWS
+    of ids whose every row is clean."""
+    stolen = _corpus_text(3)[30:120]
+    ev = _docs(spark, [
+        (7, "novel words quoting: " + stolen),
+        (7, "totally clean other row same id"),
+        (8, "clean row"), (8, "clean row"),
+    ])
+    emb = _vecs(spark, [(7, _vec(70)), (7, _vec(71)),
+                        (8, _vec(80)), (8, _vec(80))])
+    audit = contamination_audit(spark, ev, index_root, eval_embeddings=emb)
+    verdicts = sorted((r["doc_id"], r["contaminated"])
+                      for r in audit["verdicts"].collect())
+    assert verdicts == [(7, True), (8, False)]
+    assert audit["clean"].count() == 2  # both rows of id 8
+
+
+def test_audit_eval_ids_colliding_with_corpus_ids(spark, index_root):
+    """An eval doc_id that also exists as a corpus id is a legitimate
+    probe (id spaces are independent): the pair (3, 3) must surface,
+    not be mistaken for a self-join artifact and dropped."""
+    ev = _docs(spark, [
+        (3, _corpus_text(3)),
+        (4, "clean fresh words nothing shared with any corpus doc"),
+    ])
+    emb = _vecs(spark, [(3, _vec(3)), (4, _vec(400))])
+    audit = contamination_audit(spark, ev, index_root, eval_embeddings=emb)
+    v = {r["doc_id"]: (r["whole_doc"], r["substring"], r["semantic"])
+         for r in audit["verdicts"].collect()}
+    assert v[3] == (True, True, True)
+    assert v[4] == (False, False, False)
+    assert (3, 3) in {(r["doc_id"], r["corpus_doc_id"])
+                      for r in audit["pairs"]["whole_doc"].collect()}
+
+
+def test_audit_null_and_subk_texts(spark, index_root):
+    """NULL / empty / sub-k-gram texts flow through every lens without
+    crashing and flag nothing (embeddings here are far from the corpus,
+    so the text lenses are isolated)."""
+    ev = _docs(spark, [(20, None), (21, ""), (22, "tiny"), (23, "a b"),
+                       (24, _corpus_text(2))])
+    emb = _vecs(spark, [(20, _vec(200)), (21, None), (22, _vec(220)),
+                        (23, _vec(230)), (24, _vec(240))])
+    audit = contamination_audit(spark, ev, index_root, eval_embeddings=emb)
+    v = {r["doc_id"]: r["contaminated"]
+         for r in audit["verdicts"].collect()}
+    assert v == {20: False, 21: False, 22: False, 23: False, 24: True}
+
+
+def test_audit_semantic_lens_with_no_valid_embeddings(spark, index_root):
+    """All-NaN / NULL embeddings: the validity contract zeroes the
+    semantic probe instead of crashing or flagging garbage."""
+    ev = _docs(spark, [(30, "clean words here"), (31, "more clean words")])
+    nan = float("nan")
+    emb = _vecs(spark, [(30, [nan] * DIM), (31, None)])
+    audit = contamination_audit(spark, ev, index_root, eval_embeddings=emb)
+    v = sorted((r["doc_id"], r["semantic"])
+               for r in audit["verdicts"].collect())
+    assert v == [(30, False), (31, False)]
+    assert audit["pairs"]["semantic"].count() == 0
+
+
+def test_audit_eval_set_larger_than_corpus(spark, index_root):
+    """More eval docs than corpus docs — the probe direction must not
+    assume which side is small."""
+    ev = _docs(spark, [
+        (100 + i, f"eval number {i} "
+         + " ".join(f"unique{i}w{j}" for j in range(30)))
+        for i in range(25)
+    ])
+    emb = _vecs(spark, [(100 + i, _vec(200 + i)) for i in range(25)])
+    audit = contamination_audit(spark, ev, index_root, eval_embeddings=emb)
+    assert audit["verdicts"].count() == 25
+    assert audit["clean"].count() == 25
+
+
+def test_verify_spans_raises_on_missing_pair_text(spark, index_root):
+    """A detected pair whose corpus (or eval) text is absent from the
+    frames handed to the adapter RAISES instead of silently vanishing
+    from the span output — a dropped pair reads as 'nothing to verify',
+    the audit's worst failure mode (found by this hostile pass: the
+    pre-fix adapter returned [] for exactly this input)."""
+    from tmdb_sync_spark.functions.audit import verify_substring_spans
+
+    stolen = _corpus_text(3)[30:120]
+    ev = _docs(spark, [(40, "novel words quoting: " + stolen)])
+    audit = contamination_audit(spark, ev, index_root,
+                                lenses=("substring",))
+    assert audit["pairs"]["substring"].count() == 1
+
+    partial_corpus = _docs(spark, [(1, _corpus_text(1))])  # doc 3 absent
+    with pytest.raises(ValueError, match="missing from corpus_docs"):
+        verify_substring_spans(ev, partial_corpus,
+                               audit["pairs"]["substring"]).collect()
+
+    wrong_eval = _docs(spark, [(41, "some other eval doc")])
+    full_corpus = _docs(spark,
+                        [(i, _corpus_text(i)) for i in range(1, 11)])
+    with pytest.raises(ValueError, match="missing from eval_docs"):
+        verify_substring_spans(wrong_eval, full_corpus,
+                               audit["pairs"]["substring"]).collect()
+
+    # and with both sides present the pair verifies exactly
+    spans = verify_substring_spans(
+        ev, full_corpus, audit["pairs"]["substring"]).collect()
+    assert len(spans) == 1 and spans[0]["corpus_doc_id"] == 3

@@ -270,8 +270,37 @@ def verify_substring_spans(
     pair docs from the corpus table; the verify stage semi-joins it
     down to the pair set before anything widens). Returns
     ``(doc_id, corpus_doc_id, q_start, c_start, match_len)``.
+
+    Every pair's documents MUST be present on both sides: a pair whose
+    corpus (or eval) text is missing would otherwise fall out of the
+    span join silently — and a DETECTED pair vanishing from the verify
+    output reads as "nothing to verify", the audit's worst failure mode
+    (r11 hostile probe). Raises ``ValueError`` naming the missing ids;
+    the check is id-sized (distinct pair ids anti-joined to the
+    provided docs — never a text scan).
     """
     from tmdb_sync_spark.functions.winnow import verify_overlap_spans
+
+    for side, id_in_pairs, doc_frame in (
+        ("corpus_docs", "corpus_doc_id", corpus_docs),
+        ("eval_docs", "doc_id", eval_docs),
+    ):
+        missing = (
+            substring_pairs.select(F.col(id_in_pairs).alias("_mid"))
+            .distinct()
+            .join(
+                doc_frame.select(F.col("doc_id").alias("_mid")).distinct(),
+                "_mid",
+                "left_anti",
+            )
+        )
+        missing_ids = [r["_mid"] for r in missing.limit(20).collect()]
+        if missing_ids:
+            raise ValueError(
+                "verify_substring_spans: pair document(s) missing from "
+                f"{side} — a detected pair would silently vanish from "
+                f"the span output. First missing ids: {missing_ids}"
+            )
 
     out = verify_overlap_spans(
         eval_docs.withColumnRenamed("doc_id", "query_id"),
