@@ -40,6 +40,10 @@ TABLES = [
 LOUD_CONTRACTS = {
     "ann_ivf_topk": ValueError,     # functions/similarity.py: no usable
                                     # vectors to train the IVF codebook on
+    "audit_verdicts": ValueError,   # functions/audit.py: an empty corpus
+                                    # builds no indexes, and auditing
+                                    # against nothing must raise, never
+                                    # report a false all-clear
 }
 
 

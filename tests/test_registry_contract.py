@@ -13,11 +13,15 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-# The rotation log: every query ever rotated out of the driver window.
-# Update THIS LIST (and COVERAGE.md) when rotating — the assert below
-# re-derives the actual set from the registry.
+# The local-parity-window log: every query rotated out of the driver
+# window, plus queries registered directly into the local window
+# (audit_verdicts, r11 — the driver's 50 slots were full and the
+# rotation rule says new rows go here). Update THIS LIST (and
+# COVERAGE.md) when rotating — the assert below re-derives the actual
+# set from the registry.
 RETIRED_NAMES = {
     "a9_percentiles",
+    "audit_verdicts",
     "dd_ngram_jaccard",
     "p12_prefix_filter",
     "s2_discover_years",

@@ -22,3 +22,9 @@ from tmdb_sync_spark.functions import (  # noqa: F401
     winnow,
     winnow_index,
 )
+
+# audit imports last — it composes the lens modules above, and keeping
+# it out of the alphabetical block preserves the driver-window
+# registration order exactly as it was before the module registered a
+# query (audit_verdicts lands in the retired/local-parity window).
+from tmdb_sync_spark.functions import audit  # noqa: E402,F401

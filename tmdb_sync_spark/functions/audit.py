@@ -311,3 +311,303 @@ def verify_substring_spans(
         **kwargs,
     )
     return out.withColumnRenamed("query_id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-pinned verdict surface (r10 verdict #5): the three-lens verdict
+# frame over a DETERMINISTIC planted eval set, registered in the
+# local-parity window (register_retired — the driver's 50 slots stay as
+# they are; tests/test_oracle_parity.py holds this row to the identical
+# bar). The Spark side runs the REAL production path — staged persisted
+# indexes + contamination_audit — while the DuckDB oracle recomputes all
+# three lens pair rules declaratively from the same parquet tables
+# (bands: dd_minhash_lsh's twin; winnow: wn_substring_overlap's twin;
+# cosine: dd_embedding_cosine's twin).
+
+import threading
+
+from tmdb_sync_spark.functions.dedup import (
+    N_HASHES,
+    _sig_chunk_sql,
+)
+from tmdb_sync_spark.functions.similarity import (
+    DIM,
+    _DUP_BITS_SQL,
+    _VALID_SQL,
+)
+from tmdb_sync_spark.functions.text import WS_SQL, trim_sql
+from tmdb_sync_spark.functions.winnow import WINNOW_K, WINNOW_W
+from tmdb_sync_spark.io import table
+from tmdb_sync_spark.registry import register_retired
+from tmdb_sync_spark.util import (
+    file_fingerprint,
+    register_reset_hook,
+    scratch_dir,
+)
+
+_AV_SS_PREFIX = "novel eval wrapper words quoting the corpus follows here "
+
+# Deterministic planted eval set, mirrored verbatim in the oracle's `ev`
+# CTE: verbatim whole-doc copies (% 101), excerpt-inside-novel-wrapper
+# substring plants (% 103), synthetic clean prompts (% 107), and
+# semantic plants whose TEXT is clean but whose EMBEDDING is a corpus
+# vector (% 109). Offsets keep eval ids disjoint from corpus ids and
+# from each other at every test SF.
+_EV_CTE = f"""
+    ev AS (
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 101 = 0
+        UNION ALL
+        SELECT doc_id + 1100000 AS doc_id,
+               '{_AV_SS_PREFIX}' || substr(text, 8, 150) AS text
+        FROM documents WHERE doc_id % 103 = 0 AND length(text) >= 200
+        UNION ALL
+        SELECT doc_id + 1200000 AS doc_id,
+               'entirely original evaluation prompt number ' || doc_id
+               || ' with fresh phrasing' AS text
+        FROM documents WHERE doc_id % 107 = 0
+        UNION ALL
+        SELECT vec_id + 1300000 AS doc_id,
+               'semantic eval probe number ' || vec_id
+               || ' clean surface text' AS text
+        FROM embeddings WHERE vec_id % 109 = 0
+    )"""
+
+_AV_SIG_COLS = ",\n               ".join(
+    _sig_chunk_sql(i) for i in range(N_HASHES)
+)
+
+
+def _av_shingle_sig_ctes(src: str, tag: str) -> str:
+    """toks → shingles → minhash-signature CTEs over ``src``, with
+    ``tag``-prefixed names so corpus and eval instances coexist in one
+    WITH (dedup.shingle_sql's twins, renamed)."""
+    trim = trim_sql("text")
+    return f"""
+    {tag}toks AS (
+        SELECT doc_id, regexp_split_to_array({trim}, '[{WS_SQL}]+') AS t
+        FROM {src}
+    ),
+    {tag}sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE [array_to_string(t, ' ')] END AS shingles
+        FROM {tag}toks
+    ),
+    {tag}sigs AS (
+        SELECT doc_id,
+               {_AV_SIG_COLS}
+        FROM {tag}sh
+    )"""
+
+
+def _av_winnow_fp_ctes(src: str, tag: str, distinct_only: bool) -> str:
+    """k-gram → winnowed-fingerprint CTEs over ``src`` (winnow.py's
+    oracle twins, renamed). ``distinct_only`` emits the probe shape
+    (DISTINCT doc_id, fp); otherwise per-(doc, fp) extents."""
+    k, w = WINNOW_K, WINNOW_W
+    head = f"""
+    {tag}h AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, length(text) - {k - 1}),
+                   i -> md5(substr(text, i, {k}))) AS hs
+        FROM {src} WHERE length(text) >= {k}
+    ),
+    {tag}w AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(hs) - {w - 1}, 1)),
+                   j -> struct_pack(
+                       pos := j + list_position(
+                           hs[j:j+{w - 1}],
+                           list_aggregate(hs[j:j+{w - 1}], 'min')) - 1,
+                       fp := list_aggregate(hs[j:j+{w - 1}], 'min')
+                   )) AS wins
+        FROM {tag}h
+    )"""
+    if distinct_only:
+        return head + f""",
+    {tag}f AS (
+        SELECT DISTINCT doc_id, u.fp AS fp
+        FROM {tag}w, UNNEST({tag}w.wins) AS _(u)
+    )"""
+    return head + f""",
+    {tag}f AS (
+        SELECT doc_id, u.fp AS fp,
+               MIN(u.pos) AS min_pos, MAX(u.pos) AS max_pos
+        FROM {tag}w, UNNEST({tag}w.wins) AS _(u)
+        GROUP BY doc_id, u.fp
+    )"""
+
+
+def _av_band_or() -> str:
+    return " OR ".join(
+        f"(e.h{2 * j} = c.h{2 * j} AND e.h{2 * j + 1} = c.h{2 * j + 1})"
+        for j in range(N_HASHES // 2)
+    )
+
+
+def _av_n_equal() -> str:
+    return " + ".join(
+        f"(e.h{i} = c.h{i})::INT" for i in range(N_HASHES)
+    )
+
+
+_AV_DOT = (
+    f"CAST(list_aggregate(list_transform(generate_series(1, {DIM}), "
+    f"i -> e.v[i] * c.v[i]), 'sum') AS BIGINT)"
+)
+
+_AUDIT_VERDICTS_SQL = f"""
+    WITH {_EV_CTE},
+    {_av_shingle_sig_ctes("documents", "c")},
+    {_av_shingle_sig_ctes("ev", "e")},
+    wd AS (
+        SELECT DISTINCT e.doc_id
+        FROM esigs e JOIN csigs c
+          ON ({_av_band_or()})
+        WHERE ({_av_n_equal()}) >= {NEAR_DUP_MIN}
+    ),
+    {_av_winnow_fp_ctes("documents", "wc", distinct_only=False)},
+    wok AS (
+        SELECT fp FROM wcf GROUP BY fp
+        HAVING COUNT(*) <= {HOT_FP_DOC_CAP}
+    ),
+    wcfo AS (SELECT wcf.* FROM wcf JOIN wok USING (fp)),
+    {_av_winnow_fp_ctes("ev", "eq", distinct_only=True)},
+    ss AS (
+        SELECT DISTINCT q.doc_id
+        FROM eqf q JOIN wcfo c ON q.fp = c.fp
+        GROUP BY q.doc_id, c.doc_id
+        HAVING COUNT(*) >= {MIN_SHARED_FPS}
+    ),
+    vq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        FROM embeddings
+        WHERE {_VALID_SQL}
+    ),
+    vn AS (
+        SELECT vec_id, v,
+               CAST(list_aggregate(list_transform(generate_series(1, {DIM}), i -> v[i] * v[i]),
+                                   'sum') AS BIGINT) AS nrm
+        FROM vq
+    ),
+    vb AS (
+        SELECT emb.vec_id, {_DUP_BITS_SQL} AS bucket, n.v, n.nrm
+        FROM embeddings emb JOIN vn n ON emb.vec_id = n.vec_id
+        WHERE n.nrm > 0
+    ),
+    sem AS (
+        SELECT DISTINCT e.vec_id + 1300000 AS doc_id
+        FROM vb e JOIN vb c ON e.bucket = c.bucket
+        WHERE e.vec_id % 109 = 0
+          AND {_AV_DOT} / (sqrt(e.nrm) * sqrt(c.nrm)) >= {DUP_THRESHOLD}
+    )
+    SELECT ev.doc_id,
+           COALESCE(w.f, FALSE) AS whole_doc,
+           COALESCE(s.f, FALSE) AS "substring",
+           COALESCE(m.f, FALSE) AS semantic,
+           (COALESCE(w.f, FALSE) OR COALESCE(s.f, FALSE)
+            OR COALESCE(m.f, FALSE)) AS contaminated
+    FROM ev
+    LEFT JOIN (SELECT doc_id, TRUE AS f FROM wd) w USING (doc_id)
+    LEFT JOIN (SELECT doc_id, TRUE AS f FROM ss) s USING (doc_id)
+    LEFT JOIN (SELECT doc_id, TRUE AS f FROM sem) m USING (doc_id)
+    ORDER BY ev.doc_id
+"""
+
+# Build-once memo for the staged audit indexes (kind="model": a
+# production audit serves from MAINTAINED indexes — rebuilding per bench
+# rep would measure index construction, not the audit; the
+# file_fingerprint keys invalidate on a driver-side table regeneration).
+_AUDIT_STORE_MEMO: dict[tuple, str] = {}
+_AUDIT_STORE_LOCK = threading.Lock()
+register_reset_hook(_AUDIT_STORE_MEMO.clear, kind="model")
+
+
+def _staged_audit_indexes(spark: SparkSession, sf_dir: str) -> str:
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        file_fingerprint(docs_path),
+        file_fingerprint(emb_path),
+    )
+    with _AUDIT_STORE_LOCK:
+        root = _AUDIT_STORE_MEMO.get(key)
+        if root is not None:
+            return root
+        root = scratch_dir("audit_store_")
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        vecs = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        append_corpus_to_audit_indexes(spark, root, docs, vecs)
+        _AUDIT_STORE_MEMO[key] = root
+        return root
+
+
+def _audit_eval_set(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = table(spark, sf_dir, "embeddings")
+    whole = docs.where(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    sub = docs.where(
+        (F.col("doc_id") % 103 == 0) & (F.length("text") >= 200)
+    ).select(
+        (F.col("doc_id") + 1100000).alias("doc_id"),
+        F.concat(
+            F.lit(_AV_SS_PREFIX), F.substring("text", 8, 150)
+        ).alias("text"),
+    )
+    clean = docs.where(F.col("doc_id") % 107 == 0).select(
+        (F.col("doc_id") + 1200000).alias("doc_id"),
+        F.concat(
+            F.lit("entirely original evaluation prompt number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" with fresh phrasing"),
+        ).alias("text"),
+    )
+    sem = emb.where(F.col("vec_id") % 109 == 0).select(
+        (F.col("vec_id") + 1300000).alias("doc_id"),
+        F.concat(
+            F.lit("semantic eval probe number "),
+            F.col("vec_id").cast("string"),
+            F.lit(" clean surface text"),
+        ).alias("text"),
+    )
+    ev = (
+        whole.unionByName(sub).unionByName(clean).unionByName(sem)
+    )
+    ev_emb = emb.where(F.col("vec_id") % 109 == 0).select(
+        (F.col("vec_id") + 1300000).alias("doc_id"), "embedding"
+    )
+    return ev, ev_emb
+
+
+@register_retired("audit_verdicts", oracle=_AUDIT_VERDICTS_SQL)
+def audit_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-lens contamination verdicts over a deterministic planted
+    eval set — the unified audit's verdict frame, oracle-pinned.
+
+    The Spark side is the REAL audit path: persisted signature /
+    fingerprint / vector indexes staged once per corpus fingerprint,
+    probed through :func:`contamination_audit`. The oracle recomputes
+    each lens's pair rule declaratively (bands ≥ {NEAR_DUP_MIN}-of-8
+    equal minhashes on a shared band; winnow ≥ {MIN_SHARED_FPS} shared
+    df-capped fingerprints; sign-LSH-bucketed quantized cosine ≥
+    threshold) — so a drift in ANY lens's semantics between the index
+    path and the declarative definition breaks this row."""
+    root = _staged_audit_indexes(spark, sf_dir)
+    ev, ev_emb = _audit_eval_set(spark, sf_dir)
+    audit = contamination_audit(spark, ev, root, eval_embeddings=ev_emb)
+    return audit["verdicts"].orderBy("doc_id")
