@@ -130,12 +130,38 @@ _PAGE = os.sysconf("SC_PAGE_SIZE")
 
 
 def _tree_rss_bytes() -> int:
-    """RSS summed over this process's whole tree (driver Python + the
+    """PSS summed over this process's whole tree (driver Python + the
     local-mode JVM + every Python worker the JVM forked) — the honest
     single-host stand-in for 'peak executor memory': in local[32] the
-    executors ARE the JVM, and Arrow workers are its children. One
-    /proc sweep per sample; processes that exit mid-sweep are skipped."""
+    executors ARE the JVM, and Arrow workers are its children.
+
+    PSS (proportional set size, /proc/pid/smaps_rollup), not RSS, and
+    mid-fork ghosts skipped — two distinct fabrications hunted down in
+    r11 (scripts kept the forensics; COVERAGE.md r11 has the table):
+
+    - COW double-count: the pyspark daemon FORKS its workers, so every
+      worker's stat-RSS re-counts pages shared with the daemon. PSS
+      charges each shared page 1/N to each sharer.
+    - fork ghosts: while the JVM's "Executor task launch worker"
+      threads fork+exec python workers, each not-yet-exec'd child
+      momentarily shows the FULL parent JVM RSS in /proc stat (pure
+      COW) and has NO readable smaps_rollup — a sampler that falls
+      back to stat-RSS there reads 9 ghosts × 3.4 GB = a fabricated
+      ~30 GB "peak" for a 4 GB workload (this is what r10's
+      st_session_window 19.3 GB reading was). When the kernel supports
+      smaps_rollup (checked on our own pid), an unreadable tree member
+      is a transitional ghost and counts as ZERO; stat-RSS is the
+      whole-sweep fallback only on kernels without smaps_rollup.
+
+    One /proc sweep per sample (~15 ms); processes that exit mid-sweep
+    are skipped."""
     me = os.getpid()
+    try:
+        with open(f"/proc/{me}/smaps_rollup") as fh:
+            fh.readline()
+        kernel_has_pss = True
+    except OSError:
+        kernel_has_pss = False
     ppid: dict[int, int] = {}
     rss: dict[int, int] = {}
     for d in os.listdir("/proc"):
@@ -155,9 +181,19 @@ def _tree_rss_bytes() -> int:
     total, stack = 0, [me]
     while stack:
         p = stack.pop()
-        total += rss.get(p, 0)
+        if kernel_has_pss:
+            try:
+                with open(f"/proc/{p}/smaps_rollup") as fh:
+                    for line in fh:
+                        if line.startswith("Pss:"):
+                            total += int(line.split()[1]) * 1024
+                            break
+            except OSError:
+                pass  # mid-fork ghost / exited: contributes nothing
+        else:
+            total += rss.get(p, 0) * _PAGE
         stack.extend(kids.get(p, ()))
-    return total * _PAGE
+    return total
 
 
 class _PeakRss:
@@ -330,10 +366,20 @@ def _run_suite(
     warm: dict[str, float] = {}
     warm_all: dict[str, list[float]] = {}
     peak_rss_mb: dict[str, float] = {}
+    rss_spike_mb: dict[str, float] = {}
     for qi, name in enumerate(names):
         if qi and qi % FLOOR_SAMPLE_EVERY == 0:
             floor_samples.append(_floor_pair())
         fn = QUERIES[name]
+        # at-start tree RSS: the spike (peak − start) is the query's OWN
+        # transient footprint, independent of how much heap the suite
+        # has accumulated — r10's st_session_window read an alarming
+        # 19.3 GB absolute peak that profiling attributed to ~14 GB of
+        # suite-accumulated heap plus a ~5 GB execution-memory spike
+        # (sort pages in the single-batch session merge; state store
+        # itself: 35 MB for 95k sessions). The spike is the
+        # round-over-round regression signal; the absolute peak is not.
+        start_rss = _tree_rss_bytes()
         runs = []
         with _PeakRss() as sampler:
             for _ in range(reps):
@@ -355,6 +401,9 @@ def _run_suite(
         warm[name] = round(_median(runs[1:]), 3)
         warm_all[name] = [round(r, 3) for r in runs[1:]]
         peak_rss_mb[name] = round(sampler.peak / 1e6, 1)
+        rss_spike_mb[name] = round(
+            max(0, sampler.peak - start_rss) / 1e6, 1
+        )
     spark.catalog.clearCache()
 
     cpu_floor_1t_end, cpu_floor_32t_end = _floor_pair()
@@ -375,6 +424,7 @@ def _run_suite(
         "warm": warm,
         "warm_all": warm_all,
         "peak_rss_mb": peak_rss_mb,
+        "rss_spike_mb": rss_spike_mb,
         "machine_floor": machine_floor,
         "cpu_floor_1t": cpu_floor_1t,
         "cpu_floor_32t": cpu_floor_32t,
@@ -489,6 +539,7 @@ def main() -> None:
         "table_rows": table_rows,
         "queries_warm_all": chosen["warm_all"],
         "peak_tree_rss_mb": chosen["peak_rss_mb"],
+        "rss_spike_mb": chosen["rss_spike_mb"],
         "attempts": [
             {k: a[k] for k in ("total", "contended", "floor_contended",
                                "family_outliers", "ratios",
@@ -501,6 +552,7 @@ def main() -> None:
         "extended_first_rep": ext["first_rep"],
         "extended_warm_all": ext["warm_all"],
         "extended_peak_tree_rss_mb": ext["peak_rss_mb"],
+        "extended_rss_spike_mb": ext["rss_spike_mb"],
         "extended_attempts": [
             {k: a[k] for k in ("total", "contended", "floor_contended",
                                "family_outliers", "ratios",
@@ -531,6 +583,13 @@ def main() -> None:
         "ratio_worst": chosen["ratio_worst"],
         "family_outliers": chosen["family_outliers"],
         "contended": chosen["contended"],
+        # worst transient memory spike (peak − at-start tree RSS) and
+        # its query — the archived per-round memory regression signal
+        # (full per-query spikes in the detail file)
+        "max_rss_spike_mb": max(chosen["rss_spike_mb"].values()),
+        "max_rss_spike_q": max(
+            chosen["rss_spike_mb"], key=chosen["rss_spike_mb"].get
+        ),
         "value_floor_norm": chosen["floor_norm"],
         "attempts": len(attempts),
         "attempt_totals": [a["total"] for a in attempts],
