@@ -596,32 +596,40 @@ def main() -> None:
         "warm_reps": reps - 1,
         "sf": sf_val,
     }
-    # compact separators: the line now carries all 50 warm medians and
-    # the driver json-parses it from a ~2000-char stdout tail
+    print(contract_line(contract))
+
+
+# Driver stdout-tail budget: the external driver keeps ~2000 chars and
+# json-parses the FINAL line within that tail (BENCH_r06 was lost to an
+# oversized line). 1900 leaves margin for a trailing newline + prompt.
+LINE_BUDGET = 1900
+
+
+def contract_line(contract: dict) -> str:
+    """The bench's final stdout line, guarded against the driver's tail
+    window — degrade in steps rather than emit an unparseable line:
+    (1) full contract; (2) fold the extended medians into the detail
+    file only; (3) drop the per-query medians too; (4) truncate the
+    family-outlier list (it is unbounded in principle — every headline
+    query could outlie). Pure so the degradation ladder is unit-tested
+    against worst-case payloads (tests/test_bench_labeling.py)."""
+    contract = dict(contract)
     line = json.dumps(contract, separators=(",", ":"))
-    # Hard guard on the driver's tail window — degrade in steps rather
-    # than emit an unparseable line: first fold the extended medians
-    # into the detail file only, then fall back to the bare contract.
-    if len(line) > 1900:
-        contract.pop("queries_extended")
-        contract["extended_in_detail_file"] = len(ext["warm"])
+    if len(line) > LINE_BUDGET and "queries_extended" in contract:
+        ext_q = contract.pop("queries_extended")
+        contract["extended_in_detail_file"] = len(ext_q)
         line = json.dumps(contract, separators=(",", ":"))
-    if len(line) > 1900:
-        line = json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": chosen["total"],
-                "unit": "sec",
-                "queries_in_detail_file": len(chosen["warm"]),
-                "machine_floor_sec": chosen["machine_floor"],
-                "contended": chosen["contended"],
-                "attempts": len(attempts),
-                "warm_reps": reps - 1,
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
+    if len(line) > LINE_BUDGET and "queries" in contract:
+        q = contract.pop("queries")
+        contract["queries_in_detail_file"] = len(q)
+        line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > LINE_BUDGET:
+        outliers = contract.get("family_outliers") or []
+        contract["family_outliers"] = outliers[:3] + (
+            [f"+{len(outliers) - 3} more"] if len(outliers) > 3 else []
         )
-    print(line)
+        line = json.dumps(contract, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

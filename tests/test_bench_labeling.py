@@ -100,3 +100,58 @@ def test_family_ignores_other_sf_and_unparsed(tmp_path):
         )
     head, _ = bench.load_family(str(tmp_path), 0.1)
     assert head == {}
+
+
+def _fat_contract(n_head=21, n_ext=36, n_outliers=21):
+    qs = {f"very_long_query_name_number_{i:02d}": 12.345 for i in range(n_head)}
+    ext = {f"extended_query_with_long_name_{i:02d}": 123.456
+           for i in range(n_ext)}
+    return {
+        "metric": "headline_suite_total",
+        "value": 1234.567,
+        "unit": "sec",
+        "queries": qs,
+        "queries_extended": ext,
+        "value_extended": 9876.543,
+        "extended_contended": True,
+        "machine_floor_sec": 0.569,
+        "cpu_floor_1t": 0.073,
+        "cpu_floor_32t": 0.435,
+        "cpu_floor_32t_end": 0.435,
+        "ratio_worst": 18.66,
+        "family_outliers": sorted(qs)[:n_outliers],
+        "contended": True,
+        "max_rss_spike_mb": 22218.5,
+        "max_rss_spike_q": "very_long_query_name_number_00",
+        "attempts": 3,
+        "attempt_totals": [1238.421, 1234.073, 1235.552],
+        "warm_reps": 3,
+        "sf": 0.1,
+    }
+
+
+def test_contract_line_stays_in_budget_on_worst_case():
+    """Every degradation step: a worst-case payload (50+ long names,
+    every headline query a family outlier) must still emit one
+    json-parseable line within the driver's tail window."""
+    import json
+
+    line = bench.contract_line(_fat_contract())
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_suite_total"
+    assert parsed["value"] == 1234.567
+    assert parsed["contended"] is True
+    # degraded forms still record HOW MANY medians went to the detail file
+    assert ("queries" in parsed) or ("queries_in_detail_file" in parsed)
+    assert ("queries_extended" in parsed) or (
+        "extended_in_detail_file" in parsed)
+
+
+def test_contract_line_untouched_when_it_fits():
+    import json
+
+    small = _fat_contract(n_head=3, n_ext=2, n_outliers=0)
+    line = bench.contract_line(small)
+    assert len(line) <= bench.LINE_BUDGET
+    assert json.loads(line) == small
