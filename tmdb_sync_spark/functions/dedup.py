@@ -607,13 +607,16 @@ def min_label_components(
     sym = edges.unionByName(
         edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
     )
-    # ~500k label/edge rows per task keeps a round's exchange payload
-    # well under a shuffle partition's memory comfort zone while never
-    # raising the session's configured partition count.
+    # ~50k label/edge rows per task: enough per-task work to amortize
+    # scheduling (the win for tiny graphs — sf0.1's 2k edges collapse
+    # to 1 partition, measured −44%/round) WITHOUT starving
+    # parallelism on mid-size graphs (500k rows/task was measured
+    # SLOWER at 593k edges: 3 partitions left 29 cores idle, 7.3 s vs
+    # 4.7 s at 32). Never raises the session's configured count.
     n_edges = edges.count()
     conf_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(conf_key)
-    loop_parts = max(1, min(int(prev_parts), -(-2 * n_edges // 500_000)))
+    loop_parts = max(1, min(int(prev_parts), -(-2 * n_edges // 50_000)))
     spark.conf.set(conf_key, str(loop_parts))
     if stats is not None:
         stats["shuffle_partitions"] = loop_parts
