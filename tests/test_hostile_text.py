@@ -66,6 +66,10 @@ TEXT_QUERIES = [
     "export_shard_layout",
     # r9: winnowed fingerprints read raw text (multi-byte substr + md5)
     "wn_substring_overlap",
+    # r11: the three-lens audit verdict surface — staged index builds
+    # must digest NULL text, and every lens's pair rule must agree with
+    # its declarative twin on multibyte/WS-zoo/near-dup-twin plants
+    "audit_verdicts",
 ]
 
 
