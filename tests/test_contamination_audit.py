@@ -313,3 +313,34 @@ def test_verify_spans_raises_on_missing_pair_text(spark, index_root):
     spans = verify_substring_spans(
         ev, full_corpus, audit["pairs"]["substring"]).collect()
     assert len(spans) == 1 and spans[0]["corpus_doc_id"] == 3
+
+
+def test_audit_verdicts_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """The staged audit indexes are memoized per corpus fingerprint —
+    an IN-PLACE regeneration of documents/embeddings.parquet (the
+    driver does this between rounds) must MISS the memo and rebuild,
+    or the audit silently runs against the previous corpus."""
+    import shutil
+    import time
+
+    from tmdb_sync_spark.functions.audit import _staged_audit_indexes
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                         "/root/testdata/sf0.001")
+    d = str(tmp_path / "sf_rewrite")
+    os.makedirs(d)
+    for t in ("documents", "embeddings"):
+        shutil.copyfile(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+
+    root1 = _staged_audit_indexes(spark, d)
+    assert root1 == _staged_audit_indexes(spark, d)  # memo hit
+
+    # in-place rewrite: same path, different content version
+    time.sleep(0.05)  # mtime granularity
+    docs = spark.read.parquet(f"{d}/documents.parquet").limit(5)
+    docs.toPandas().to_parquet(f"{d}/documents.parquet")
+    root2 = _staged_audit_indexes(spark, d)
+    assert root2 != root1, (
+        "staged audit indexes served a stale memo after the corpus "
+        "was rewritten in place"
+    )
