@@ -197,10 +197,13 @@ def _tree_rss_bytes() -> int:
 
 
 class _PeakRss:
-    """Background sampler: peak process-tree RSS while a query runs.
-    0.1 s cadence — a /proc sweep costs ~1 ms, well under 2% overhead,
-    and a window buffering a hot partition for less than 100 ms was
-    never going to OOM an executor. Per-query peaks land in
+    """Background sampler: peak process-tree PSS while a query runs.
+    0.25 s cadence — the PSS sweep reads smaps_rollup for every tree
+    member (~15 ms, kernel VMA walks under the target's mmap_lock), so
+    the old 0.1 s cadence tuned for the ~1 ms stat sweep would burn
+    ~15% of a core and contend the measured JVM's page-fault path;
+    at 0.25 s it is ~6%, and a spike shorter than 250 ms was never
+    going to OOM an executor. Per-query peaks land in
     bench_detail.json (r8 verdict #7: wall time alone cannot see a
     scale-killer that buffers memory)."""
 
@@ -216,7 +219,7 @@ class _PeakRss:
                     self.peak = max(self.peak, _tree_rss_bytes())
                 except OSError:
                     pass
-                self._stop.wait(0.1)
+                self._stop.wait(0.25)
 
         self._t = threading.Thread(target=run, daemon=True)
         self._t.start()
@@ -629,6 +632,24 @@ def contract_line(contract: dict) -> str:
             [f"+{len(outliers) - 3} more"] if len(outliers) > 3 else []
         )
         line = json.dumps(contract, separators=(",", ":"))
+    if len(line) > LINE_BUDGET:
+        # last resort — a fixed-size minimal dict that CANNOT outgrow
+        # the window (attempt_totals is unbounded when BENCH_ATTEMPTS
+        # is cranked up on a contended host; everything variable-length
+        # is dropped here, never truncated into invalid JSON)
+        line = json.dumps(
+            {
+                "metric": contract.get("metric"),
+                "value": contract.get("value"),
+                "unit": contract.get("unit"),
+                "contended": contract.get("contended"),
+                "attempts": contract.get("attempts"),
+                "warm_reps": contract.get("warm_reps"),
+                "sf": contract.get("sf"),
+                "detail_file_only": True,
+            },
+            separators=(",", ":"),
+        )
     return line
 
 

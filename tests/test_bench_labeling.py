@@ -67,9 +67,11 @@ def test_family_from_repo_artifacts_is_robust_to_r10():
     dd = head.get("dd_exact")
     assert dd is not None and 0.15 < dd < 0.40, dd
     assert 1.708 > bench.FAMILY_OUTLIER_X * dd
-    # extended history: only r10 carries the section and it is flagged
-    # extended_contended, so no extended family exists yet (< MIN_SAMPLES)
-    assert ext == {}
+    # the extended family is empty until >= MIN_SAMPLES rounds carry an
+    # un-flagged extended section (none did through r10) — once they
+    # exist, every median must be a positive wall time; do NOT pin
+    # emptiness (a healthy r13+ would rightly populate it)
+    assert all(v > 0 for v in ext.values())
 
 
 def test_family_requires_min_samples(tmp_path):

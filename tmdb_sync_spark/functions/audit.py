@@ -281,26 +281,44 @@ def verify_substring_spans(
     """
     from tmdb_sync_spark.functions.winnow import verify_overlap_spans
 
-    for side, id_in_pairs, doc_frame in (
-        ("corpus_docs", "corpus_doc_id", corpus_docs),
-        ("eval_docs", "doc_id", eval_docs),
-    ):
-        missing = (
-            substring_pairs.select(F.col(id_in_pairs).alias("_mid"))
+    # ONE job for both sides: union the two id anti-joins, tagged by
+    # side, so an unmaterialized pair plan is evaluated once here (not
+    # once per side) and the empty-pair case costs a single empty scan.
+    missing = (
+        substring_pairs.select(
+            F.col("corpus_doc_id").alias("_mid"),
+            F.lit("corpus_docs").alias("_side"),
+        )
+        .distinct()
+        .join(
+            corpus_docs.select(F.col("doc_id").alias("_mid")).distinct(),
+            "_mid", "left_anti",
+        )
+        .unionByName(
+            substring_pairs.select(
+                F.col("doc_id").alias("_mid"),
+                F.lit("eval_docs").alias("_side"),
+            )
             .distinct()
             .join(
-                doc_frame.select(F.col("doc_id").alias("_mid")).distinct(),
-                "_mid",
-                "left_anti",
+                eval_docs.select(F.col("doc_id").alias("_mid")).distinct(),
+                "_mid", "left_anti",
             )
         )
-        missing_ids = [r["_mid"] for r in missing.limit(20).collect()]
-        if missing_ids:
-            raise ValueError(
-                "verify_substring_spans: pair document(s) missing from "
-                f"{side} — a detected pair would silently vanish from "
-                f"the span output. First missing ids: {missing_ids}"
-            )
+    )
+    missing_rows = missing.limit(20).collect()
+    if missing_rows:
+        by_side: dict[str, list] = {}
+        for r in missing_rows:
+            by_side.setdefault(r["_side"], []).append(r["_mid"])
+        detail = "; ".join(
+            f"missing from {side}: {ids}" for side, ids in by_side.items()
+        )
+        raise ValueError(
+            "verify_substring_spans: pair document(s) missing — a "
+            f"detected pair would silently vanish from the span output. "
+            f"{detail}"
+        )
 
     out = verify_overlap_spans(
         eval_docs.withColumnRenamed("doc_id", "query_id"),
@@ -558,6 +576,21 @@ def _audit_eval_set(
 ) -> tuple[DataFrame, DataFrame]:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = table(spark, sf_dir, "embeddings")
+    # The four +1.0M/+1.1M/+1.2M/+1.3M eval-id branches are disjoint
+    # from each other and from the corpus ONLY while source ids stay
+    # under the branch spacing — enforce it loudly instead of assuming
+    # it (a collision would emit duplicate oracle rows against a single
+    # Spark verdict and fail parity confusingly). One column-pruned
+    # max() job over each tiny id column.
+    max_doc = docs.agg(F.max("doc_id")).first()[0] or 0
+    max_vec = emb.agg(F.max("vec_id")).first()[0] or 0
+    if max(max_doc, max_vec) >= 100_000:
+        raise ValueError(
+            "audit_verdicts: corpus ids reach "
+            f"{max(max_doc, max_vec)} — the planted eval-id offsets "
+            "(1.0e6 + 1e5 per branch) would collide; widen the offsets "
+            "in _audit_eval_set AND the oracle's ev CTE together"
+        )
     whole = docs.where(F.col("doc_id") % 101 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -602,11 +635,12 @@ def audit_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Spark side is the REAL audit path: persisted signature /
     fingerprint / vector indexes staged once per corpus fingerprint,
     probed through :func:`contamination_audit`. The oracle recomputes
-    each lens's pair rule declaratively (bands ≥ {NEAR_DUP_MIN}-of-8
-    equal minhashes on a shared band; winnow ≥ {MIN_SHARED_FPS} shared
-    df-capped fingerprints; sign-LSH-bucketed quantized cosine ≥
-    threshold) — so a drift in ANY lens's semantics between the index
-    path and the declarative definition breaks this row."""
+    each lens's pair rule declaratively (bands: NEAR_DUP_MIN-of-8 equal
+    minhashes on a shared band; winnow: MIN_SHARED_FPS shared df-capped
+    fingerprints; sign-LSH-bucketed quantized cosine at DUP_THRESHOLD —
+    the same constants both sides interpolate) — so a drift in ANY
+    lens's semantics between the index path and the declarative
+    definition breaks this row."""
     root = _staged_audit_indexes(spark, sf_dir)
     ev, ev_emb = _audit_eval_set(spark, sf_dir)
     audit = contamination_audit(spark, ev, root, eval_embeddings=ev_emb)

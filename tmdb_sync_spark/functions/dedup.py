@@ -19,6 +19,7 @@ divisions.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Sequence
 from functools import reduce
 
@@ -33,6 +34,10 @@ from tmdb_sync_spark.io import parallel_table, table
 from tmdb_sync_spark.registry import register, register_retired
 
 N_HASHES = 8  # minhash signature length
+
+# serializes the components loop's session-conf set/restore window
+# (see min_label_components)
+_COMPONENTS_CONF_LOCK = threading.Lock()
 N_BANDS = 4   # bands of 2 hashes -> candidate recall at jaccard ~0.5+
 
 def shingle_sql(src: str = "documents") -> str:
@@ -616,14 +621,32 @@ def min_label_components(
     n_edges = edges.count()
     conf_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(conf_key)
-    loop_parts = max(1, min(int(prev_parts), -(-2 * n_edges // 50_000)))
-    spark.conf.set(conf_key, str(loop_parts))
+    try:
+        session_parts = int(prev_parts)
+    except (TypeError, ValueError):
+        session_parts = None   # exotic conf value — leave it untouched
+    if session_parts is None:
+        if stats is not None:
+            stats["shuffle_partitions"] = prev_parts
+        return _min_label_fixpoint(sym, max_rounds, stats)
+    loop_parts = max(1, min(session_parts, -(-2 * n_edges // 50_000)))
     if stats is not None:
         stats["shuffle_partitions"] = loop_parts
-    try:
-        return _min_label_fixpoint(sym, max_rounds, stats)
-    finally:
-        spark.conf.set(conf_key, prev_parts)
+    # The conf is SESSION-scoped, so the set/restore window is visible
+    # to anything else planning on this session concurrently; the lock
+    # serializes concurrent fixpoint loops (two racing restores could
+    # pin the wrong value permanently). A batch query planned by
+    # another driver thread during the window still sees loop_parts —
+    # acceptable for the engine's serial execution model (bench, the
+    # driver, and the test session all run queries serially); callers
+    # running this concurrently with unrelated large shuffles on the
+    # SAME session should expect those to plan at loop_parts.
+    with _COMPONENTS_CONF_LOCK:
+        spark.conf.set(conf_key, str(loop_parts))
+        try:
+            return _min_label_fixpoint(sym, max_rounds, stats)
+        finally:
+            spark.conf.set(conf_key, prev_parts)
 
 
 def _min_label_fixpoint(
