@@ -21,6 +21,16 @@ correctness at both scales: 25 pairs detected, 25 exact spans.
 
 Walls are the second rep (first pays codegen/JIT).
 
+r12 extension (r11 verdict #5): scales are env-configurable
+(AUDIT_RAMP_SCALES, default "1,16,64") — at 64x a hidden linear term in
+the probe would be ~4x more visible than the 16x pass could show. Each
+scale also times the components fixpoint loop (min_label_components at
+its shipped 50k-rows/task sizing) on a sign-LSH edge list built from
+the scaled embeddings with occupancy-constant bits
+(N_DUP_BITS + log4(k), the production knob from exp_scale_ramp group
+B); edge GENERATION is excluded from the timed window — the loop is
+the iterative part under test.
+
 Usage: python scripts/exp_audit_ramp.py
 """
 from __future__ import annotations
@@ -64,7 +74,11 @@ def main() -> None:
     )
     assert eval_docs.count() == 25
 
-    for k in (1, 16):
+    scales = [
+        int(s)
+        for s in os.environ.get("AUDIT_RAMP_SCALES", "1,16,64").split(",")
+    ]
+    for k in scales:
         scaled = build_scaled(spark, k)
         docs = spark.read.parquet(f"{scaled}/documents.parquet")
         tmp = tempfile.mkdtemp(prefix="auditramp_")
@@ -103,6 +117,43 @@ def main() -> None:
             f"near-dup docs legitimately multi-match) "
             f"probe_reps={[round(r, 2) for r in probe_reps]} "
             f"verify_reps={[round(r, 2) for r in verify_reps]}",
+            flush=True,
+        )
+        # components fixpoint at this scale (r11 verdict #5): edges from
+        # the scaled embeddings with occupancy-constant bucket bits
+        # (+2 per 4x — exp_scale_ramp group B's production knob); edge
+        # generation checkpointed OUTSIDE the timed window.
+        import math
+
+        from tmdb_sync_spark.functions.dedup import min_label_components
+        from tmdb_sync_spark.functions.similarity import (
+            DUP_THRESHOLD,
+            N_DUP_BITS,
+            _dup_candidate_pairs,
+        )
+
+        bits = N_DUP_BITS + 2 * int(round(math.log(k, 4)))
+        edges = (
+            _dup_candidate_pairs(spark, scaled, bits)
+            .where(F.col("cosine_sim") >= DUP_THRESHOLD)
+            .select(
+                F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("w")
+            )
+            .localCheckpoint()
+        )
+        n_edges = edges.count()
+        comp_reps, stats = [], {}
+        for rep in range(3):
+            stats = {}
+            t0 = time.perf_counter()
+            n_labels = min_label_components(edges, stats=stats).count()
+            comp_reps.append(time.perf_counter() - t0)
+        print(
+            f"x{k}: components edges={n_edges} bits={bits} "
+            f"labels={n_labels} rounds={stats.get('rounds')} "
+            f"loop_parts={stats.get('shuffle_partitions')} "
+            f"wall={min(comp_reps):.2f}s "
+            f"reps={[round(r, 2) for r in comp_reps]}",
             flush=True,
         )
         shutil.rmtree(tmp, ignore_errors=True)

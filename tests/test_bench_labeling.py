@@ -74,6 +74,98 @@ def test_family_from_repo_artifacts_is_robust_to_r10():
     assert all(v > 0 for v in ext.values())
 
 
+def _artifact(tmp_path, i, queries=None, contended=False, ratio_worst=4.0,
+              outliers=(), ext=None, ext_contended=False,
+              ext_ratio_worst=4.0, ext_outliers=()):
+    import json
+
+    (tmp_path / f"BENCH_r{i:02d}.json").write_text(
+        json.dumps(
+            {"parsed": {
+                "sf": 0.1,
+                "contended": contended,
+                "ratio_worst": ratio_worst,
+                "family_outliers": list(outliers),
+                "queries": queries or {},
+                "queries_extended": ext or {},
+                "extended_contended": ext_contended,
+                "extended_ratio_worst": ext_ratio_worst,
+                "extended_family_outliers": list(ext_outliers),
+            }}
+        )
+    )
+
+
+def test_floor_clean_outlier_flagged_round_admits_non_outliers(tmp_path):
+    """Re-baselining rule (a): an artifact flagged ONLY by family
+    outliers (floors clean) still feeds the family for its non-outlier
+    queries — one slow slot must not starve every other query's
+    baseline."""
+    for i in range(3):
+        _artifact(tmp_path, i, queries={"qa": 0.2, "qb": 0.5})
+    _artifact(tmp_path, 3, queries={"qa": 0.9, "qb": 0.5},
+              contended=True, ratio_worst=4.2, outliers=["qa"])
+    head, _ = bench.load_family(str(tmp_path), 0.1)
+    # qb: all 4 readings admitted; qa: the flagged 0.9 excluded
+    assert head["qb"] == 0.5
+    assert head["qa"] == 0.2
+
+
+def test_floor_flagged_rounds_stay_fully_excluded(tmp_path):
+    """A floor-contended artifact (ratio over the flag) proves nothing
+    about any query — no re-admission, the pre-r12 behavior."""
+    for i in range(3):
+        _artifact(tmp_path, i, queries={"qa": 0.2})
+    _artifact(tmp_path, 3, queries={"qa": 0.2, "qb": 9.9},
+              contended=True, ratio_worst=9.0, outliers=[])
+    head, _ = bench.load_family(str(tmp_path), 0.1)
+    assert head["qa"] == 0.2
+    assert "qb" not in head
+
+
+def test_persistent_outlier_regime_switches_family(tmp_path):
+    """Re-baselining rule (b): an outlier named by the last
+    FAMILY_PERSIST consecutive floor-clean artifacts becomes the new
+    baseline — a legitimate slowdown flags loudly that many rounds,
+    then the family moves on instead of tainting forever."""
+    for i in range(3):
+        _artifact(tmp_path, i, queries={"qa": 0.2})
+    for i in (3, 4):
+        _artifact(tmp_path, i, queries={"qa": 0.9}, contended=True,
+                  ratio_worst=4.1, outliers=["qa"])
+    head, _ = bench.load_family(str(tmp_path), 0.1)
+    assert head["qa"] == 0.9
+    # the NEXT attempt at ~0.9 is no longer an outlier
+    label = bench.label_attempt([4.0], {"qa": 0.92}, head)
+    assert label["contended"] is False
+
+
+def test_persistence_requires_consecutive_and_clean_floors(tmp_path):
+    """One flagged round (or a floor-dirty one in the window) is NOT
+    persistence — the strict r10 tripwire stays in force."""
+    for i in range(3):
+        _artifact(tmp_path, i, queries={"qa": 0.2})
+    _artifact(tmp_path, 3, queries={"qa": 0.9}, contended=True,
+              ratio_worst=4.1, outliers=["qa"])
+    head, _ = bench.load_family(str(tmp_path), 0.1)
+    assert head["qa"] == 0.2  # single flagged round: median unmoved
+    # floor-dirty second round breaks the persistence chain
+    _artifact(tmp_path, 4, queries={"qa": 0.9}, contended=True,
+              ratio_worst=9.0, outliers=["qa"])
+    head, _ = bench.load_family(str(tmp_path), 0.1)
+    assert head["qa"] == 0.2
+
+
+def test_extended_section_rebaselines_independently(tmp_path):
+    for i in range(3):
+        _artifact(tmp_path, i, ext={"ex": 1.0})
+    for i in (3, 4):
+        _artifact(tmp_path, i, ext={"ex": 3.0}, ext_contended=True,
+                  ext_ratio_worst=4.3, ext_outliers=["ex"])
+    _, ext = bench.load_family(str(tmp_path), 0.1)
+    assert ext["ex"] == 3.0
+
+
 def test_family_requires_min_samples(tmp_path):
     import json
 
@@ -116,6 +208,8 @@ def _fat_contract(n_head=21, n_ext=36, n_outliers=21):
         "queries_extended": ext,
         "value_extended": 9876.543,
         "extended_contended": True,
+        "extended_ratio_worst": 18.66,
+        "extended_family_outliers": sorted(ext)[:n_outliers],
         "machine_floor_sec": 0.569,
         "cpu_floor_1t": 0.073,
         "cpu_floor_32t": 0.435,

@@ -39,6 +39,7 @@ EV_QUERIES = [
     "st_tumbling_window", "st_sliding_window", "st_session_window",
     "st_stateful_user_agg", "a8_sk_salted_counters",
     "a6_a7_p11_recent_counts", "a9_percentiles",
+    "st_dedup_within_watermark",
 ]
 
 

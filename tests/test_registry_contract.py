@@ -14,18 +14,20 @@ from __future__ import annotations
 DRIVER_WINDOW = 50
 
 # The local-parity-window log: every query rotated out of the driver
-# window, plus queries registered directly into the local window
-# (audit_verdicts, r11 — the driver's 50 slots were full and the
-# rotation rule says new rows go here). Update THIS LIST (and
-# COVERAGE.md) when rotating — the assert below re-derives the actual
-# set from the registry.
+# window, plus queries registered directly into the local window.
+# r12 rotation (r11 verdict #1): audit_verdicts PROMOTED into the
+# driver window; p10_f3_key_build_parse retired in trade (its F3/P10/O3
+# semantics stay driver-exercised inside st1_st3_ingest_resume's cursor
+# keys). Update THIS LIST (and COVERAGE.md) when rotating — the assert
+# below re-derives the actual set from the registry.
 RETIRED_NAMES = {
     "a9_percentiles",
-    "audit_verdicts",
     "dd_ngram_jaccard",
+    "p10_f3_key_build_parse",
     "p12_prefix_filter",
     "s2_discover_years",
     "s3_category_source",
+    "st_dedup_within_watermark",
     "w1_array_argmax",
 }
 

@@ -333,10 +333,12 @@ def verify_substring_spans(
 
 # ---------------------------------------------------------------------------
 # Oracle-pinned verdict surface (r10 verdict #5): the three-lens verdict
-# frame over a DETERMINISTIC planted eval set, registered in the
-# local-parity window (register_retired — the driver's 50 slots stay as
-# they are; tests/test_oracle_parity.py holds this row to the identical
-# bar). The Spark side runs the REAL production path — staged persisted
+# frame over a DETERMINISTIC planted eval set. Registered in the DRIVER
+# window since r12 (r11 verdict #1: the flagship beyond-reference
+# surface deserves external certification + a standing bench row;
+# p10_f3_key_build_parse rotated to the local-parity window in trade —
+# its F3/P10/O3 semantics stay exercised by st1_st3_ingest_resume's
+# cursor keys). The Spark side runs the REAL production path — staged persisted
 # indexes + contamination_audit — while the DuckDB oracle recomputes all
 # three lens pair rules declaratively from the same parquet tables
 # (bands: dd_minhash_lsh's twin; winnow: wn_substring_overlap's twin;
@@ -356,7 +358,7 @@ from tmdb_sync_spark.functions.similarity import (
 from tmdb_sync_spark.functions.text import WS_SQL, trim_sql
 from tmdb_sync_spark.functions.winnow import WINNOW_K, WINNOW_W
 from tmdb_sync_spark.io import table
-from tmdb_sync_spark.registry import register_retired
+from tmdb_sync_spark.registry import register
 from tmdb_sync_spark.util import (
     file_fingerprint,
     register_reset_hook,
@@ -627,7 +629,7 @@ def _audit_eval_set(
     return ev, ev_emb
 
 
-@register_retired("audit_verdicts", oracle=_AUDIT_VERDICTS_SQL)
+@register("audit_verdicts", oracle=_AUDIT_VERDICTS_SQL)
 def audit_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-lens contamination verdicts over a deterministic planted
     eval set — the unified audit's verdict frame, oracle-pinned.

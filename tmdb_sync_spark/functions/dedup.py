@@ -565,8 +565,9 @@ def cluster_components(
             F.col("a.vec_id").alias("u"),
             F.col("b.vec_id").alias("w"),
         )
-        .localCheckpoint()
     )
+    # min_label_components materializes edges itself (localCheckpoint)
+    # before counting/symmetrizing — no pre-checkpoint needed here.
     labels = min_label_components(edges)
     w = Window.partitionBy("component")
     return (
@@ -607,8 +608,28 @@ def min_label_components(
     shrink — for the loop's duration, restored in ``finally`` (the
     returned frame is checkpointed, so downstream plans never see the
     loop's setting).
+
+    .. warning:: the ``spark.sql.shuffle.partitions`` window is
+       SESSION-scoped: any UNRELATED query planned on the same session
+       while a fixpoint loop runs will plan its shuffles at the loop's
+       (usually smaller) partition count. The internal lock only
+       serializes concurrent fixpoint loops against each other. Fine
+       under this engine's serial execution model; callers interleaving
+       large independent shuffles on the same session should plan them
+       outside this call. A plan-local alternative (explicit
+       ``repartition(loop_parts)`` on the loop's join inputs) was A/B'd
+       in r12 and measured slower — it pins only the repartitioned
+       exchange while every OTHER exchange in the round (groupBy, the
+       pointer-jump self-join, distinct) still fans out to the session
+       setting (numbers in COVERAGE.md r12).
+
+    ``edges`` is materialized here (``localCheckpoint``) before the row
+    count and the symmetrizing union — callers may pass an arbitrary
+    unmaterialized plan without paying extra whole-plan evaluations
+    (one for the count + two for the union's branches).
     """
     spark = edges.sparkSession
+    edges = edges.localCheckpoint()
     sym = edges.unionByName(
         edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
     )

@@ -49,6 +49,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tmdb_sync_spark.registry import register_retired
+
 
 def dedup_within_watermark(
     stream: DataFrame,
@@ -193,3 +195,98 @@ def run_dedup_stream(
         "state_rows_removed": sum(s["numRowsRemoved"] for s in state),
         "state_rows_total": state[-1]["numRowsTotal"] if state else 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# Oracle-pinned row (r11 verdict #7): the streaming dedup's final table
+# state IS a batch answer — a feed of exact redeliveries (identical
+# copies of each event, 1-3 per row) drained through
+# dropDuplicatesWithinWatermark with a horizon wider than the corpus's
+# event-time span leaves exactly DISTINCT(base rows). Registered in the
+# LOCAL parity window (tests/test_oracle_parity.py holds it to the
+# driver bar); the eviction/re-emission boundary — which is NOT
+# SQL-expressible — stays pinned in tests/test_streaming_dedup.py.
+#
+# Determinism notes (each probed before registration):
+# - copies are bit-identical, so WHICH copy survives is invisible and
+#   file→micro-batch assignment order cannot matter;
+# - the dedup key is md5 over EVERY column (ts rendered to µs) — never
+#   the raw payload columns, so two distinct base rows can't collide and
+#   a first-arrival payload race can't exist;
+# - rows with ts < epoch are dropped by the stateful operator in every
+#   micro-batch (the watermark starts at the epoch and a 100-year delay
+#   keeps it there for any plausible corpus), so the oracle's epoch
+#   filter is batching-independent — same contract as the session
+#   window's (test_hostile_events pre-epoch probe).
+
+_DEDUP_COLS = ["event_id", "user_id", "event_type", "value", "props"]
+
+
+def _redelivery_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events (ts IS NOT NULL) × 1-3 identical copies + an md5 row key."""
+    from tmdb_sync_spark.io import table
+
+    base = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                for c in _DEDUP_COLS
+            ],
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        )
+    )
+    copies = F.lit(1) + F.coalesce(
+        F.pmod(F.col("event_id"), F.lit(3)), F.lit(0)
+    ).cast("int")
+    return (
+        base.withColumn("dup_key", key)
+        .withColumn("_copy", F.explode(F.sequence(F.lit(1), copies)))
+        .drop("_copy")
+    )
+
+
+@register_retired(
+    "st_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, event_type, value, props, ts
+    FROM events
+    WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+    """,
+)
+def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup of an at-least-once feed — dd_exact's
+    streaming twin, run as a REAL multi-micro-batch drain.
+
+    Reference scope: the reference's sync loop is idempotent per key via
+    MERGE (app/sync.py upsert path); this is the stream-transport analog
+    a Spark engine adds — bounded-state redelivery dedup
+    (SURVEY §2.10 stretch).
+    """
+    from tmdb_sync_spark.util import scratch_dir
+
+    feed = _redelivery_feed(spark, sf_dir)
+    src = scratch_dir("st_dedup_feed_")
+    feed.repartition(4).write.mode("overwrite").parquet(src)
+    state_dir = scratch_dir("st_dedup_state_")
+    res = run_dedup_stream(
+        spark,
+        src,
+        feed.schema,
+        state_dir,
+        keys=["dup_key"],
+        ts_col="ts",
+        delay="36500 days",
+        max_files_per_trigger=2,
+    )
+    if res["emitted_rows"] == 0 or not os.path.isdir(res["out_path"]):
+        # empty corpus: the sink never writes a batch, so the output dir
+        # does not exist — the empty-table contract is an empty frame
+        # with the result schema (tests/test_empty_tables.py)
+        return feed.limit(0).select(*_DEDUP_COLS, "ts")
+    return (
+        spark.read.parquet(res["out_path"])
+        .drop("batch_id", "dup_key")
+        .select(*_DEDUP_COLS, "ts")
+    )
