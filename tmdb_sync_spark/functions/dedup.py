@@ -616,12 +616,16 @@ def min_label_components(
        serializes concurrent fixpoint loops against each other. Fine
        under this engine's serial execution model; callers interleaving
        large independent shuffles on the same session should plan them
-       outside this call. A plan-local alternative (explicit
-       ``repartition(loop_parts)`` on the loop's join inputs) was A/B'd
-       in r12 and measured slower — it pins only the repartitioned
-       exchange while every OTHER exchange in the round (groupBy, the
-       pointer-jump self-join, distinct) still fans out to the session
-       setting (numbers in COVERAGE.md r12).
+       outside this call. Two scoped alternatives were A/B'd in r12
+       (scripts/exp_components_conf_ab.py, both orderings to cancel the
+       JIT-warmup confound) and both measured ~2× slower warm at sf0.1:
+       AQE-policy-only (``coalescePartitions.parallelismFirst=false``,
+       partitions untouched) 7.7 s and plan-local
+       ``repartition(loop_parts)`` 8.6 s vs 4.3 s shipped — coalescing
+       happens after each exchange is planned and scheduled at the
+       session count, and the repartition pins only its own exchange
+       while the groupBy/join/distinct exchanges still fan out
+       (numbers in COVERAGE.md r12).
 
     ``edges`` is materialized here (``localCheckpoint``) before the row
     count and the symmetrizing union — callers may pass an arbitrary
