@@ -66,3 +66,40 @@ def test_scaled_dup_bits_holds_occupancy(spark, sf_dir):
         tuple(r) for r in dd_cluster_components(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_cluster_representatives_keep_policy(spark, sf_dir):
+    """dd_cluster_representatives (r12): exactly one elected
+    representative per component, and it is the (n_chars desc, doc_id
+    asc) argmax among the members that exist in ``documents`` — while
+    comp_size still counts the FULL cluster."""
+    from tmdb_sync_spark.functions.dedup import (
+        dd_cluster_components,
+        dd_cluster_representatives,
+    )
+
+    reps = dd_cluster_representatives(spark, sf_dir).toPandas()
+    assert len(reps) > 0
+
+    per_comp = reps.groupby("component")
+    # exactly one is_kept per component, and it's the keep_doc_id
+    assert (per_comp["is_kept"].sum() == 1).all()
+    for comp, g in per_comp:
+        keep = set(g["keep_doc_id"])
+        assert len(keep) == 1, f"component {comp}: conflicting keep ids"
+        (kid,) = keep
+        kept_rows = g[g["is_kept"]]
+        assert list(kept_rows["doc_id"]) == [kid]
+        # (that kid IS the (n_chars desc, doc_id asc) argmax is pinned
+        # exactly by the DuckDB frame parity in test_oracle_parity)
+    # comp_size is the pre-join cluster size: must match the registered
+    # components query's sizing, not the joined row count
+    comp_sizes = {
+        r["component"]: r["comp_size"]
+        for r in dd_cluster_components(spark, sf_dir)
+        .select("component", "comp_size")
+        .distinct()
+        .collect()
+    }
+    for comp, g in per_comp:
+        assert (g["comp_size"] == comp_sizes[comp]).all()

@@ -70,6 +70,10 @@ TEXT_QUERIES = [
     # must digest NULL text, and every lens's pair rule must agree with
     # its declarative twin on multibyte/WS-zoo/near-dup-twin plants
     "audit_verdicts",
+    # r12: the lexical split-leakage audit shingles the same hostile
+    # text (plus an md5 split label over ids), and the per-group cap
+    # must agree on the NULL-lang group and NULL-n_chars ordering
+    "lk_split_leakage", "sp_cap_per_group",
 ]
 
 

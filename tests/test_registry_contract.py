@@ -20,14 +20,24 @@ DRIVER_WINDOW = 50
 # semantics stay driver-exercised inside st1_st3_ingest_resume's cursor
 # keys). Update THIS LIST (and COVERAGE.md) when rotating — the assert
 # below re-derives the actual set from the registry.
+# r12 additions (registered directly into the local window, never
+# driver slots): lk_split_leakage (lexical cross-split audit),
+# sp_cap_per_group (skew-safe per-group quota vs the naive one-window
+# oracle), dd_cluster_representatives (keep-policy tail of the
+# components family), st_file_drop_ingest (JSONL drop-dir drain:
+# file-source exactly-once + parse + dead-letter + fold + MERGE).
 RETIRED_NAMES = {
     "a9_percentiles",
+    "dd_cluster_representatives",
     "dd_ngram_jaccard",
+    "lk_split_leakage",
     "p10_f3_key_build_parse",
     "p12_prefix_filter",
     "s2_discover_years",
     "s3_category_source",
+    "sp_cap_per_group",
     "st_dedup_within_watermark",
+    "st_file_drop_ingest",
     "w1_array_argmax",
 }
 

@@ -28,3 +28,8 @@ from tmdb_sync_spark.functions import (  # noqa: F401
 # registration order exactly as it was before the module registered a
 # query (audit_verdicts lands in the retired/local-parity window).
 from tmdb_sync_spark.functions import audit  # noqa: E402,F401
+
+# leakage registers only into the retired/local-parity window
+# (lk_split_leakage), so its import position cannot perturb the
+# driver's 50-slot registration order either.
+from tmdb_sync_spark.functions import leakage  # noqa: E402,F401

@@ -473,9 +473,14 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dd_cluster_components",
-    oracle=f"""
+# Shared oracle prefix for the components family: the near-dup graph
+# (sign-LSH buckets → exact quantized cosine ≥ threshold) and its
+# connected components as a recursive min-reachable-id CTE — the
+# declarative twin of the Spark-side min-label fixpoint loop. Ends at
+# the ``comp`` CTE ``(vec_id, component)``; consumers append their own
+# final SELECT (dd_cluster_components sizes it, dd_cluster_representatives
+# picks a keep-policy representative per component).
+_COMPONENTS_CTES = f"""
     WITH RECURSIVE q AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -516,6 +521,12 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.w AS v, reach.r FROM reach JOIN sym s ON s.u = reach.v
     ),
     comp AS (SELECT v AS vec_id, MIN(r) AS component FROM reach GROUP BY v)
+"""
+
+
+@register(
+    "dd_cluster_components",
+    oracle=_COMPONENTS_CTES + """
     SELECT c.vec_id, c.component,
            COUNT(*) OVER (PARTITION BY c.component) AS comp_size
     FROM comp c
@@ -575,6 +586,73 @@ def cluster_components(
                       F.col("label").alias("component"))
         .withColumn("comp_size", F.count(F.lit(1)).over(w))
         .orderBy("vec_id")
+    )
+
+
+@register_retired(
+    "dd_cluster_representatives",
+    oracle=_COMPONENTS_CTES + """,
+    sized AS (
+        SELECT vec_id, component,
+               COUNT(*) OVER (PARTITION BY component) AS comp_size
+        FROM comp
+    )
+    SELECT s.vec_id AS doc_id, s.component, s.comp_size,
+           FIRST_VALUE(s.vec_id) OVER (
+               PARTITION BY s.component
+               ORDER BY d.n_chars DESC NULLS LAST, s.vec_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS keep_doc_id,
+           s.vec_id = FIRST_VALUE(s.vec_id) OVER (
+               PARTITION BY s.component
+               ORDER BY d.n_chars DESC NULLS LAST, s.vec_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS is_kept
+    FROM sized s
+    JOIN documents d ON d.doc_id = s.vec_id
+    """,
+)
+def dd_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-policy tail of the dedup family: detect → cluster →
+    CHOOSE. ``dd_cluster_components`` labels every near-dup cluster;
+    this operator decides which member survives — the largest document
+    (``n_chars`` best-first, ``doc_id`` ascending tiebreak), the
+    "keep the most complete copy" policy a curation pipeline applies
+    before dropping the rest.
+
+    Output, one row per clustered doc present in ``documents``:
+    ``(doc_id, component, comp_size, keep_doc_id, is_kept)``.
+    ``comp_size`` is the FULL cluster size (counted before the
+    documents join — a member whose text is missing still counts;
+    it just can't be elected representative). Downstream dedup is
+    ``WHERE NOT is_kept`` → the drop list.
+
+    Scale shape: the components labels (one checkpointed frame,
+    log₂(diameter) shuffles to produce) join ``documents`` on the
+    unique id — an equi-join Catalyst plans broadcast-or-shuffle by
+    size — then ONE window over ``component`` whose per-group state is
+    a single running first-value, never a buffered group. The argmax is
+    deterministic: (n_chars, doc_id) is a total order; NULL sizes sort
+    last in both engines (Spark ``desc`` = ``DESC NULLS LAST``)."""
+    comp = cluster_components(spark, sf_dir)
+    docs = parallel_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("n_chars")
+    )
+    j = comp.join(docs, comp.vec_id == docs.doc_id).select(
+        "doc_id", "component", "comp_size", "n_chars"
+    )
+    w = (
+        Window.partitionBy("component")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    keep = F.first("doc_id").over(w)
+    return j.select(
+        "doc_id",
+        "component",
+        "comp_size",
+        keep.alias("keep_doc_id"),
+        (F.col("doc_id") == keep).alias("is_kept"),
     )
 
 

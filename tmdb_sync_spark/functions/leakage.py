@@ -37,9 +37,11 @@ table (pass your staged signature frame via ``sig=``). Nothing here is
 O(n²); nothing collects.
 
 Reference scope: beyond-reference (the reference syncs a catalog, it
-does not train on one) and beyond-registry (the 50-entry driver window
-is full) — tested to the registered-surface bar in
-tests/test_leakage.py with a full DuckDB frame-parity twin.
+does not train on one). Tested to the registered-surface bar in
+tests/test_leakage.py with a full DuckDB frame-parity twin, and —
+since r12 — registered in the LOCAL parity window as
+:func:`lk_split_leakage`, so the lexical audit faces the standard
+oracle / hostile-text / empty-corpus gates every round.
 """
 
 from __future__ import annotations
@@ -48,12 +50,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tmdb_sync_spark.functions.dedup import (
+    _SIG_SQL,
     N_HASHES,
     banded_pairs_with_overlap,
     minhash_signature,
 )
 from tmdb_sync_spark.functions.pipeline import NEAR_DUP_MIN
 from tmdb_sync_spark.functions.sampling import split_corpus
+from tmdb_sync_spark.registry import register_retired
 
 
 def split_leakage_audit(
@@ -290,3 +294,75 @@ def decontaminated_eval(
     ).where(
         ~is_eval | F.col("_leaked").isNull()
     ).drop("_leaked")
+
+
+# --- registered surface (local parity window) -------------------------
+
+# Split label for the REGISTERED audit: a cross-engine-identical hash
+# bucket — the first two hex chars of md5(doc_id) against boundaries
+# 'e8' (train: 232/256 ≈ 90.6%) and 'f4' (val: 12/256 ≈ 4.7%; rest
+# test). The production split is sampling.split_corpus's xxhash64 (JVM
+# codegen'd, no DuckDB twin — its contract is property-tested in
+# tests/test_sampling.py); the md5 label exercises the SAME audit path
+# (split_leakage_audit accepts any split_col) while staying
+# SQL-expressible, so the oracle pins the full pipeline: signature →
+# banded candidates → overlap verify → cross-split filter →
+# orientation. A NULL doc_id hashes to a NULL bucket and falls through
+# both CASE branches to 'test' — identically in both engines.
+_SPLIT_B2_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+_N_EQ_SQL = " + ".join(
+    f"(a.h{i} = b.h{i})::INT" for i in range(N_HASHES)
+)
+
+_LEAK_ORACLE = _SIG_SQL + f""",
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN {_SPLIT_B2_SQL} < 'e8' THEN 'train'
+                    WHEN {_SPLIT_B2_SQL} < 'f4' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(({_N_EQ_SQL}) AS INT) AS n_equal_hashes
+        FROM sigs a
+        JOIN sigs b
+          ON a.doc_id < b.doc_id
+         AND ((a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3)
+           OR (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))
+    )
+    SELECT CASE WHEN la.split = 'train' THEN c.doc_b ELSE c.doc_a END AS eval_doc_id,
+           CASE WHEN la.split = 'train' THEN lb.split ELSE la.split END AS eval_split,
+           CASE WHEN la.split = 'train' THEN c.doc_a ELSE c.doc_b END AS other_doc_id,
+           CASE WHEN la.split = 'train' THEN la.split ELSE lb.split END AS other_split,
+           c.n_equal_hashes,
+           c.n_equal_hashes / {float(N_HASHES)} AS est_jaccard
+    FROM cand c
+    JOIN lab la ON la.doc_id = c.doc_a
+    JOIN lab lb ON lb.doc_id = c.doc_b
+    WHERE la.split <> lb.split
+      AND c.n_equal_hashes >= {NEAR_DUP_MIN}
+"""
+
+
+@register_retired("lk_split_leakage", oracle=_LEAK_ORACLE)
+def lk_split_leakage(spark, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup audit over ``documents`` with a
+    deterministic md5-bucket split label — the full
+    :func:`split_leakage_audit` path (one signature pass, banded-LSH
+    candidates, ``n_equal_hashes >= NEAR_DUP_MIN`` verify, cross-split
+    filter, eval-side-first orientation) against a declarative DuckDB
+    twin. Scale shape is ``dd_minhash_lsh``'s: one band-key shuffle,
+    skew-tiled, nothing O(n²), nothing collected."""
+    from tmdb_sync_spark.io import parallel_table
+
+    docs = parallel_table(spark, sf_dir, "documents")
+    b2 = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    labeled = docs.withColumn(
+        "split",
+        F.when(b2 < "e8", "train").when(b2 < "f4", "val").otherwise("test"),
+    )
+    return split_leakage_audit(labeled, split_col="split")

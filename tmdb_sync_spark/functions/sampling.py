@@ -35,16 +35,20 @@ curation (functions/pipeline.py) and the trainer, each expressed so the
   contract below guarantees. Pack ids are globally unique by
   construction (``bucket * 2^32 + local``), no coordination.
 
-No DuckDB oracle twins: ``xxhash64`` has no DuckDB equivalent, and the
-packing is defined by an imperative greedy rule, so the contracts are
-pinned by property tests (tests/test_sampling.py: partition-of-corpus,
-repartition stability, per-stratum tolerance, pack-budget bound,
-exactly-once membership, determinism) instead of SQL parity — the same
+Oracle coverage: the hash split/sample have no DuckDB twin
+(``xxhash64`` has no DuckDB equivalent) and the packing is defined by
+an imperative greedy rule, so those contracts are pinned by property
+tests (tests/test_sampling.py: partition-of-corpus, repartition
+stability, per-stratum tolerance, pack-budget bound, exactly-once
+membership, determinism) instead of SQL parity — the same
 weaker-but-honest treatment the survey prescribes for non-SQL ops.
+:func:`cap_per_group` IS fully SQL-expressible, so it carries a
+registered local-parity row (``sp_cap_per_group``) whose DuckDB twin
+is the naive single-window form — pinning that the skew-safe
+two-phase plan computes exactly the one-window semantics.
 
-These are beyond-registry operators (the 50-entry driver window is
-full); they compose with the registered surface — e.g. split the
-curation pipeline's kept corpus, pack the train split.
+These compose with the registered surface — e.g. split the curation
+pipeline's kept corpus, pack the train split.
 """
 
 from __future__ import annotations
@@ -55,6 +59,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from tmdb_sync_spark.registry import register_retired
 
 # Hash-space modulus for split/sample bucketing. 1e6 buckets bounds the
 # fraction quantization error at 1e-6 — far below sampling noise at any
@@ -382,6 +388,46 @@ def cap_per_group(
         .where(F.col("_cap_rn") <= k)
         .drop("_cap_rn")
     )
+
+
+# Registered cap: k best documents per language by size. Small enough
+# that the sf0.01 result is a readable frame, large enough that ties
+# and the NULL-lang group are exercised.
+_CAP_K = 5
+
+
+@register_retired(
+    "sp_cap_per_group",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY n_chars DESC NULLS LAST, doc_id ASC
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= {_CAP_K}
+    """,
+)
+def sp_cap_per_group(spark, sf_dir: str) -> DataFrame:
+    """Per-group quota cap (CCNet-style domain cap) over ``documents``:
+    keep the ``_CAP_K`` largest docs per ``lang``, ties broken ascending
+    on ``doc_id``. The oracle is the NAIVE single-window form; the Spark
+    plan is :func:`cap_per_group`'s two-phase local-then-global top-k
+    (a hot group is pre-cut inside every arrival partition, so one
+    10⁹-page domain never funnels through one task) — the parity row
+    pins that the skew-safe plan computes exactly the one-window
+    semantics, NULL groups and NULL ranks included (Spark ``desc`` =
+    DuckDB ``DESC NULLS LAST``; a NULL ``lang`` is one group in both
+    engines)."""
+    from tmdb_sync_spark.io import parallel_table
+
+    docs = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return cap_per_group(docs, "lang", "n_chars", _CAP_K, key="doc_id")
 
 
 # --- pack materialization (the trainer-input last mile) ----------------

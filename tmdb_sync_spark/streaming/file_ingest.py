@@ -41,9 +41,11 @@ from pyspark.sql.types import StructType
 
 from tmdb_sync_spark.plans.partitioned import (
     merge_into_partitioned,
+    read_partitioned,
     table_exists,
     write_partitioned,
 )
+from tmdb_sync_spark.registry import register_retired
 from tmdb_sync_spark.sources.files import parse_jsonl_lines
 from tmdb_sync_spark.streaming.ingest import MERGE_LOCK_WAIT_S
 
@@ -341,3 +343,115 @@ def ingest_file_stream(
 # Back-compat alias from when the ingest was JSONL-only; ``fmt`` made
 # the generic name the honest one.
 ingest_jsonl_stream = ingest_file_stream
+
+
+# ---------------------------------------------------------------------------
+# Oracle-pinned row (r12): the drop-directory ingest's final table state
+# IS a batch answer. The feed is constructed from ``orders`` so the
+# DuckDB twin needs only the base table:
+#
+# - every key with ``o_orderkey % 97 <> 0`` gets one GOOD JSONL line;
+# - keys ``% 5 == 0`` additionally get a DECOY variant line IN THE SAME
+#   FILE whose ``o_custkey`` is -1 — strictly less than the real row
+#   under the fold's full-struct order (keys equal, custkey decides), so
+#   the in-batch ``max_by(row, row)`` fold must elect the REAL row; a
+#   broken fold direction surfaces as ``o_custkey = -1`` and the oracle
+#   catches it (same-file placement makes the fold, not cross-batch
+#   MERGE order, the deciding rule);
+# - keys ``% 3 == 0`` are REDELIVERED as bit-identical lines in a
+#   second file — cross-batch MERGE-idempotency; identical copies make
+#   the file-processing order invisible;
+# - keys ``% 97 == 0`` appear ONLY as malformed lines (unparseable
+#   JSON) — they must dead-letter and stay absent from the table.
+#
+# ``maxFilesPerTrigger=1`` forces a genuinely multi-micro-batch drain.
+# Timestamps are serialized to 'yyyy-MM-dd HH:mm:ss' STRINGS before
+# JSON (cross-engine-exact; JSON timestamp rendering is not), and the
+# partition column is the derived ``o_year`` int.
+
+_FI_SCHEMA = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderdate STRING, o_year INT"
+)
+_FI_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_year",
+]
+
+
+@register_retired(
+    "st_file_drop_ingest",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           o_orderstatus,
+           o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           CAST(year(o_orderdate) AS INT) AS o_year
+    FROM orders
+    WHERE o_orderkey % 97 <> 0
+    """,
+)
+def st_file_drop_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL drop-directory ingest drained end-to-end (file-source
+    exactly-once tracking → shared JSONL parser → dead-letter →
+    in-batch key fold → partitioned MERGE), pinned against the one
+    SELECT its final table state must equal. The eviction/replay and
+    profile/index compositions stay pinned in
+    tests/test_file_ingest_stream.py (not SQL-expressible)."""
+    from tmdb_sync_spark.io import table
+    from tmdb_sync_spark.util import scratch_dir
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "o_orderdate"
+        ),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    good = base.where(F.col("o_orderkey") % 97 != 0)
+    line = F.to_json(F.struct(*[F.col(c) for c in _FI_COLS]))
+    decoy = good.where(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_custkey", F.lit(-1).cast("long")
+    )
+    redeliver = good.where(F.col("o_orderkey") % 3 == 0)
+    malformed = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.concat(
+                F.lit('{"o_orderkey": '),
+                F.col("o_orderkey").cast("string"),
+                F.lit(", BROKEN"),
+            ).alias("value")
+        )
+    )
+
+    src = scratch_dir("st_fi_src_")
+    state = scratch_dir("st_fi_state_")
+    drop_a = good.select(line.alias("value")).unionByName(
+        decoy.select(line.alias("value"))
+    )
+    drop_b = redeliver.select(line.alias("value")).unionByName(malformed)
+    drop_a.repartition(1).write.mode("overwrite").text(src)
+    drop_b.repartition(1).write.mode("append").text(src)
+
+    res = ingest_file_stream(
+        spark,
+        src,
+        _FI_SCHEMA,
+        state,
+        keys=["o_orderkey"],
+        partition_col="o_year",
+        max_files_per_batch=1,
+    )
+    out = read_partitioned(spark, res["table_path"])
+    return out.select(
+        *(
+            F.col(c).cast("int").alias(c) if c == "o_year" else F.col(c)
+            for c in _FI_COLS
+        )
+    )
