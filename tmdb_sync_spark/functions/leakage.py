@@ -357,6 +357,8 @@ def lk_split_leakage(spark, sf_dir: str) -> DataFrame:
     skew-tiled, nothing O(n²), nothing collected."""
     from tmdb_sync_spark.io import parallel_table
 
+    from tmdb_sync_spark.util import file_fingerprint, materialize_once
+
     docs = parallel_table(spark, sf_dir, "documents")
     b2 = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
@@ -365,4 +367,19 @@ def lk_split_leakage(spark, sf_dir: str) -> DataFrame:
         "split",
         F.when(b2 < "e8", "train").when(b2 < "f4", "val").otherwise("test"),
     )
-    return split_leakage_audit(labeled, split_col="split")
+    # the signature frame fans out to FOUR consumers inside the audit
+    # (band explode + both pair sides + the label lookup); an
+    # unmaterialized plan would duplicate the whole shingle+hash
+    # subtree per consumer (ReuseExchange does not dedupe
+    # alias-differing branches) — stage it once, keyed on the corpus
+    # content version, exactly like dd_minhash_lsh's signature table
+    sig = materialize_once(
+        minhash_signature(labeled, carry=("split",)),
+        cache_key=(
+            "lk_sig",
+            sf_dir,
+            file_fingerprint(f"{sf_dir}/documents.parquet"),
+        ),
+        prefix="lk_sig_",
+    )
+    return split_leakage_audit(labeled, split_col="split", sig=sig)
