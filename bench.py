@@ -355,9 +355,19 @@ def load_family(
         vals: dict[str, list[float]] = {}
         for r in rows:
             for n, v in r["q"].items():
-                admitted = (not r["contended"]) or (
-                    r["floor_clean"] and n not in r["outliers"]
-                )
+                # floor-clean artifacts contribute EVERY query's reading
+                # — including the outlier-named ones. Excluding outlier
+                # readings made the regime switch non-sticky (review
+                # r12): the first clean round after a legitimate
+                # slowdown rebuilt the family from pre-slowdown history
+                # only, snapped the baseline back, and re-flagged the
+                # new level in a flag/clear oscillation for many rounds.
+                # A one-off floor-clean spike admitted here is absorbed
+                # by the cross-round median; a persistent shift now
+                # accumulates history and converges right after the
+                # FAMILY_PERSIST switch. Floor-contended artifacts stay
+                # fully excluded (the strict r10 tripwire).
+                admitted = (not r["contended"]) or r["floor_clean"]
                 if admitted:
                     vals.setdefault(n, []).append(v)
         fam = {

@@ -146,7 +146,9 @@ def main() -> None:
         for rep in range(3):
             stats = {}
             t0 = time.perf_counter()
-            n_labels = min_label_components(edges, stats=stats).count()
+            n_labels = min_label_components(
+                edges, stats=stats, edges_materialized=True
+            ).count()
             comp_reps.append(time.perf_counter() - t0)
         print(
             f"x{k}: components edges={n_edges} bits={bits} "

@@ -111,7 +111,9 @@ def main() -> None:
     )
 
     def variant_a(stats):
-        return dedup.min_label_components(edges, stats=stats)
+        return dedup.min_label_components(
+            edges, stats=stats, edges_materialized=True
+        )
 
     def variant_b(stats):
         key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"

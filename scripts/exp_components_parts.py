@@ -60,7 +60,9 @@ def main() -> None:
         stats: dict = {}
         t0 = time.perf_counter()
         if parts is None:
-            labels = dedup.min_label_components(edges, stats=stats)
+            labels = dedup.min_label_components(
+                edges, stats=stats, edges_materialized=True
+            )
         else:
             sym = edges.unionByName(
                 edges.select(F.col("w").alias("u"), F.col("u").alias("w"))

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Retry exp_family_seed.py until an attempt lands with BOTH floor
+# brackets healthy (ratio < 5.0 — the bench flag bar). Host weather on
+# this box flips on ~10-minute scales; the measurement needs ~7 quiet
+# minutes, so: probe the floor cheaply first, only launch the full run
+# when the probe is clean, and re-check the printed floor_end after.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/family_seed_healthy.log}
+for attempt in $(seq 1 40); do
+  probe=$(python3 - <<'EOF'
+import importlib.util
+spec = importlib.util.spec_from_file_location('bench_module','bench.py')
+b = importlib.util.module_from_spec(spec); spec.loader.exec_module(b)
+f1,f32 = b._floor_pair(); print(f"{f32/f1:.2f}")
+EOF
+)
+  echo "attempt $attempt probe_ratio=$probe" >&2
+  ok=$(python3 -c "print(1 if float('$probe') < 4.5 else 0)")
+  if [ "$ok" = "1" ]; then
+    TZ=America/New_York python -u scripts/exp_family_seed.py 2>/dev/null \
+      | grep -E "floor|first=|best5" > "$OUT.attempt$attempt"
+    rs=$(grep floor_start "$OUT.attempt$attempt" | grep -o 'ratio=[0-9.]*' | cut -d= -f2)
+    re=$(grep floor_end   "$OUT.attempt$attempt" | grep -o 'ratio=[0-9.]*' | cut -d= -f2)
+    good=$(python3 -c "print(1 if float('${rs:-99}') < 5.0 and float('${re:-99}') < 5.0 else 0)")
+    if [ "$good" = "1" ]; then
+      cp "$OUT.attempt$attempt" "$OUT"
+      echo "HEALTHY on attempt $attempt (floors $rs / $re)" >&2
+      exit 0
+    fi
+    echo "attempt $attempt ran but floors $rs / $re — retrying" >&2
+  fi
+  sleep 180
+done
+echo "NO healthy window in 40 attempts" >&2
+exit 1

@@ -140,6 +140,36 @@ def test_persistent_outlier_regime_switches_family(tmp_path):
     assert label["contended"] is False
 
 
+def test_regime_switch_is_sticky_no_flag_clear_oscillation(tmp_path):
+    """r12 review finding: after the FAMILY_PERSIST switch, the FIRST
+    clean round must not snap the baseline back to pre-slowdown history
+    (the old exclusion of outlier-named readings rebuilt the family
+    from 0.2-era rounds only, re-flagging 0.9 in a flag/clear cycle for
+    ~9 rounds). Floor-clean readings — outlier-named or not — now
+    accumulate, so the post-switch family stays at the new level."""
+    for i in range(3):
+        _artifact(tmp_path, i, queries={"qa": 0.2})
+    # legitimate slowdown: two loudly-flagged floor-clean rounds
+    for i in (3, 4):
+        _artifact(tmp_path, i, queries={"qa": 0.9}, contended=True,
+                  ratio_worst=4.1, outliers=["qa"])
+    head, _ = bench.load_family(str(tmp_path), 0.1)
+    assert bench.label_attempt([4.0], {"qa": 0.9}, head)["contended"] is False
+    # that attempt ships as a HEALTHY artifact (no outliers recorded)
+    _artifact(tmp_path, 5, queries={"qa": 0.9})
+    # every later round at the new level must stay clean — the old code
+    # flagged round 6 again (family snapped back to 0.2)
+    for rnd in (6, 7, 8):
+        head, _ = bench.load_family(str(tmp_path), 0.1)
+        label = bench.label_attempt([4.0], {"qa": 0.9}, head)
+        assert label["contended"] is False, (
+            f"round {rnd}: flag/clear oscillation — family {head['qa']}"
+        )
+        _artifact(tmp_path, rnd, queries={"qa": 0.9})
+    head, _ = bench.load_family(str(tmp_path), 0.1)
+    assert head["qa"] == 0.9  # history has fully converged
+
+
 def test_persistence_requires_consecutive_and_clean_floors(tmp_path):
     """One flagged round (or a floor-dirty one in the window) is NOT
     persistence — the strict r10 tripwire stays in force."""

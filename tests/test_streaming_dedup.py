@@ -295,3 +295,37 @@ def test_fresh_checkpoint_wipes_orphaned_output(spark, tmp_path):
         (r["event_id"], r["payload"]) for r in out.collect()
     ) == want
     assert out.select("batch_id").distinct().count() == 1  # one epoch
+
+
+def test_dup_key_distinct_rows_never_collide(spark, tmp_path):
+    """r12 review finding: the old sentinel-joined concat key let two
+    DISTINCT rows render identically ('click', NULL value, '1.0|x'
+    props vs 'click|<NULL>', 1.0, 'x') — md5 collision, one row
+    silently deduped away. The JSON-struct key makes field boundaries
+    unambiguous; both adversarial pairs must keep distinct keys."""
+    from tmdb_sync_spark.streaming.dedup import _redelivery_feed
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    rows = [
+        # pair 1: the '|' + '<NULL>' forgery from the review
+        (4, "2024-01-01 00:00:00", 7, "click", None, "1.0|x"),
+        (4, "2024-01-01 00:00:00", 7, "click|<NULL>", 1.0, "x"),
+        # pair 2: literal '<NULL>' string vs a real NULL
+        (5, "2024-01-01 00:00:00", 7, "<NULL>", None, "p"),
+        (5, "2024-01-01 00:00:00", 7, None, None, "p"),
+    ]
+    spark.createDataFrame(
+        [(e, __import__("datetime").datetime.fromisoformat(t), u, et, v, p)
+         for e, t, u, et, v, p in rows],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    feed = _redelivery_feed(spark, d)
+    keys = feed.select("event_id", "dup_key").distinct().collect()
+    by_event = {}
+    for r in keys:
+        by_event.setdefault(r["event_id"], set()).add(r["dup_key"])
+    assert len(by_event[4]) == 2, "pair 1 collided — key scheme broken"
+    assert len(by_event[5]) == 2, "pair 2 collided — key scheme broken"

@@ -657,7 +657,11 @@ def dd_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def min_label_components(
-    edges: DataFrame, max_rounds: int = 64, stats: dict | None = None
+    edges: DataFrame,
+    max_rounds: int = 64,
+    stats: dict | None = None,
+    *,
+    edges_materialized: bool = False,
 ) -> DataFrame:
     """Connected components of an undirected edge list ``(u, w)`` →
     ``(v, label)`` where label = min node id in v's component.
@@ -708,10 +712,18 @@ def min_label_components(
     ``edges`` is materialized here (``localCheckpoint``) before the row
     count and the symmetrizing union — callers may pass an arbitrary
     unmaterialized plan without paying extra whole-plan evaluations
-    (one for the count + two for the union's branches).
+    (one for the count + two for the union's branches). Callers that
+    ALREADY hold a checkpointed/persisted edge frame pass
+    ``edges_materialized=True`` to skip the redundant copy — a full
+    edge-list materialization job per call, which both wastes work on
+    repeated invocations over one staged frame and pollutes timing
+    harnesses that deliberately exclude edge generation from their
+    timed window (r12 review finding: the ramp/A-B scripts were
+    re-paying it inside every timed rep).
     """
     spark = edges.sparkSession
-    edges = edges.localCheckpoint()
+    if not edges_materialized:
+        edges = edges.localCheckpoint()
     sym = edges.unionByName(
         edges.select(F.col("w").alias("u"), F.col("u").alias("w"))
     )

@@ -210,14 +210,26 @@ def run_dedup_stream(
 # Determinism notes (each probed before registration):
 # - copies are bit-identical, so WHICH copy survives is invisible and
 #   file→micro-batch assignment order cannot matter;
-# - the dedup key is md5 over EVERY column (ts rendered to µs) — never
-#   the raw payload columns, so two distinct base rows can't collide and
-#   a first-arrival payload race can't exist;
-# - rows with ts < epoch are dropped by the stateful operator in every
-#   micro-batch (the watermark starts at the epoch and a 100-year delay
-#   keeps it there for any plausible corpus), so the oracle's epoch
-#   filter is batching-independent — same contract as the session
-#   window's (test_hostile_events pre-epoch probe).
+# - the dedup key is md5 over a JSON struct rendering (ts appended at
+#   µs) — never a sentinel-joined concat of the raw columns, so two
+#   DISTINCT base rows cannot collide (JSON quoting makes field
+#   boundaries unambiguous; a '|' or literal '<NULL>' inside a string
+#   column can't forge another row's key — r12 review finding) and a
+#   first-arrival payload race can't exist;
+# - the late-row set is batching-independent BY CONSTRUCTION: ``delay``
+#   is computed ≥ the feed's entire post-epoch event-time span (one
+#   bounded max(ts) action + margin), so at every micro-batch
+#   ``watermark = max(epoch, max_ts_seen − delay) = epoch`` — a
+#   post-epoch row can never be late NO MATTER how files fold into
+#   batches, while pre-epoch rows are late in every batch (the initial
+#   watermark is the epoch) — same contract as the session window's
+#   (test_hostile_events pre-epoch probe). A FIXED horizon was wrong
+#   here (r12 review finding, probed live): the hostile corpus plants
+#   ts=2200-01-01, and after that batch a 100-year delay left the
+#   watermark at 2100 — any LATER batch's ordinary rows would silently
+#   late-drop; only the drain's incidental 2-batch shape masked it.
+#   maxFilesPerTrigger=1 now forces 4+ batches so the invariant is
+#   exercised, not assumed.
 
 _DEDUP_COLS = ["event_id", "user_id", "event_type", "value", "props"]
 
@@ -227,13 +239,17 @@ def _redelivery_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tmdb_sync_spark.io import table
 
     base = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # JSON struct rendering, NOT a sentinel-joined concat: field quoting
+    # makes boundaries unambiguous, so distinct rows can never render
+    # the same key (a '|' or literal '<NULL>' inside a string column
+    # forged collisions under the old scheme — r12 review finding). The
+    # timestamp rides OUTSIDE the JSON at explicit µs precision
+    # (to_json renders millis and would alias µs-distinct rows); the
+    # fixed '}'+'@' boundary keeps the concatenation unambiguous.
     key = F.md5(
-        F.concat_ws(
-            "|",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
-                for c in _DEDUP_COLS
-            ],
+        F.concat(
+            F.to_json(F.struct(*[F.col(c) for c in _DEDUP_COLS])),
+            F.lit("@"),
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
         )
     )
@@ -270,6 +286,15 @@ def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = scratch_dir("st_dedup_feed_")
     feed.repartition(4).write.mode("overwrite").parquet(src)
     state_dir = scratch_dir("st_dedup_state_")
+    # delay ≥ the feed's whole post-epoch span pins the watermark at
+    # the epoch through EVERY batch (see the module comment: a fixed
+    # horizon silently late-dropped under a 3+-batch drain once the
+    # hostile far-future plant advanced the watermark). One bounded
+    # 1-row action; +2 days absorbs session-timezone rendering skew.
+    mx = feed.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    delay_days = (
+        2 if mx is None else max(2, int(mx.timestamp() // 86400) + 2)
+    )
     res = run_dedup_stream(
         spark,
         src,
@@ -277,8 +302,8 @@ def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_dir,
         keys=["dup_key"],
         ts_col="ts",
-        delay="36500 days",
-        max_files_per_trigger=2,
+        delay=f"{delay_days} days",
+        max_files_per_trigger=1,
     )
     if res["emitted_rows"] == 0 or not os.path.isdir(res["out_path"]):
         # empty corpus: the sink never writes a batch, so the output dir
