@@ -16,7 +16,7 @@ f1,f32 = b._floor_pair(); print(f"{f32/f1:.2f}")
 EOF
 )
   echo "attempt $attempt probe_ratio=$probe" >&2
-  ok=$(python3 -c "print(1 if float('$probe') < 4.5 else 0)")
+  ok=$(python3 -c "print(1 if float('$probe') < 5.0 else 0)")
   if [ "$ok" = "1" ]; then
     TZ=America/New_York python -u scripts/exp_family_seed.py 2>/dev/null \
       | grep -E "floor|first=|best5" > "$OUT.attempt$attempt"
