@@ -15,11 +15,13 @@ DRIVER_WINDOW = 50
 
 # The local-parity-window log: every query rotated out of the driver
 # window, plus queries registered directly into the local window.
-# r12 rotation (r11 verdict #1): audit_verdicts PROMOTED into the
-# driver window; p10_f3_key_build_parse retired in trade (its F3/P10/O3
-# semantics stay driver-exercised inside st1_st3_ingest_resume's cursor
-# keys). Update THIS LIST (and COVERAGE.md) when rotating — the assert
-# below re-derives the actual set from the registry.
+# r12 (optimization round): the driver window is FROZEN to the exact
+# r11-certified 50-query set — the external driver reads a disappeared
+# declared query as a regression, so no rotation happens during the
+# optimization rounds. audit_verdicts therefore lives in the local
+# parity window (same oracle bar). Update THIS LIST (and COVERAGE.md)
+# when rotating — the assert below re-derives the actual set from the
+# registry.
 # r12 additions (registered directly into the local window, never
 # driver slots): lk_split_leakage (lexical cross-split audit),
 # sp_cap_per_group (skew-safe per-group quota vs the naive one-window
@@ -28,10 +30,10 @@ DRIVER_WINDOW = 50
 # file-source exactly-once + parse + dead-letter + fold + MERGE).
 RETIRED_NAMES = {
     "a9_percentiles",
+    "audit_verdicts",
     "dd_cluster_representatives",
     "dd_ngram_jaccard",
     "lk_split_leakage",
-    "p10_f3_key_build_parse",
     "p12_prefix_filter",
     "s2_discover_years",
     "s3_category_source",

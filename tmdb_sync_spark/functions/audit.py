@@ -333,12 +333,11 @@ def verify_substring_spans(
 
 # ---------------------------------------------------------------------------
 # Oracle-pinned verdict surface (r10 verdict #5): the three-lens verdict
-# frame over a DETERMINISTIC planted eval set. Registered in the DRIVER
-# window since r12 (r11 verdict #1: the flagship beyond-reference
-# surface deserves external certification + a standing bench row;
-# p10_f3_key_build_parse rotated to the local-parity window in trade —
-# its F3/P10/O3 semantics stay exercised by st1_st3_ingest_resume's
-# cursor keys). The Spark side runs the REAL production path — staged persisted
+# frame over a DETERMINISTIC planted eval set. Lives in the LOCAL parity
+# window (the driver's 50-slot window is frozen to the r11-certified
+# set during the optimization rounds); verified at the identical oracle
+# bar in tests/test_oracle_parity.py and timed by bench's added
+# audit_verdicts row. The Spark side runs the REAL production path — staged persisted
 # indexes + contamination_audit — while the DuckDB oracle recomputes all
 # three lens pair rules declaratively from the same parquet tables
 # (bands: dd_minhash_lsh's twin; winnow: wn_substring_overlap's twin;
@@ -358,7 +357,7 @@ from tmdb_sync_spark.functions.similarity import (
 from tmdb_sync_spark.functions.text import WS_SQL, trim_sql
 from tmdb_sync_spark.functions.winnow import WINNOW_K, WINNOW_W
 from tmdb_sync_spark.io import table
-from tmdb_sync_spark.registry import register
+from tmdb_sync_spark.registry import register_retired
 from tmdb_sync_spark.util import (
     file_fingerprint,
     register_reset_hook,
@@ -629,7 +628,14 @@ def _audit_eval_set(
     return ev, ev_emb
 
 
-@register("audit_verdicts", oracle=_AUDIT_VERDICTS_SQL)
+@register_retired(
+    # r12 optimization round: the driver window is frozen to the exact
+    # r11-certified 50-query set (a declared query that disappears reads
+    # as a regression), so this surface stays in the LOCAL parity window
+    # at the identical oracle bar (tests/test_oracle_parity.py).
+    "audit_verdicts",
+    oracle=_AUDIT_VERDICTS_SQL,
+)
 def audit_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-lens contamination verdicts over a deterministic planted
     eval set — the unified audit's verdict frame, oracle-pinned.

@@ -117,12 +117,7 @@ def p9_regex_or_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_name", "p_type")
 
 
-@register_retired(
-    # Rotated to the local-parity window in r12 (r11 verdict #1) to free
-    # a driver slot for audit_verdicts: F3/P10/O3 key build/parse stays
-    # driver-exercised inside st1_st3_ingest_resume's cursor keys, and
-    # this row keeps its oracle at the identical bar in
-    # tests/test_oracle_parity.py.
+@register(
     "p10_f3_key_build_parse",
     oracle="""
     WITH keyed AS (
