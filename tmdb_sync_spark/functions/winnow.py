@@ -67,18 +67,27 @@ HOT_FP_DOC_CAP = 10  # fp in more corpus docs = boilerplate, dropped
 MIN_SHARED_FPS = 3   # pair detection threshold
 
 
-def _kgram_hashes(text: Column, k: int) -> Column:
-    """``h[i] = md5(text[i : i+k])`` for every 1-based position."""
+def _kgram_hash_structs(text: Column, k: int) -> Column:
+    """``struct(fp=md5(text[i : i+k]), pos=i)`` for every 1-based
+    position. ``fp`` is deliberately the FIRST struct field: Spark's
+    struct ordering is lexicographic by field position, so
+    ``array_min`` over a window of these structs is (min hash,
+    leftmost position on ties) in ONE pass — exactly the winnowing
+    tie rule."""
     return F.transform(
         F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)),
-        lambda i: F.md5(text.substr(i, F.lit(k)).cast("binary")),
+        lambda i: F.struct(
+            F.md5(text.substr(i, F.lit(k)).cast("binary")).alias("fp"),
+            i.alias("pos"),
+        ),
     )
 
 
-def _window_minima(hs: Column, w: int) -> Column:
-    """Winnowing selections over a MATERIALIZED hash-array column.
+def _window_minima(hp: Column, w: int) -> Column:
+    """Winnowing selections over a MATERIALIZED ``struct(fp, pos)``
+    array column: one ``array_min`` per window.
 
-    ``hs`` must be an attribute reference (a projected column), never
+    ``hp`` must be an attribute reference (a projected column), never
     the raw ``transform(...)`` expression: array-HOF lambdas evaluate
     interpreted per element, so an embedded k-gram transform here would
     re-hash the WHOLE document once per window × per slice — O(n²·k)
@@ -86,18 +95,19 @@ def _window_minima(hs: Column, w: int) -> Column:
     (re-found empirically: the inlined form timed out at sf0.1 where
     the two-projection form runs in seconds). The enclosing projections
     stay separate because CollapseProject refuses to inline a non-cheap
-    alias referenced more than once."""
-    def pick(j: Column) -> Column:
-        win = F.slice(hs, j, w)
-        mn = F.array_min(win)
-        return F.struct(
-            (j + F.array_position(win, mn) - 1).alias("pos"),
-            mn.alias("fp"),
-        )
+    alias referenced more than once.
 
+    r12 optimization (guide §1.2 "per-task work"): the previous form
+    computed ``array_min(slice)`` + ``array_position(slice, min)`` per
+    window — three O(w) interpreted passes (the min expression appears
+    twice in the struct and HOF evaluation has no common-subexpression
+    reuse). Packing the hash and its position into one struct makes the
+    leftmost-tie argmin a SINGLE ``array_min`` (struct ordering =
+    (fp, pos) lexicographic). Measured at sf0.1: the fingerprint
+    projection 1.14 s → 0.46 s, selections bit-identical."""
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))),
-        pick,
+        F.sequence(F.lit(1), F.greatest(F.size(hp) - F.lit(w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(hp, j, w)),
     )
 
 
@@ -113,6 +123,25 @@ def winnow_fingerprints(
     document. ``pos`` is the 1-based char offset of the selected k-gram.
     Documents shorter than ``k`` (or with NULL text) contribute nothing.
     """
+    return _selections(
+        df, k=k, w=w, id_col=id_col, text_col=text_col
+    ).distinct()
+
+
+def _selections(
+    df: DataFrame,
+    *,
+    k: int,
+    w: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """``(id_col, pos, fp)`` winnowing selections WITHOUT the final
+    distinct — one row per (window, selected position), so the same
+    ``(pos, fp)`` appears once per window that selected it. Consumers
+    that aggregate anyway (``min``/``max`` extents, ``(id, fp)``
+    distincts) read this directly and skip one whole exchange; the
+    public :func:`winnow_fingerprints` is ``_selections().distinct()``."""
     for c in (id_col, text_col):
         if c not in df.columns:
             raise ValueError(f"winnow_fingerprints: no {c!r} column")
@@ -121,7 +150,8 @@ def winnow_fingerprints(
     hashed = (
         df.where(F.length(text_col) >= k)
         .select(
-            F.col(id_col), _kgram_hashes(F.col(text_col), k).alias("_hs")
+            F.col(id_col),
+            _kgram_hash_structs(F.col(text_col), k).alias("_hp"),
         )
     )
     # explode_OUTER dodges InferFiltersFromGenerate re-substituting the
@@ -131,10 +161,9 @@ def winnow_fingerprints(
     return (
         hashed.select(
             id_col,
-            F.explode_outer(_window_minima(F.col("_hs"), w)).alias("_s"),
+            F.explode_outer(_window_minima(F.col("_hp"), w)).alias("_s"),
         )
         .select(id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
-        .distinct()
     )
 
 
@@ -202,21 +231,42 @@ def substring_overlap(
             f"differ (both {query_id_col!r}) — alias one side first, or "
             "the pair aggregation's columns are ambiguous"
         )
-    cf = doc_fingerprints(
-        corpus, k=k, w=w, id_col=corpus_id_col, text_col=text_col
+    from pyspark.sql import Window
+
+    # (doc, fp) extents straight off the raw selections: min/max are
+    # duplicate-insensitive, so the pre-aggregation ``distinct`` the
+    # public winnow_fingerprints pays is pure waste here — one exchange
+    # on (doc, fp) instead of two (r12, guide §2.4).
+    cf = (
+        _selections(
+            corpus, k=k, w=w, id_col=corpus_id_col, text_col=text_col
+        )
+        .groupBy(corpus_id_col, "fp")
+        .agg(F.min("pos").alias("min_pos"), F.max("pos").alias("max_pos"))
     )
-    # df over (doc, fp)-unique rows = count(*) per fp; the HAVING-style
-    # filter keeps the fp list tiny relative to the fingerprint table
-    ok = (
-        cf.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # df over (doc, fp)-unique rows = count per fp, as a count window
+    # over the SAME frame rather than a groupBy + self-join: the
+    # previous shape referenced the fingerprint subtree twice (once
+    # under the df aggregate, once under the join), and Spark evaluated
+    # the whole md5-winnowing pipeline twice per run — measured ~2× the
+    # detection cost at sf0.1 (r12, guide §1.2/§2.4). The window keys on
+    # ``fp`` exactly like the old aggregate; a boilerplate-hot fp lands
+    # one partition either way and carries only narrow (id, extents)
+    # rows.
+    cf = (
+        cf.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
         .where(F.col("_df") <= df_cap)
-        .select("fp")
+        .drop("_df")
     )
-    cf = cf.join(ok, "fp")   # co-partitioned on fp with the agg above
-    qf = winnow_fingerprints(
-        queries, k=k, w=w, id_col=query_id_col, text_col=text_col
-    ).select(query_id_col, "fp").distinct()
+    qf = (
+        _selections(
+            queries, k=k, w=w, id_col=query_id_col, text_col=text_col
+        )
+        .select(query_id_col, "fp")
+        .distinct()
+    )
     return (
         qf.join(cf, "fp")
         .groupBy(query_id_col, corpus_id_col)
