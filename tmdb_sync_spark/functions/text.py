@@ -439,36 +439,19 @@ def repetition_stats(
         F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
     ).withColumn("_toks", tokens_expr(F.col("_t")))
 
-    # map-side piece: the char run, one row per doc
-    per_doc = base.select(
-        id_col,
-        max_char_run_expr(F.col("_t")).alias("max_char_run"),
-    )
-
-    # lines: explode → (id, line) partial counts → per-doc roll-up
-    lines = base.select(
-        id_col,
-        F.explode(
-            F.filter(
-                F.transform(F.split("_t", "\n"), trim_ws),
-                lambda x: x != "",
-            )
-        ).alias("_line"),
-    )
-    line_stats = (
-        lines.groupBy(id_col, "_line")
-        .agg(F.count(F.lit(1)).alias("_c"), F.length("_line").alias("_len"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("_c").alias("_n_lines"),
-            (1 - F.count(F.lit(1)) / F.sum("_c")).alias("dup_line_frac"),
-            (
-                F.sum(F.when(F.col("_c") > 1, F.col("_c") * F.col("_len"))
-                      .otherwise(0))
-                / F.sum(F.col("_c") * F.col("_len"))
-            ).alias("dup_line_char_frac"),
-        )
-    )
+    # r12 fusion (guide §2.3/§2.4): the previous shape ran FOUR
+    # independent subtrees over `base` (char-run projection, line
+    # explode, 2-gram explode, 5-gram explode) — four scans + two
+    # tokenizations, three separate two-level aggregation chains (six
+    # exchanges), and a four-way join on doc_id to stitch the stats
+    # back together. All three unit families now ride ONE tagged
+    # explode → ONE (doc, kind, unit) count → ONE per-doc conditional
+    # roll-up: a single scan, a single tokenization, two exchanges,
+    # zero joins. The per-doc char run travels as a singleton 'D' unit
+    # (which also guarantees every input doc keeps an output row —
+    # the job the per_doc join anchor used to do). Values and types are
+    # bit-identical: each kind's aggregate below is the same expression
+    # the dedicated chain computed, gated on its kind tag.
 
     def _ngrams(n: int) -> Column:
         # positions 0..ntok-n; the join separator is "\n", which no
@@ -484,55 +467,94 @@ def repetition_stats(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    def _gram_stats(n: int, out: str, kind: str) -> DataFrame:
-        grams = base.select(
-            id_col, F.explode(_ngrams(n)).alias("_g")
+    def _unit(kind: str, u: Column, v: Column) -> Column:
+        return F.struct(
+            F.lit(kind).alias("k"), u.alias("u"), v.cast("int").alias("v")
         )
-        counted = grams.groupBy(id_col, "_g").agg(
-            F.count(F.lit(1)).alias("_c")
-        )
-        if kind == "top":
-            # fraction of token positions covered by the top n-gram:
-            # max count × n over the doc's token count
-            agg = counted.groupBy(id_col).agg(
-                F.max("_c").alias("_m"), F.sum("_c").alias("_tot")
+
+    _no_v = F.lit(None)
+    units = base.select(
+        id_col,
+        F.explode(
+            F.concat(
+                F.array(
+                    _unit("D", F.lit(""), max_char_run_expr(F.col("_t")))
+                ),
+                F.transform(
+                    F.filter(
+                        F.transform(F.split("_t", "\n"), trim_ws),
+                        lambda x: x != "",
+                    ),
+                    lambda x: _unit("L", x, _no_v),
+                ),
+                F.transform(
+                    _ngrams(top_n), lambda g: _unit("2", g, _no_v)
+                ),
+                F.transform(
+                    _ngrams(dup_n), lambda g: _unit("5", g, _no_v)
+                ),
             )
-            return agg.select(
-                id_col,
-                # capped at 1: overlapping occurrences ("a a a a"'s
-                # 2-gram "a a" appears 3× in 4 tokens) would otherwise
-                # push the covered-positions estimate past the doc
+        ).alias("_u"),
+    ).select(
+        id_col,
+        F.col("_u.k").alias("_k"),
+        F.col("_u.u").alias("_g"),
+        F.col("_u.v").alias("_v"),
+    )
+
+    counted = units.groupBy(id_col, "_k", "_g").agg(
+        F.count(F.lit(1)).alias("_c"), F.first("_v").alias("_v")
+    )
+
+    def _if(kind: str, col: Column) -> Column:
+        return F.when(F.col("_k") == kind, col)
+
+    _c, _g = F.col("_c"), F.col("_g")
+    stats = counted.groupBy(id_col).agg(
+        F.max(_if("D", F.col("_v"))).alias("max_char_run"),
+        F.sum(_if("L", _c)).alias("_n_lines"),
+        F.count(_if("L", F.lit(1))).alias("_u_lines"),
+        F.sum(
+            _if("L", F.when(_c > 1, _c * F.length(_g)).otherwise(0))
+        ).alias("_dup_chars"),
+        F.sum(_if("L", _c * F.length(_g))).alias("_line_chars"),
+        F.max(_if("2", _c)).alias("_m2"),
+        F.sum(_if("2", _c)).alias("_tot2"),
+        F.sum(
+            _if("5", F.when(_c > 1, _c - 1).otherwise(0))
+        ).alias("_d5"),
+        F.sum(_if("5", _c)).alias("_tot5"),
+    )
+
+    return stats.select(
+        id_col,
+        F.coalesce("_n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        # count() never returns NULL, so the line fractions are gated on
+        # the line SUM (NULL iff the doc had no non-empty line — the
+        # rows the old left join supplied as NULL)
+        F.coalesce(
+            1 - F.col("_u_lines") / F.col("_n_lines"), F.lit(0.0)
+        ).alias("dup_line_frac"),
+        F.coalesce(
+            F.col("_dup_chars") / F.col("_line_chars"), F.lit(0.0)
+        ).alias("dup_line_char_frac"),
+        # least() skips NULL operands, so the no-2-gram doc must NULL
+        # out BEFORE the cap, not after
+        F.coalesce(
+            F.when(
+                F.col("_m2").isNotNull(),
                 F.least(
-                    F.col("_m") * n / (F.col("_tot") + n - 1), F.lit(1.0)
-                ).alias(out),
-            )
-        # dup: fraction of n-gram occurrences that are repeats
-        agg = counted.groupBy(id_col).agg(
-            F.sum(F.when(F.col("_c") > 1, F.col("_c") - 1).otherwise(0))
-             .alias("_d"),
-            F.sum("_c").alias("_tot"),
-        )
-        return agg.select(
-            id_col, (F.col("_d") / F.col("_tot")).alias(out)
-        )
-
-    top = _gram_stats(top_n, "top_ngram_frac", "top")
-    dup = _gram_stats(dup_n, "dup_ngram_frac", "dup")
-
-    return (
-        per_doc.join(line_stats, id_col, "left")
-        .join(top, id_col, "left")
-        .join(dup, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("_n_lines", F.lit(0)).cast("long").alias("n_lines"),
-            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
-            F.coalesce("dup_line_char_frac", F.lit(0.0))
-             .alias("dup_line_char_frac"),
-            F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
-            F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
-            "max_char_run",
-        )
+                    F.col("_m2") * top_n
+                    / (F.col("_tot2") + top_n - 1),
+                    F.lit(1.0),
+                ),
+            ),
+            F.lit(0.0),
+        ).alias("top_ngram_frac"),
+        F.coalesce(
+            F.col("_d5") / F.col("_tot5"), F.lit(0.0)
+        ).alias("dup_ngram_frac"),
+        "max_char_run",
     )
 
 
