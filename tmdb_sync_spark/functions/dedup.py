@@ -19,7 +19,6 @@ divisions.
 
 from __future__ import annotations
 
-import threading
 from collections.abc import Sequence
 from functools import reduce
 
@@ -34,10 +33,6 @@ from tmdb_sync_spark.io import parallel_table, table
 from tmdb_sync_spark.registry import register, register_retired
 
 N_HASHES = 8  # minhash signature length
-
-# serializes the components loop's session-conf set/restore window
-# (see min_label_components)
-_COMPONENTS_CONF_LOCK = threading.Lock()
 N_BANDS = 4   # bands of 2 hashes -> candidate recall at jaccard ~0.5+
 
 def shingle_sql(src: str = "documents") -> str:
@@ -745,29 +740,45 @@ def min_label_components(
             stats["shuffle_partitions"] = prev_parts
         return _min_label_fixpoint(sym, max_rounds, stats)
     loop_parts = max(1, min(session_parts, -(-2 * n_edges // 50_000)))
+    # Tiny graphs (loop_parts == 1): run the fixpoint entirely in ONE
+    # partition with the frames coalesce(1)-wrapped. CoalesceExec(1)
+    # reports SinglePartition, which satisfies every clustered
+    # distribution, so EnsureRequirements plans ZERO exchanges inside
+    # the round — each round is one straight-line task instead of ~6
+    # single-task shuffle stages whose per-stage scheduling dominates
+    # at this size (measured: AQE on/off was a wash, the stages were).
+    # Labels bit-identical (exceptAll both ways = 0); at scale
+    # loop_parts == the session count and this path never engages.
+    # Measured at sf0.1 (1,969 edges, 10 rounds): loop 3.9 s → 2.9 s.
+    single_partition = loop_parts == 1
     if stats is not None:
         stats["shuffle_partitions"] = loop_parts
-    # The conf is SESSION-scoped, so the set/restore window is visible
-    # to anything else planning on this session concurrently; the lock
-    # serializes concurrent fixpoint loops (two racing restores could
-    # pin the wrong value permanently). A batch query planned by
-    # another driver thread during the window still sees loop_parts —
-    # acceptable for the engine's serial execution model (bench, the
-    # driver, and the test session all run queries serially); callers
-    # running this concurrently with unrelated large shuffles on the
-    # SAME session should expect those to plan at loop_parts.
-    with _COMPONENTS_CONF_LOCK:
-        spark.conf.set(conf_key, str(loop_parts))
-        try:
-            return _min_label_fixpoint(sym, max_rounds, stats)
-        finally:
-            spark.conf.set(conf_key, prev_parts)
+    # Session-conf window (the engine-wide shared one — see
+    # util.shuffle_partitions_window for the visibility caveat and the
+    # scoped-alternatives A/B that keeps this mechanism).
+    from tmdb_sync_spark.util import shuffle_partitions_window
+
+    with shuffle_partitions_window(spark, loop_parts):
+        return _min_label_fixpoint(
+            sym, max_rounds, stats, single_partition=single_partition
+        )
 
 
 def _min_label_fixpoint(
-    sym: DataFrame, max_rounds: int, stats: dict | None
+    sym: DataFrame,
+    max_rounds: int,
+    stats: dict | None,
+    *,
+    single_partition: bool = False,
 ) -> DataFrame:
-    labels = (
+    def _sp(df: DataFrame) -> DataFrame:
+        # SinglePartition wrapper for the tiny-graph path (see
+        # min_label_components): coalesce(1) satisfies every required
+        # distribution, so the round plans exchange-free
+        return df.coalesce(1) if single_partition else df
+
+    sym = _sp(sym)
+    labels = _sp(
         sym.select(F.col("u").alias("v")).distinct()
         .withColumn("label", F.col("v"))
         .localCheckpoint()
@@ -827,7 +838,7 @@ def _min_label_fixpoint(
         # fixpoint test = a filter over this round's checkpoint blocks;
         # labels only ever DECREASE, so label != _old iff it changed
         changed = jumped.where(F.col("label") != F.col("_old")).count()
-        labels = jumped.drop("_old")
+        labels = _sp(jumped.drop("_old"))
     if stats is not None:
         stats["rounds"] = rounds   # observability for the scale ramp
     return labels

@@ -404,6 +404,14 @@ VERIFY_MIN_LEN = WINNOW_K + WINNOW_W - 1
 # grams fragment or vanish (documented precision trade; normal prose has
 # within-doc gram multiplicity ~1), everything else is exact.
 VERIFY_GRAM_CAP = 64
+# Shuffle sizing for the verify stage (r12, guide §2.2): every exchange
+# in the gram/island pipeline is bounded by the DETECTED pair set, so
+# its partition count is keyed to the pair count — ~16 pairs of gram
+# rows per task (a pair contributes ~2×doc-length narrow rows) — capped
+# at the session setting so a huge detection keeps the session shape
+# and only small pair sets shrink. Measured at sf0.1 (27 pairs): the
+# whole detect+verify query ~4.5 s → ~3.0 s warm, spans identical.
+VERIFY_PAIRS_PER_TASK = 16
 
 
 def verify_overlap_spans(
@@ -447,6 +455,12 @@ def verify_overlap_spans(
     overlap volume, not the corpus. The pair frame is pinned once
     (eager localCheckpoint) — it gates three joins and is typically the
     output of a detection pass nobody wants to re-run three times.
+
+    The verify pipeline EXECUTES inside this call (r12): its exchanges
+    are planned in a pair-count-keyed shuffle-partitions window
+    (``VERIFY_PAIRS_PER_TASK``) and the bounded span set is returned as
+    an eagerly localCheckpoint'ed frame — callers compose over
+    materialized spans, never re-run the alignment.
     """
     if query_id_col == corpus_id_col:
         raise ValueError(
@@ -479,7 +493,8 @@ def verify_overlap_spans(
         BROADCAST_PROBE_MAX_ROWS,
     )
 
-    may_broadcast = p.count() <= BROADCAST_PROBE_MAX_ROWS
+    n_pairs = p.count()
+    may_broadcast = n_pairs <= BROADCAST_PROBE_MAX_ROWS
 
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if may_broadcast else df
@@ -525,7 +540,7 @@ def verify_overlap_spans(
     # fixed diagonal determines cpos from qpos — so row_number is
     # deterministic and consecutive positions share (qpos - rn)
     runs = m.withColumn("_grp", F.col("qpos") - F.row_number().over(isl))
-    return (
+    spans = (
         runs.groupBy(query_id_col, corpus_id_col, "diag", "_grp")
         .agg(
             F.min("qpos").cast("long").alias("q_start"),
@@ -538,6 +553,26 @@ def verify_overlap_spans(
             query_id_col, corpus_id_col, "q_start", "c_start", "match_len"
         )
     )
+    # Execute the verify pipeline NOW, inside a pair-count-keyed
+    # shuffle-partitions window (VERIFY_PAIRS_PER_TASK): every exchange
+    # above is bounded by the pair set, and planning them at the
+    # session count schedules ~6 exchanges of near-empty tasks for a
+    # typical audit's pair sliver. The span set is bounded by the pair
+    # set by construction, so the eager localCheckpoint holds only
+    # audit-pointer-sized rows; the detection feeding ``pairs`` already
+    # ran at the session shape (its cost is corpus-, not pair-bounded).
+    spark = spans.sparkSession
+    try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spans   # exotic conf — keep the lazy plan at session shape
+    from tmdb_sync_spark.util import shuffle_partitions_window
+
+    verify_parts = max(
+        1, min(session_parts, -(-n_pairs // VERIFY_PAIRS_PER_TASK))
+    )
+    with shuffle_partitions_window(spark, verify_parts):
+        return spans.localCheckpoint(eager=True)
 
 
 @register(

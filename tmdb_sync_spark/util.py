@@ -291,6 +291,63 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
+# ONE lock for every session-conf shuffle-partitions window in the
+# engine (components fixpoint loop, winnow verify stage): two windows
+# guarded by DIFFERENT locks could interleave their set/restore pairs
+# and pin the wrong value permanently. The conf is session-scoped, so a
+# window is visible to anything else planning on the session — see the
+# contextmanager docstring.
+_SHUFFLE_CONF_LOCK = threading.Lock()
+
+
+class shuffle_partitions_window:
+    """``with shuffle_partitions_window(spark, n):`` — set
+    ``spark.sql.shuffle.partitions`` to ``n`` for the block, restore on
+    exit, serialized against every other window in the engine.
+
+    The mechanism of record for sizing a bounded sub-computation's
+    exchanges to its OWN data volume (the components A/B in COVERAGE.md
+    r12 measured the two scoped alternatives — AQE-policy-only and
+    plan-local repartition — ~2× slower: coalescing happens after each
+    exchange is already planned and scheduled at the session count, and
+    a repartition pins only its own exchange). The conf is
+    SESSION-scoped: any unrelated query planned on the same session
+    during the window plans its shuffles at ``n`` — acceptable under
+    this engine's serial execution model; callers interleaving large
+    independent shuffles on the same session should plan them outside.
+
+    If the session's current value is not an integer (exotic conf), the
+    window is a no-op — the caller's plan simply keeps the session
+    shape.
+    """
+
+    def __init__(self, spark, n: int) -> None:
+        self._spark = spark
+        self._n = n
+        self._prev: str | None = None
+
+    def __enter__(self) -> "shuffle_partitions_window":
+        conf_key = "spark.sql.shuffle.partitions"
+        prev = self._spark.conf.get(conf_key)
+        try:
+            int(prev)
+        except (TypeError, ValueError):
+            return self   # exotic conf value — leave it untouched
+        _SHUFFLE_CONF_LOCK.acquire()
+        self._prev = prev
+        self._spark.conf.set(conf_key, str(self._n))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._prev is not None:
+            try:
+                self._spark.conf.set(
+                    "spark.sql.shuffle.partitions", self._prev
+                )
+            finally:
+                _SHUFFLE_CONF_LOCK.release()
+
+
 def file_fingerprint(path: str) -> tuple:
     """Cheap content-version stamp for a parquet file (or dir of parts):
     fold into ``materialize_once`` cache keys for any input whose CONTENT
