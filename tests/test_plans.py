@@ -166,11 +166,24 @@ def test_ivf_scorer_matches_inline_literal_reference(spark, sf_dir):
     assert got == sorted(map(tuple, reference.collect()))
 
 
-def test_dedup_aggregates_partially(spark, sf_dir):
-    # w2_w3's max_by/min_by must combine map-side before the exchange
+def test_dedup_aggregates_shuffle_first(spark, sf_dir):
+    # w2_w3 (r12): struct max_by/min_by plans as SortAggregate, and on
+    # the near-unique (l_orderkey, l_partkey) key partial aggregation
+    # reduces nothing — it only added a serial map-side sort. The shape
+    # to pin: ONE exchange, hash-partitioned on the exact group keys,
+    # with NO aggregate (hence no map-side sort) below it.
     plan = plan_of(spark, sf_dir, "w2_w3_dedup_variants")
-    head = plan.split("Exchange")[-1]   # below the exchange = partial side
-    assert "partial_max_by" in head or "partial" in head
+    tree = plan.split("\n\n")[0]          # the indented operator tree
+    ex_lines = [l for l in tree.splitlines() if "Exchange" in l]
+    assert len(ex_lines) == 1
+    # the exchange hash-partitions on the exact group keys
+    ex_arg = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert ex_arg and "l_orderkey" in ex_arg[0] and "l_partkey" in ex_arg[0]
+    # map side below the exchange is the bare scan: no partial
+    # SortAggregate and no Sort before the shuffle
+    below_ex = tree[tree.index("Exchange"):]
+    assert "SortAggregate" not in below_ex
+    assert "Sort " not in below_ex
 
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin:

@@ -10,6 +10,7 @@ pruning freedom; nothing is cached here (operators decide).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -155,7 +156,32 @@ def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+# session -> (sf_dir, per-table content fingerprints) of the CURRENT
+# registration. Registration is idempotent METADATA (temp views over
+# fixed paths), not computed results: re-running it per query
+# construction re-read ten parquet footers and re-analyzed ten reads
+# for nothing (~0.7 s per q1_sql construction at sf0.1 — r12, guide
+# §1.2). The fingerprints re-checked on every call keep the memo honest
+# against the driver regenerating /root/testdata in place: any table's
+# (mtime, size) change re-registers the whole set. ONE entry per
+# session — the view names are shared, so a different sf_dir always
+# re-registers (and a later switch back re-registers again). Weak keys:
+# a dropped SparkSession must not pin its catalog state alive.
+_VIEWS_REGISTERED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all tables as temp views (for spark.sql-style operators)."""
+    """Register all tables as temp views (for spark.sql-style operators).
+
+    Idempotent per (session, sf_dir, table-content): a repeated call
+    with unchanged table files is a ten-``os.stat`` no-op."""
+    from tmdb_sync_spark.util import file_fingerprint
+
+    fps = tuple(
+        file_fingerprint(f"{sf_dir}/{t}.parquet") for t in TABLES
+    )
+    if _VIEWS_REGISTERED.get(spark) == (sf_dir, fps):
+        return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_REGISTERED[spark] = (sf_dir, fps)
