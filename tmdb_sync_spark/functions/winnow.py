@@ -55,6 +55,8 @@ empty, so an unguarded short text would fabricate a junk fingerprint
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -65,6 +67,77 @@ WINNOW_K = 12        # k-gram width (chars)
 WINNOW_W = 6         # hashes per winnowing window; density ≈ 2/(W+1)
 HOT_FP_DOC_CAP = 10  # fp in more corpus docs = boilerplate, dropped
 MIN_SHARED_FPS = 3   # pair detection threshold
+
+# Shuffle sizing for the DETECTION pipeline (r12, guide §2.2 — the same
+# data-keyed pattern as the verify stage's VERIFY_PAIRS_PER_TASK and the
+# components loop's 50k-edges-per-task): every detection exchange
+# (extents aggregate, df-cap window, pair aggregate, final sort) carries
+# rows bounded by the corpus's WINNOWED FINGERPRINT volume — estimable
+# as text_bytes × 2/(W+1) straight from the parquet FOOTER (an O(1)
+# metadata read at any scale, cached per content stamp). Partition
+# count = est_fp_rows / this constant, CAPPED at the session setting: a
+# 100 TB corpus estimate exceeds any session count, so the plan shape at
+# scale is untouched — only small corpora stop scheduling near-empty
+# 32-task stages. Measured at sf0.1 (~430k est fp rows → 9 parts),
+# warm interleaved A/B: wn_substring_overlap 1.52 → 1.22 s,
+# wn_verify_spans 3.11 → 2.93 s (every interleaved pair won).
+DETECT_FP_ROWS_PER_TASK = 50_000
+
+# (path, mtime_ns, size) -> text-column uncompressed bytes (footer)
+_TEXT_BYTES_CACHE: dict[tuple, int | None] = {}
+
+
+def _text_bytes_from_footer(path: str) -> int | None:
+    """Uncompressed byte size of the ``text`` column from parquet footer
+    metadata — no data read. ``None`` when the footer (or column) is
+    unavailable; callers then keep the session shuffle shape."""
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(
+            e.path for e in os.scandir(path) if e.name.endswith(".parquet")
+        )
+        if not files:
+            return None
+    try:
+        st = os.stat(files[0])
+        key = (files[0], len(files), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+    if key in _TEXT_BYTES_CACHE:
+        return _TEXT_BYTES_CACHE[key]
+    total = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == "text":
+                        total += c.total_uncompressed_size
+    except Exception:
+        total = None    # odd footer → session shape, not an error
+    _TEXT_BYTES_CACHE[key] = total
+    return total
+
+
+def _detection_parts(spark: SparkSession, sf_dir: str) -> int | None:
+    """Exchange count for a detection over ``sf_dir``'s documents table,
+    or ``None`` (keep the session shape) when the session conf is exotic
+    or the footer is unreadable."""
+    try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return None
+    text_bytes = _text_bytes_from_footer(f"{sf_dir}/documents.parquet")
+    if text_bytes is None:
+        return None
+    est_fp_rows = text_bytes * 2 // (WINNOW_W + 1)
+    return max(
+        1, min(session_parts, -(-est_fp_rows // DETECT_FP_ROWS_PER_TASK))
+    )
 
 
 def _kgram_hash_structs(text: Column, k: int) -> Column:
@@ -376,7 +449,11 @@ def wn_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: two fingerprint projections (Catalyst HOFs, no UDF) → per-doc
     (fp, extent) aggregate → df-cap semi-join (reuses the fp
-    partitioning) → broadcast-joined query side → pair aggregate.
+    partitioning) → broadcast-joined query side → pair aggregate — the
+    whole detection executed inside a corpus-keyed shuffle-partitions
+    window (``DETECT_FP_ROWS_PER_TASK``; capped at the session count, so
+    only small corpora shrink) with the bounded pair set returned
+    eagerly, exactly the verify stage's execution shape.
     """
     docs = parallel_table(spark, sf_dir, "documents")
     queries = (
@@ -386,7 +463,14 @@ def wn_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 8, 150).alias("text"),
         )
     )
-    return substring_overlap(queries, docs).orderBy("query_id", "corpus_id")
+    pairs = substring_overlap(queries, docs).orderBy("query_id", "corpus_id")
+    parts = _detection_parts(spark, sf_dir)
+    if parts is None:
+        return pairs
+    from tmdb_sync_spark.util import shuffle_partitions_window
+
+    with shuffle_partitions_window(spark, parts):
+        return pairs.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -671,6 +755,18 @@ def wn_verify_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = substring_overlap(queries, docs)
+    # DETECTION executes here, inside the corpus-keyed window (the same
+    # sizing as wn_substring_overlap); verify_overlap_spans then opens
+    # its own pair-count-keyed window over the materialized pair set.
+    # Pre-materializing outside verify keeps the two windows strictly
+    # sequential — util.shuffle_partitions_window's lock is
+    # non-reentrant, so they must never nest.
+    parts = _detection_parts(spark, sf_dir)
+    if parts is not None:
+        from tmdb_sync_spark.util import shuffle_partitions_window
+
+        with shuffle_partitions_window(spark, parts):
+            pairs = pairs.localCheckpoint(eager=True)
     corpus = docs.select(F.col("doc_id").alias("corpus_id"), "text")
     return verify_overlap_spans(queries, corpus, pairs).orderBy(
         "query_id", "corpus_id", "q_start", "c_start"
