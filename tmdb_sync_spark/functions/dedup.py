@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tmdb_sync_spark.functions.similarity import _VALID_SQL
@@ -833,12 +833,30 @@ def _min_label_fixpoint(
                     F.col("a.label"), F.coalesce("b.jl", "a.label")
                 ).alias("label"),
             )
+        )
+        # fixpoint test rides the checkpoint job itself as a
+        # CollectMetrics side effect (r12): the previous shape ran a
+        # second plan+job per round (a count over the checkpoint
+        # blocks) — at tiny-graph sizes each round's cost is driver
+        # planning + round latency, so one plan/job per round instead
+        # of two measured 2.51 → 2.25 s on the sf0.1 loop, labels
+        # bit-identical. Labels only ever DECREASE, so
+        # label != _old iff it changed; the sum is NULL on an empty
+        # label frame — coalesce keeps the loop's exit condition.
+        obs = Observation()
+        jumped = (
+            jumped.observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("label") != F.col("_old")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
+            )
+            .drop("_old")
             .localCheckpoint()
         )
-        # fixpoint test = a filter over this round's checkpoint blocks;
-        # labels only ever DECREASE, so label != _old iff it changed
-        changed = jumped.where(F.col("label") != F.col("_old")).count()
-        labels = _sp(jumped.drop("_old"))
+        changed = obs.get["changed"]
+        labels = _sp(jumped)
     if stats is not None:
         stats["rounds"] = rounds   # observability for the scale ramp
     return labels
