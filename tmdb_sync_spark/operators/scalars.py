@@ -113,9 +113,15 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment = F.coalesce(
         F.nullif(F.col("l_linestatus"), F.lit("O")), F.lit("OTHER")
     ).alias("line_segment")
-    ship_year = F.expr(
-        "try_cast(substring(date_format(l_shipdate, 'yyyy-MM-dd'), 1, 4) AS INT)"
-    )
+    # year(), not try_cast(substring(date_format(...))) (r12, guide
+    # §1.2): the oracle spells the year extraction as string prefix
+    # parsing, but over a DATE column the two are value-identical for
+    # every representable Spark date (years 0001–9999 format to exactly
+    # 4 digits; NULL → NULL) — and the format→substring→parse chain
+    # cost ~0.4 s of the query's 1.4 s at sf0.1 (A/B: 1.46 → 1.02 s
+    # warm, results bit-identical; the oracle side is unchanged and
+    # still pins the parsing semantics).
+    ship_year = F.year("l_shipdate").cast("int")
     lo = F.least(F.col("l_discount"), F.col("l_tax"))
     hi = F.greatest(F.col("l_discount"), F.col("l_tax"))
     return (
