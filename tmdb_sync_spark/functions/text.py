@@ -36,6 +36,14 @@ WS_CHARS = r" \t\n\r\f\x0B"
 WS = rf"[{WS_CHARS}]"
 WS_SQL = WS_CHARS    # alias, not a copy: the classes must never drift
 
+# The LITERAL characters of the quality heuristic's keep alphabet
+# (A-Za-z0-9 + the WS class) for `translate`-based punctuation
+# counting — decoded FROM WS_CHARS so the two spellings cannot drift.
+_PUNCT_KEEP = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    + WS_CHARS.encode().decode("unicode_escape")
+)
+
 BPE_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
 
 _STOP_SQL = "['the','a','and','of','to','in','is']"
@@ -98,9 +106,14 @@ def quality_score_expr(
     n_tokens = F.size(t)
     if n_stop is None:
         n_stop = stopword_count_expr(t)
-    n_punct = F.length(text) - F.length(
-        F.regexp_replace(text, rf"[^A-Za-z0-9{WS_CHARS}]", "")
-    )
+    # translate, not regexp_replace (r12, guide §1.2): deleting the
+    # KEEP alphabet and measuring what remains counts exactly the
+    # codepoints the old negated-class regex deleted — same n_punct for
+    # every input — at a table lookup per char instead of a regex scan.
+    # Interleaved A/B at sf0.1 (quality projection over documents):
+    # 0.31 → 0.22 s warm, outputs bit-identical; the DuckDB twin
+    # (QUALITY_SQL) keeps the regex form as the cross-engine pin.
+    n_punct = F.length(F.translate(text, _PUNCT_KEEP, ""))
     stop_ratio = n_stop / n_tokens
     return (
         F.when(n_tokens >= 10, 0.5).otherwise(0.0)
