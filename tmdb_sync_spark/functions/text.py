@@ -217,10 +217,13 @@ def tx_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
     ).cast("long")
     n_stop = stopword_count_expr(t)
-    n_punct = (
-        F.length("text")
-        - F.length(F.regexp_replace("text", rf"[^A-Za-z0-9{WS_CHARS}]", ""))
-    )
+    # same translate form quality_score_expr uses for its punct term
+    # (value-identical to the negated-class regex count — see the note
+    # there); identical trees also let codegen CSE share ONE translate
+    # between this column and the quality score, where the old regex
+    # form paid a separate full-text scan. The oracle keeps the regex
+    # spelling as the cross-engine pin.
+    n_punct = F.length(F.translate(F.col("text"), _PUNCT_KEEP, ""))
     n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
     stop_ratio = n_stop / n_tokens
     # pass the already-computed n_stop: the lambda-bearing filter is
