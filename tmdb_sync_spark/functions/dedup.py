@@ -657,9 +657,28 @@ def min_label_components(
     stats: dict | None = None,
     *,
     edges_materialized: bool = False,
+    local_finish: bool = True,
 ) -> DataFrame:
     """Connected components of an undirected edge list ``(u, w)`` →
     ``(v, label)`` where label = min node id in v's component.
+
+    Tiny graphs take a LOCAL path (r12, guide §1.2/§4.2): when the
+    edge-count keying below collapses the loop to ONE partition
+    (≤ ~25k edges) and no edge endpoint is NULL, the whole graph is the
+    working set of a single task anyway — so instead of ~log2(diameter)
+    driver-scheduled rounds (each a plan + job at pure scheduling cost
+    at this size) the labels come from ONE ``mapInPandas`` task running
+    union-find with union-by-min + path compression (root = component
+    minimum by construction, so labels are bit-identical to the
+    fixpoint's). This is the standard "finish small graphs locally"
+    step of distributed CC algorithms; at scale ``loop_parts`` equals
+    the session count and the distributed loop below runs unchanged.
+    ``local_finish=False`` forces the loop (tests/ramps pin the
+    distributed path's behavior with it). Edges with a NULL endpoint
+    (never produced by the near-dup candidate generators, but the loop
+    tolerates them as non-edges) are detected in the same one-row agg
+    that counts edges and route to the loop, whose NULL semantics stay
+    the contract.
 
     Iterates to FIXPOINT — never exits silently on a round cap: a
     component whose diameter exceeds the cap would yield labels that
@@ -728,7 +747,20 @@ def min_label_components(
     # parallelism on mid-size graphs (500k rows/task was measured
     # SLOWER at 593k edges: 3 partitions left 29 cores idle, 7.3 s vs
     # 4.7 s at 32). Never raises the session's configured count.
-    n_edges = edges.count()
+    # NULL endpoints ride the same one-job agg: the local path below
+    # must not see them (loop semantics: a NULL-endpoint edge is a
+    # non-edge and NULL is an isolated node — dict/NaN round-trips
+    # can't replicate that faithfully in pandas).
+    cnt_row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                (F.col("u").isNull() | F.col("w").isNull()).cast("long")
+            ),
+            F.lit(0),
+        ).alias("nulls"),
+    ).collect()[0]
+    n_edges, null_edges = int(cnt_row["n"]), int(cnt_row["nulls"])
     conf_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(conf_key)
     try:
@@ -751,6 +783,17 @@ def min_label_components(
     # loop_parts == the session count and this path never engages.
     # Measured at sf0.1 (1,969 edges, 10 rounds): loop 3.9 s → 2.9 s.
     single_partition = loop_parts == 1
+    if local_finish and single_partition and null_edges == 0:
+        # local finish (see docstring): one task, union-find, labels
+        # bit-identical to the fixpoint's. sym's u carries the
+        # union-promoted id type, so mixed-width callers round-trip.
+        if stats is not None:
+            stats["shuffle_partitions"] = loop_parts
+            stats["rounds"] = 0
+            stats["local_finish"] = True
+        return _local_union_find(
+            edges, sym.schema["u"].dataType
+        ).localCheckpoint()
     if stats is not None:
         stats["shuffle_partitions"] = loop_parts
     # Session-conf window (the engine-wide shared one — see
@@ -860,3 +903,53 @@ def _min_label_fixpoint(
     if stats is not None:
         stats["rounds"] = rounds   # observability for the scale ramp
     return labels
+
+
+def _local_union_find(edges: DataFrame, id_type) -> DataFrame:
+    """Exact components of a one-task-sized edge list: ``coalesce(1)``
+    + union-find in a single ``mapInPandas`` batch loop. Union-by-min
+    attaches the larger root under the smaller, so every root IS its
+    component's minimum id (each member starts as its own root) —
+    identical labels to the distributed fixpoint, no second min pass.
+    Arrow-batched (sanctioned boundary, guide §4.2): the Python work is
+    one O(E·α) pass over ≤ ~25k edges per the caller's threshold, a
+    few ms against the ~10 plan+job round trips it replaces. Callers
+    guarantee NULL-free endpoints (min_label_components routes NULLs
+    to the loop)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("v", id_type), StructField("label", id_type)]
+    )
+
+    def uf(batches):  # pragma: no cover — executor-side
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for b in batches:
+            for u_, w_ in zip(b["u"].tolist(), b["w"].tolist()):
+                if u_ not in parent:
+                    parent[u_] = u_
+                if w_ not in parent:
+                    parent[w_] = w_
+                ru, rw = find(u_), find(w_)
+                if ru != rw:
+                    if rw < ru:
+                        ru, rw = rw, ru
+                    parent[rw] = ru   # larger root under smaller
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame(
+                {"v": nodes, "label": [find(x) for x in nodes]}
+            )
+
+    return edges.select("u", "w").coalesce(1).mapInPandas(uf, schema)
