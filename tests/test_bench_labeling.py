@@ -281,3 +281,23 @@ def test_contract_line_untouched_when_it_fits():
     line = bench.contract_line(small)
     assert len(line) <= bench.LINE_BUDGET
     assert json.loads(line) == small
+
+
+def test_contract_line_truncates_outliers_before_folding_sections():
+    """The realistic r12 overflow: the full contract sits just under
+    budget, so a contended driver run adding a handful of outlier
+    NAMES must degrade by truncating the outlier lists — NOT by
+    folding queries_extended into the detail file, which would cost
+    the next round its extended family baseline."""
+    import json
+
+    # sized so the overflow is attributable to the outlier names alone
+    # (truncating them brings the line back under budget; bigger
+    # payloads legitimately fall through to the section folds, covered
+    # by the worst-case test above)
+    c = _fat_contract(n_head=13, n_ext=13, n_outliers=8)
+    assert len(json.dumps(c, separators=(",", ":"))) > bench.LINE_BUDGET
+    parsed = json.loads(bench.contract_line(c))
+    assert "queries" in parsed and "queries_extended" in parsed
+    assert len(parsed["family_outliers"]) == 4          # 3 + "+N more"
+    assert parsed["family_outliers"][3] == "+5 more"
