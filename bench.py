@@ -726,10 +726,20 @@ def contract_line(contract: dict) -> str:
     line = json.dumps(contract, separators=(",", ":"))
     if len(line) > LINE_BUDGET:
         for key in ("family_outliers", "extended_family_outliers"):
-            outliers = contract.get(key) or []
-            contract[key] = outliers[:3] + (
-                [f"+{len(outliers) - 3} more"] if len(outliers) > 3 else []
-            )
+            # only rewrite a list the contract actually carries (ADVICE
+            # r12: the unconditional assignment injected empty outlier
+            # lists into contracts that never had the key — a shape a
+            # consumer could misread as "measured, zero outliers"), and
+            # only when the truncation SHRINKS the encoding (4 short
+            # names can be shorter than 3 names + the sentinel)
+            if key not in contract:
+                continue
+            outliers = contract[key] or []
+            if len(outliers) <= 3:
+                continue
+            truncated = outliers[:3] + [f"+{len(outliers) - 3} more"]
+            if len(json.dumps(truncated)) < len(json.dumps(outliers)):
+                contract[key] = truncated
         line = json.dumps(contract, separators=(",", ":"))
     if len(line) > LINE_BUDGET and "queries_extended" in contract:
         ext_q = contract.pop("queries_extended")
