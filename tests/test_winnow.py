@@ -448,3 +448,59 @@ def test_verify_spans_broadcast_gate_shuffle_parity(spark, monkeypatch):
     monkeypatch.setattr(di, "BROADCAST_PROBE_MAX_ROWS", 0)
     shuffle_spans = _spans(verify_overlap_spans(queries, corpus, pairs))
     assert shuffle_spans == broadcast_spans and len(broadcast_spans) == 1
+
+
+def test_footer_estimator_early_exit_reads_one_footer(tmp_path, monkeypatch):
+    """The detection-sizing footer walk must stop at the first file once
+    the running text-byte total reaches the caller's cap (r12 verdict:
+    at 100 TB an uncapped walk is an O(files) driver stall just to learn
+    the session cap binds) — and still sum EVERY footer when uncapped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import tmdb_sync_spark.functions.winnow as W
+
+    d = tmp_path / "many_files"
+    d.mkdir()
+    per_file = []
+    for i in range(5):
+        f = d / f"part-{i}.parquet"
+        pq.write_table(
+            pa.table({"doc_id": [i], "text": ["x" * 4000]}), f
+        )
+        md = pq.ParquetFile(f).metadata.row_group(0)
+        per_file.append(
+            next(
+                md.column(ci).total_uncompressed_size
+                for ci in range(md.num_columns)
+                if md.column(ci).path_in_schema == "text"
+            )
+        )
+
+    opened = []
+    real = pq.ParquetFile
+
+    def counting(path, *a, **kw):
+        opened.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    W._TEXT_BYTES_CACHE.clear()
+    # cap below the first file's text bytes → exactly ONE footer read,
+    # and the returned lower bound already proves the cap binds
+    got = W._text_bytes_from_footer(str(d), byte_cap=per_file[0] // 2)
+    assert len(opened) == 1
+    assert got is not None and got >= per_file[0] // 2
+
+    opened.clear()
+    W._TEXT_BYTES_CACHE.clear()
+    # uncapped → every footer read, full total
+    got_all = W._text_bytes_from_footer(str(d))
+    assert len(opened) == 5
+    assert got_all == sum(per_file)
+
+    # differently-capped calls never alias through the cache
+    W._TEXT_BYTES_CACHE.clear()
+    low = W._text_bytes_from_footer(str(d), byte_cap=per_file[0] // 2)
+    full = W._text_bytes_from_footer(str(d))
+    assert full == sum(per_file) and low <= full

@@ -83,14 +83,24 @@ MIN_SHARED_FPS = 3   # pair detection threshold
 # wn_verify_spans 3.11 → 2.93 s (every interleaved pair won).
 DETECT_FP_ROWS_PER_TASK = 50_000
 
-# (path, mtime_ns, size) -> text-column uncompressed bytes (footer)
+# (path, mtime_ns, size, byte_cap) -> text-column uncompressed bytes
+# (footer); values at or past a byte_cap are LOWER BOUNDS (early exit)
 _TEXT_BYTES_CACHE: dict[tuple, int | None] = {}
 
 
-def _text_bytes_from_footer(path: str) -> int | None:
+def _text_bytes_from_footer(path: str, byte_cap: int | None = None) -> int | None:
     """Uncompressed byte size of the ``text`` column from parquet footer
     metadata — no data read. ``None`` when the footer (or column) is
-    unavailable; callers then keep the session shuffle shape."""
+    unavailable; callers then keep the session shuffle shape.
+
+    ``byte_cap`` is the early-exit bound (r12 verdict #4 → r13 #6): the
+    only consumer compares the estimate against a partition cap, so once
+    the running total REACHES the cap the remaining footers cannot
+    change the answer — at 100 TB (thousands of files) the loop would
+    otherwise be an O(files) driver-side metadata stall just to learn
+    the cap binds (usually file 1 settles it). The returned value is a
+    lower bound when it equals/exceeds ``byte_cap``; the cache key
+    carries the cap so differently-capped callers never alias."""
     files = [path]
     if os.path.isdir(path):
         files = sorted(
@@ -100,7 +110,7 @@ def _text_bytes_from_footer(path: str) -> int | None:
             return None
     try:
         st = os.stat(files[0])
-        key = (files[0], len(files), st.st_mtime_ns, st.st_size)
+        key = (files[0], len(files), st.st_mtime_ns, st.st_size, byte_cap)
     except OSError:
         return None
     if key in _TEXT_BYTES_CACHE:
@@ -117,6 +127,8 @@ def _text_bytes_from_footer(path: str) -> int | None:
                     c = g.column(ci)
                     if c.path_in_schema == "text":
                         total += c.total_uncompressed_size
+            if byte_cap is not None and total >= byte_cap:
+                break    # the cap binds — later footers can't change it
     except Exception:
         total = None    # odd footer → session shape, not an error
     _TEXT_BYTES_CACHE[key] = total
@@ -131,7 +143,15 @@ def _detection_parts(spark: SparkSession, sf_dir: str) -> int | None:
         session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         return None
-    text_bytes = _text_bytes_from_footer(f"{sf_dir}/documents.parquet")
+    # bytes at which est_fp_rows reaches session_parts × rows/task — the
+    # point past which the answer is pinned at the session cap, so the
+    # footer walk may stop (ceil-divide: never exit a byte early)
+    cap_bytes = -(
+        -(session_parts * DETECT_FP_ROWS_PER_TASK * (WINNOW_W + 1)) // 2
+    )
+    text_bytes = _text_bytes_from_footer(
+        f"{sf_dir}/documents.parquet", byte_cap=cap_bytes
+    )
     if text_bytes is None:
         return None
     est_fp_rows = text_bytes * 2 // (WINNOW_W + 1)
