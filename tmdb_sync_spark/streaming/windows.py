@@ -34,14 +34,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from tmdb_sync_spark.io import events_ts_norm, table
+from tmdb_sync_spark.io import _events_ts_is_nanos, events_ts_norm, table
 from tmdb_sync_spark.operators.scalars import NAN_VALUE_SQL, nan_to_null
 from tmdb_sync_spark.registry import register
-from tmdb_sync_spark.util import scratch_dir
+from tmdb_sync_spark.util import file_fingerprint, scratch_dir
 
 # NaN-measure convention: operators.scalars.NAN_VALUE_SQL, interpolated
 # (not copied) so the one definition cannot drift per operator
 _SUM = f"CAST(SUM(CAST({NAN_VALUE_SQL} AS DECIMAL(18,6))) AS DOUBLE)"
+
+# (events path, content fingerprint) -> the stream reader's explicit
+# schema (batch schema with ts at its raw on-disk type). Pure file
+# METADATA, same class as io.register_views' memo (r12 §6): deriving it
+# ran TWO spark.read analyses per query construction (~0.1–0.2 s each
+# rep of every streaming slot); the fingerprint keys invalidation on
+# any in-place testdata rewrite.
+_STREAM_SCHEMA_CACHE: dict[tuple, StructType] = {}
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,21 +109,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-    # also pins UTC (+ nanosAsLong iff the footer is NANOS-encoded)
-    batch = table(sub, sf_dir, "events")
-    raw_ts = sub.read.parquet(
-        f"{sf_dir}/events.parquet"
-    ).schema["ts"].dataType
-    raw_schema = StructType(
-        [StructField("ts", raw_ts, True) if f.name == "ts" else f
-         for f in batch.schema.fields]
-    )
+    # nanosAsLong must be pinned on the SUB session before its reads —
+    # table() used to do it as a side effect; with the schema memo the
+    # conf set happens explicitly so a memo hit still applies it (the
+    # footer sniff itself is cached per content stamp in io.py)
+    events_path = os.path.join(sf_dir, "events.parquet")
+    if _events_ts_is_nanos(events_path):
+        sub.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema_key = (events_path, file_fingerprint(events_path))
+    raw_schema = _STREAM_SCHEMA_CACHE.get(schema_key)
+    if raw_schema is None:
+        batch = table(sub, sf_dir, "events")
+        raw_ts = sub.read.parquet(events_path).schema["ts"].dataType
+        raw_schema = StructType(
+            [StructField("ts", raw_ts, True) if f.name == "ts" else f
+             for f in batch.schema.fields]
+        )
+        _STREAM_SCHEMA_CACHE[schema_key] = raw_schema
+    raw_ts = raw_schema["ts"].dataType
     # events.parquet may be a single FILE beside the other tables (the
     # driver's layout — glob-filter it out of sf_dir) or a DIRECTORY of
     # part files (the layout the batch reader supports); a glob of
     # 'events.parquet' over a directory layout matches zero part-* leaf
     # files and would silently stream nothing.
-    events_path = os.path.join(sf_dir, "events.parquet")
     reader = sub.readStream.schema(raw_schema).format("parquet")
     if os.path.isdir(events_path):
         stream = reader.load(events_path)
@@ -402,12 +418,23 @@ def st_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out = _events_stream(spark, sf_dir).groupBy("user_id").applyInPandasWithState(
-        _user_state_fn,
-        outputStructType=STATE_OUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # Project to exactly the kernel's inputs BEFORE the stateful op
+    # (guide §4.1): applyInPandasWithState is opaque to Catalyst, so
+    # without the select every column — event_id, event_type, props,
+    # ~half the table's bytes — is read from parquet AND shipped through
+    # the state-shuffle and the Arrow boundary per micro-batch, only to
+    # be ignored by the kernel.
+    out = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_state_fn,
+            outputStructType=STATE_OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
     emitted = spark.read.parquet(_run_to_parquet(out, "append"))
     row = F.struct("n_events", "max_value", "min_value", "first_ts", "last_ts")
