@@ -39,6 +39,11 @@ from tmdb_sync_spark.functions.similarity import (
     ann_signlsh_topk_at,
 )
 
+# Long property/chaos/replay suite: excluded from the default
+# (driver-time-boxed) profile; the full local gate runs it — see
+# pytest.ini and scripts/run_full_tests.sh.
+pytestmark = pytest.mark.slow
+
 SF01 = "/root/testdata/sf0.1"
 
 

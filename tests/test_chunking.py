@@ -109,6 +109,7 @@ def _chunk_rows(spark, texts, w, ov, tokens=False):
 
 @settings(max_examples=20, deadline=None)
 @given(texts=TEXTS, w=st.integers(1, 12), ov=st.integers(0, 11))
+@pytest.mark.slow
 def test_char_properties(spark, texts, w, ov):
     if ov >= w:
         with pytest.raises(ValueError):

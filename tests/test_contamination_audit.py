@@ -15,6 +15,12 @@ from tmdb_sync_spark.functions.audit import (
 )
 from tmdb_sync_spark.functions.similarity import DIM, N_DUP_BITS
 
+# Long property/chaos/replay suite: excluded from the default
+# (driver-time-boxed) profile; the full local gate runs it — see
+# pytest.ini and scripts/run_full_tests.sh.
+pytestmark = pytest.mark.slow
+
+
 
 def _corpus_text(i: int) -> str:
     words = " ".join(f"corpus{i}word{j}" for j in range(40))

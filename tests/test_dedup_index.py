@@ -52,6 +52,7 @@ def _ids(df):
 
 
 
+@pytest.mark.slow
 def test_incremental_drops(spark, index_path):
     # drop 1 over an EMPTY index: everything survives, index appears
     d1 = _docs(spark, [(i, _text(i)) for i in (1, 2, 3)])
@@ -128,6 +129,7 @@ def test_update_index_false_leaves_index(spark, index_path):
     assert spark.read.parquet(index_path).count() == before
 
 
+@pytest.mark.slow
 def test_small_drop_prunes_index_buckets(spark, index_path):
     """A 1-doc drop touches ≤ 4 bb buckets; the index read opens only
     those partitions (static bucket pruning — file-level assertion)."""
@@ -208,6 +210,7 @@ def test_match_join_never_shuffles_the_index(spark, index_path):
     assert "Exchange hashpartitioning" not in plan[join_at:scan_at]
 
 
+@pytest.mark.slow
 def test_compact_index_one_file_per_bucket_same_matches(spark, tmp_path):
     """Compaction: many append files fold to one per bucket; match
     results are byte-identical before/after; the swap is the journaled
@@ -269,6 +272,7 @@ def test_compact_index_one_file_per_bucket_same_matches(spark, tmp_path):
     assert spark.read.parquet(idx_path).count() > res["rows"]
 
 
+@pytest.mark.slow
 def test_survivors_stable_after_index_append(spark, index_path):
     """The anti-join rewrite (r8) made survivors LAZY; evaluating them
     AFTER update_index appended the drop's own band rows must not make
@@ -290,6 +294,7 @@ def test_survivors_stable_after_index_append(spark, index_path):
     assert _ids(r["dropped_vs_index"]) == [10]
 
 
+@pytest.mark.slow
 def test_mostly_duplicate_large_drop_stays_distributed(spark, index_path):
     """A drop that is ~90% duplicates of the corpus: the dropped ids
     must come back as DataFrames (never driver lists — the r7 verdict's
@@ -401,6 +406,7 @@ def test_readonly_probe_records_no_contract(spark, tmp_path):
     assert _os.path.exists(_os.path.join(path, "_store_contract.json"))
 
 
+@pytest.mark.slow
 def test_concurrent_writer_lock_enforced(spark, index_path):
     """The single-writer contract is enforced, not just documented (r8
     verdict #4): while another writer holds the index lock, a write-path
@@ -440,6 +446,7 @@ def test_concurrent_writer_lock_enforced(spark, index_path):
     assert [x["doc_id"] for x in r["survivors"].collect()] == [2]
 
 
+@pytest.mark.slow
 def test_concurrent_drops_serialize(spark, index_path):
     """Two dedup-filtering drops racing on one index, each carrying one
     twin of a near-dup pair: serialized writers mean the later drop
@@ -511,6 +518,7 @@ def test_compact_index_holds_writer_lock(spark, tmp_path):
     assert compact_index(spark, idx_path)["rows"] > 0
 
 
+@pytest.mark.slow
 def test_auto_compaction_policy(spark, tmp_path):
     """r9 verdict #5: append paths trigger compaction themselves when
     any bucket exceeds the files-per-bucket threshold — under the writer

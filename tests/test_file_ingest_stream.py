@@ -12,6 +12,14 @@ from pyspark.sql import functions as F
 from tmdb_sync_spark.plans.partitioned import read_partitioned
 from tmdb_sync_spark.streaming.file_ingest import ingest_file_stream
 
+import pytest
+
+# Long property/chaos/replay suite: excluded from the default
+# (driver-time-boxed) profile; the full local gate runs it — see
+# pytest.ini and scripts/run_full_tests.sh.
+pytestmark = pytest.mark.slow
+
+
 DOC_DDL = (
     "doc_id bigint, text string, lang string, source string, "
     "n_chars bigint"

@@ -106,6 +106,7 @@ def test_csv_quoted_sep_ok_embedded_newline_dead_letters(spark, tmp_path):
     assert dead.count() == 2
 
 
+@pytest.mark.slow
 def test_jsonl_round_trip_hypothesis_unicode(spark, tmp_path):
     """Property: ANY unicode text survives write_jsonl → read_jsonl
     bit-exactly with zero dead letters (JSON escaping handles embedded

@@ -125,6 +125,7 @@ def live_env(spark, tmdb_facade):
         hc._API = None   # the driver singleton must not leak a live client
 
 
+@pytest.mark.slow
 def test_s1_scan_over_real_sockets_urllib(spark, sf_dir, live_env):
     """The registered S1 query end-to-end on the zero-dependency stdlib
     transport: value-identical to the fixture path, with the retry loop

@@ -27,6 +27,13 @@ from tmdb_sync_spark.plans.partitioned import (
     write_partitioned,
 )
 
+import pytest
+
+# Long property/chaos/replay suite: excluded from the default
+# (driver-time-boxed) profile; the full local gate runs it — see
+# pytest.ini and scripts/run_full_tests.sh.
+pytestmark = pytest.mark.slow
+
 keysets = hs.lists(hs.integers(min_value=0, max_value=30), max_size=12)
 
 

@@ -4,6 +4,8 @@ mtimes) after the MERGE; touched ones are rewritten."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import tempfile
 
@@ -782,6 +784,7 @@ def test_empty_table_merge_keeps_target_only_columns(spark):
     assert rows[1]["title"] == "t1" and rows[2]["y"] == 2002
 
 
+@pytest.mark.slow
 def test_ingest_crash_then_resume_converges(spark):
     """End-to-end crash/resume over the LIVE ingest loop: kill the sync
     at an arbitrary filesystem step of its movies-table write (bootstrap

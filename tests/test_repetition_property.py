@@ -23,6 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tmdb_sync_spark.functions.text import repetition_stats  # noqa: E402
 
+# Long property/chaos/replay suite: excluded from the default
+# (driver-time-boxed) profile; the full local gate runs it — see
+# pytest.ini and scripts/run_full_tests.sh.
+pytestmark = pytest.mark.slow
+
+
 WS_SET = set(" \t\n\r\f\x0b")
 
 # documents assembled from a tiny alphabet so duplication is common —

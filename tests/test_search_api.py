@@ -185,6 +185,7 @@ def test_search_over_live_ingest_table(spark, tmp_path):
     assert all(r["n_valid_frames"] > 0 for r in rows)
 
 
+@pytest.mark.slow
 def test_string_and_year_sort_fields(spark, movies, tmp_path):
     """The two non-numeric whitelist entries: release_date sorts
     lexicographically (the ISO-string idiom), and year resolves through

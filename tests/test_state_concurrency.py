@@ -10,6 +10,14 @@ import threading
 
 from tmdb_sync_spark.streaming import state as st
 
+import pytest
+
+# Long property/chaos/replay suite: excluded from the default
+# (driver-time-boxed) profile; the full local gate runs it — see
+# pytest.ini and scripts/run_full_tests.sh.
+pytestmark = pytest.mark.slow
+
+
 
 def _cursor(key: str, page: int) -> dict:
     return {"key": key, "page": page, "inserted": page * 10,

@@ -340,6 +340,7 @@ def test_profile_persistence_roundtrip(spark, sf_dir, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_merge_law_property(spark):
     """Hypothesis over adversarial frames (NULL dims, NULL sizes,
     zero/negative sizes, duplicate keys ACROSS drops, empty drops):

@@ -35,6 +35,7 @@ def _write_file(spark, tmp_path, src_dir, name, rows, order):
     os.utime(dst, (time.time() + order, time.time() + order))
 
 
+@pytest.mark.slow
 def test_cross_batch_redelivery_dropped_and_state_evicted(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()

@@ -13,6 +13,12 @@ from tmdb_sync_spark.sources import fixture
 from tmdb_sync_spark.streaming.ingest import run_sync_years
 from tmdb_sync_spark.streaming.state import read_cursor
 
+# Long property/chaos/replay suite: excluded from the default
+# (driver-time-boxed) profile; the full local gate runs it — see
+# pytest.ini and scripts/run_full_tests.sh.
+pytestmark = pytest.mark.slow
+
+
 
 def movie_ids(spark, state):
     return {r["id"] for r in

@@ -57,6 +57,7 @@ def index_path(tmp_path):
     return os.path.join(str(tmp_path), "vec_index")
 
 
+@pytest.mark.slow
 def test_incremental_vector_drops(spark, index_path):
     a, b, d = _vec(0), _vec(1), _vec(2, sign=-1.0)
     r1 = dedup_vectors_against_index(
