@@ -132,8 +132,24 @@ def _quantized_from(emb: DataFrame) -> DataFrame:
     return df.select("vec_id", "v", _nrm_expr(F.col("v")).alias("nrm"))
 
 
+# Rows per task for the embeddings spread (guide §2.2 right-sizing —
+# r13): the per-row work behind _quantized/_bucketed is a 64-wide
+# quant/norm projection plus one vectorized numpy matmul per Arrow
+# batch — microseconds per row — so the old unconditional 32-way spread
+# of a small table scheduled near-empty tasks and near-empty Arrow
+# batches (the measured reason ann_ivf ran SLOWER at 32 cores than 8 in
+# BENCH_r12_c8). Partition count = ceil(footer_rows / this) capped at
+# the session parallelism: any at-scale corpus exceeds the cap, so the
+# 100 TB plan shape is untouched.
+EMB_ROWS_PER_TASK = 4096
+
+
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _quantized_from(parallel_table(spark, sf_dir, "embeddings"))
+    return _quantized_from(
+        parallel_table(
+            spark, sf_dir, "embeddings", rows_per_task=EMB_ROWS_PER_TASK
+        )
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -229,7 +245,10 @@ def bucketed_from(emb: DataFrame, n_bits: int) -> DataFrame:
 
 def _bucketed(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
     return bucketed_from(
-        parallel_table(spark, sf_dir, "embeddings"), n_bits
+        parallel_table(
+            spark, sf_dir, "embeddings", rows_per_task=EMB_ROWS_PER_TASK
+        ),
+        n_bits,
     )
 
 
@@ -968,7 +987,16 @@ def ann_ivf_topk_at(
     # content, so repeat invocations (and, with a store, repeat
     # SESSIONS) skip the training jobs entirely.
     cents = resolve_codebook(spark, sf_dir, codebook_store)
-    topn = _codebook_topn(cents, n_probe)
+    # asNondeterministic is the guide-§4.4 optimizer fence, not a
+    # semantics change (the scorer is deterministic — stable argsort,
+    # cid tiebreak): without it the r13 before-plan showed the Arrow
+    # scorer evaluated TWICE per side — the probe explode's inferred
+    # `size(cids) > 0` filter and the join key's inferred
+    # `isnotnull(cid)` were pushed below the spread exchange and each
+    # re-instantiated the UDF (4 ArrowEvalPython nodes for 2 calls),
+    # re-running the quant projection AND the scorer on every corpus row
+    # twice. The fence yields exactly one evaluation per side.
+    topn = _codebook_topn(cents, n_probe).asNondeterministic()
     assign_cid = F.element_at(topn(F.col("v"), F.col("nrm")), 1)
     probe_cids = topn(F.col("v"), F.col("nrm"))
     assign = qd.select("vec_id", "v", "nrm", assign_cid.alias("cid"))
@@ -981,7 +1009,13 @@ def ann_ivf_topk_at(
             probe_cids.alias("cids"),
         )
         .select(
-            "query_id", "qv", "qnrm", F.explode(F.col("cids")).alias("cid")
+            # explode_outer, not explode: InferFiltersFromGenerate adds
+            # `size(cids) > 0 AND isnotnull(cids)` for the inner variant
+            # (the minhash explode's documented trap) — the outer form
+            # is exempt and identical here: topn always returns n_probe
+            # cids for rows that passed nrm > 0
+            "query_id", "qv", "qnrm",
+            F.explode_outer(F.col("cids")).alias("cid"),
         )
     )
     sim = _dot(F.col("qv"), F.col("v")) / (

@@ -140,7 +140,51 @@ def broadcast_if_dim(
     return df
 
 
-def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# (path, mtime_ns, size) -> footer row count (O(1) metadata read)
+_TABLE_ROWS: dict[tuple, int | None] = {}
+
+
+def table_rows_from_footer(path: str) -> int | None:
+    """Row count from parquet footer metadata (no data read), cached per
+    content stamp; ``None`` when unreadable — callers fall back to the
+    session default."""
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(
+            e.path for e in os.scandir(path) if e.name.endswith(".parquet")
+        )
+        if not parts:
+            return None
+        f = parts[0]
+        many = len(parts) > 1
+    else:
+        many = False
+    try:
+        st = os.stat(f)
+        key = (f, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+    if key not in _TABLE_ROWS:
+        try:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(f).metadata.num_rows
+            if many:
+                # multi-file dir: first footer is a LOWER bound; good
+                # enough for a partition-count floor, and one footer
+                # read keeps this O(1) in file count (same rationale as
+                # winnow's capped footer walk)
+                n = None
+        except Exception:
+            n = None
+        _TABLE_ROWS[key] = n
+    return _TABLE_ROWS[key]
+
+
+def parallel_table(
+    spark: SparkSession, sf_dir: str, name: str,
+    rows_per_task: int | None = None,
+) -> DataFrame:
     """Like :func:`table`, but round-robin repartitioned to the session's
     default parallelism.
 
@@ -150,10 +194,21 @@ def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     lake the scan is already split across many files/row-groups and this
     shuffle is unnecessary — operators use this helper only in front of
     compute whose cost per row dwarfs the one-time small-table exchange.
-    """
-    return table(spark, sf_dir, name).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+
+    ``rows_per_task`` keys the spread to the table's OWN volume (guide
+    §2.2 right-sizing, the winnow/components pattern): partition count =
+    ``ceil(footer_rows / rows_per_task)`` CAPPED at the session default
+    parallelism, so a production-scale table always keeps the full
+    spread and only small tables stop scheduling near-empty tasks. Pass
+    it for cheap-per-row compute (the vectorized embedding scorers);
+    omit it for heavy per-row work (md5 winnowing/shingling), where even
+    a handful of rows per task is worth a core."""
+    parts = spark.sparkContext.defaultParallelism
+    if rows_per_task is not None:
+        rows = table_rows_from_footer(f"{sf_dir}/{name}.parquet")
+        if rows is not None:
+            parts = max(1, min(parts, -(-rows // rows_per_task)))
+    return table(spark, sf_dir, name).repartition(parts)
 
 
 # session -> (sf_dir, per-table content fingerprints) of the CURRENT
